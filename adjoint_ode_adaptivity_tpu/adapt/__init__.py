@@ -1,0 +1,27 @@
+"""Adaptivity policies and the adaptive refinement loop (L3)."""
+
+from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+    AdaptResult,
+    AdaptState,
+    adapt_iteration,
+    run_adaptive_fd,
+)
+from adjoint_ode_adaptivity_tpu.adapt.policy import (
+    bisect_refine,
+    bisect_refine_padded,
+    pad_times,
+    plateau_detect,
+    should_refine_depth,
+)
+
+__all__ = [
+    "AdaptState",
+    "AdaptResult",
+    "adapt_iteration",
+    "run_adaptive_fd",
+    "pad_times",
+    "bisect_refine",
+    "bisect_refine_padded",
+    "plateau_detect",
+    "should_refine_depth",
+]

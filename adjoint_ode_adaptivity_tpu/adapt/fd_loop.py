@@ -1,0 +1,141 @@
+"""The adaptive forward/adjoint/estimate/refine loop for one-step marches.
+
+This is the end-to-end algorithm of ``python/Main_finite_difference.py``
+(and the analytic branch of ``factory.py getAdaptFunctions``): march the
+primal on the coarse grid, solve the discrete adjoint on the uniformly
+refined grid, localise the adjoint-weighted residual per coarse step, bisect
+the worst step, repeat until the total estimate drops below tolerance.
+
+TPU-first: one jitted ``adapt_iteration`` at a *fixed padded shape* runs the
+entire per-iteration pipeline on device; the host loop only checks the
+scalar stopping test and logs. No recompiles as the grid grows.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from adjoint_ode_adaptivity_tpu import functionals as fnl
+from adjoint_ode_adaptivity_tpu.adapt.policy import bisect_refine_padded, pad_times
+from adjoint_ode_adaptivity_tpu.adjoint.discrete import adjoint_march
+from adjoint_ode_adaptivity_tpu.adjoint.estimate import (
+    coarse_indicator,
+    interp_to_fine,
+    refine_all,
+    residual,
+)
+from adjoint_ode_adaptivity_tpu.march.fd import forward_march, times_from_dt
+
+__all__ = ["AdaptState", "AdaptResult", "adapt_iteration", "run_adaptive_fd"]
+
+
+class AdaptState(NamedTuple):
+    """Immutable per-iteration adaptivity state (padded, static shapes)."""
+
+    times: jnp.ndarray  # (max_nodes,) padded node times
+    n_active: jnp.ndarray  # scalar int32: number of real steps
+    it: jnp.ndarray  # scalar int32 iteration counter
+
+
+class AdaptResult(NamedTuple):
+    state: AdaptState
+    u: jnp.ndarray  # (max_nodes,) coarse primal
+    v: jnp.ndarray  # (max_fine+1,) fine-grid adjoint
+    err_steps: jnp.ndarray  # (max_nodes-1,) per-coarse-step indicator
+    err_total: jnp.ndarray  # scalar Σ err_steps
+    j_coarse: jnp.ndarray  # J evaluated on the coarse march
+
+
+def _k_vector(functional: fnl.Functional, u_fine, dt_fine, n_active, ref_factor):
+    """∂J/∂U on the padded fine grid, padding-aware.
+
+    ``J=u_N`` places the unit at fine node ``n_active·rf − 1`` (the
+    second-to-last *active* node — the reference convention, see
+    functionals.py); integral functionals are automatically padding-safe
+    because padded dt is zero.
+    """
+    if functional.name == "J=u_N":
+        idx = n_active * ref_factor - 1
+        return (jnp.arange(u_fine.shape[0]) == idx).astype(u_fine.dtype)
+    return jax.grad(functional.value)(u_fine, dt_fine)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "functional_name", "ref_factor", "convention"))
+def adapt_iteration(
+    state: AdaptState,
+    u0,
+    step_fn: Callable,
+    functional_name: str,
+    ref_factor: int,
+    convention: str = "strided",
+) -> AdaptResult:
+    """One adaptive iteration, entirely on device at static shapes."""
+    functional = fnl.get_functional(functional_name)
+    t0 = state.times[0]
+    dt = jnp.diff(state.times)
+    u = forward_march(step_fn, u0, dt, t0)
+
+    dt_fine = refine_all(dt, ref_factor)
+    u_fine = interp_to_fine(u, dt, dt_fine, t0)
+    k_vec = _k_vector(functional, u_fine, dt_fine, state.n_active, ref_factor)
+    v = adjoint_march(step_fn, u_fine, dt_fine, k_vec, t0)
+
+    res = residual(step_fn, u_fine, dt_fine, t0)
+    err_fine = res * v
+    err_steps = coarse_indicator(err_fine, ref_factor, convention)
+    err_total = jnp.sum(err_steps)
+
+    times_new, n_active_new = bisect_refine_padded(state.times, state.n_active, err_steps)
+    if functional.name == "J=u_N":
+        j_coarse = u[state.n_active]  # terminal value at the last active node
+    else:
+        j_coarse = functional.value(u, dt)
+    new_state = AdaptState(times=times_new, n_active=n_active_new, it=state.it + 1)
+    return AdaptResult(new_state, u, v, err_steps, err_total, j_coarse)
+
+
+def run_adaptive_fd(
+    step_fn: Callable,
+    u0: float,
+    t_span: tuple[float, float],
+    n_steps0: int = 2,
+    *,
+    functional_name: str = "J=int(u^2)",
+    ref_factor: int = 4,
+    tol: float = 1e-5,
+    maxit: int = 100,
+    convention: str = "strided",
+    max_nodes: int | None = None,
+    callback: Callable | None = None,
+    dtype=None,
+) -> list[AdaptResult]:
+    """Run the adaptive loop until Σerr < tol or maxit — the complete
+    Main_finite_difference.py driver, minus plotting (see utils.plotting).
+
+    Returns the per-iteration :class:`AdaptResult` history. ``callback``
+    (if given) is invoked with each result (host-side, for logging/plots).
+    """
+    if max_nodes is None:
+        max_nodes = n_steps0 + maxit + 2
+    dtype = dtype or jnp.asarray(0.0).dtype
+    times0 = jnp.linspace(t_span[0], t_span[1], n_steps0 + 1, dtype=dtype)
+    times, n_active = pad_times(times0, max_nodes)
+    state = AdaptState(times=times, n_active=n_active, it=jnp.asarray(0, jnp.int32))
+
+    history: list[AdaptResult] = []
+    err = jnp.inf
+    it = 0
+    while it <= maxit and err > tol:
+        result = adapt_iteration(
+            state, u0, step_fn, functional_name, ref_factor, convention
+        )
+        history.append(result)
+        if callback is not None:
+            callback(result)
+        state = result.state
+        err = float(result.err_total)
+        it += 1
+    return history

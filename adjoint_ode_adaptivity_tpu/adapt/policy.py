@@ -1,0 +1,106 @@
+"""Adaptivity policies: argmax bisection of the time grid, plateau
+detection, and the width-vs-depth choice.
+
+Reference parity:
+- bisection insert (python/Main_finite_difference.py:336-343,
+  factory.py:329-334, Main_no_matrix_detect_complex.py:369-377): insert the
+  midpoint of the step with the largest error contribution.
+- plateau ("detect") trigger (Main_no_matrix_detect_complex.py:271-282):
+  quadratic fit to log-loss history; refine when the degree-1,2 coefficients
+  are below tolerance and a new loss floor is reached.
+- width-vs-depth policy (Main_width_ref.py:487-500): refine depth only when
+  the relative loss improvement over a window falls below 10%.
+
+TPU-first: the bisection operates on *padded* grids — ``times`` has a static
+maximum length, active nodes ``0..n_active−1``, and padding repeats the final
+time so that ``dt = diff(times)`` is zero there. Zero-dt Euler steps are
+identity maps, zero-dt quadrature contributes nothing, so every downstream
+kernel (march/adjoint/estimate) runs unmodified at a fixed compiled shape: a
+refinement changes data, never shapes — no recompilation across the adaptive
+loop.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "pad_times",
+    "bisect_refine",
+    "bisect_refine_padded",
+    "plateau_detect",
+    "should_refine_depth",
+]
+
+
+def pad_times(times: jnp.ndarray, max_nodes: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad a node-time vector to ``max_nodes`` by repeating the final time.
+
+    Returns (times_padded, n_active) where ``n_active`` counts real *steps*
+    (= real nodes − 1).
+    """
+    n_nodes = times.shape[0]
+    if n_nodes > max_nodes:
+        raise ValueError(f"times has {n_nodes} nodes > max_nodes={max_nodes}")
+    pad = jnp.full((max_nodes - n_nodes,), times[-1], dtype=times.dtype)
+    return jnp.concatenate([times, pad]), jnp.asarray(n_nodes - 1, dtype=jnp.int32)
+
+
+def bisect_refine(times: jnp.ndarray, err_steps: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-shape bisection (host-side, shape grows by one).
+
+    ref_idx = argmax(err) + 1; the midpoint of (times[ref_idx−1],
+    times[ref_idx]) is inserted — exactly Main_finite_difference.py:336-341.
+    """
+    ref_idx = jnp.argmax(err_steps) + 1
+    mid = (times[ref_idx - 1] + times[ref_idx]) / 2.0
+    return jnp.concatenate([times[:ref_idx], mid[None], times[ref_idx:]])
+
+
+def bisect_refine_padded(
+    times: jnp.ndarray, n_active: jnp.ndarray, err_steps: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape bisection on a padded grid (jit-compiled scatter).
+
+    ``times``: (max_nodes,) padded; ``err_steps``: (max_nodes−1,) with zeros
+    in the padding (zero-dt steps have zero residual, so no masking needed —
+    padding can never win the argmax unless all active errors are exactly 0).
+
+    The insert shifts ``times[ref_idx:]`` right by one and writes the
+    midpoint, all via index arithmetic at fixed shape. The final active node
+    overwrites the first padding slot; remaining padding still repeats the
+    final time, preserving the padding invariant.
+    """
+    max_nodes = times.shape[0]
+    ref_idx = jnp.argmax(err_steps) + 1
+    mid = (times[ref_idx - 1] + times[ref_idx]) / 2.0
+    idx = jnp.arange(max_nodes)
+    shifted = times[jnp.maximum(idx - 1, 0)]
+    times_new = jnp.where(idx < ref_idx, times, jnp.where(idx == ref_idx, mid, shifted))
+    return times_new, n_active + 1
+
+
+def plateau_detect(
+    loss_hist: jnp.ndarray, min_loss: jnp.ndarray, ref_tol: float = 5e-5
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Quadratic-fit plateau detection on the log-loss window.
+
+    Returns (refine?, new_min_loss). Refine when |c2| and |c1| of the
+    degree-2 polyfit of log(loss) are below ``ref_tol`` *and* the window mean
+    is a new floor (Main_no_matrix_detect_complex.py:274-282).
+    """
+    n = loss_hist.shape[0]
+    x = jnp.arange(n, dtype=loss_hist.dtype)
+    y = jnp.log(loss_hist)
+    coeffs = jnp.polyfit(x, y, 2)
+    flat = (jnp.abs(coeffs[0]) < ref_tol) & (jnp.abs(coeffs[1]) < ref_tol)
+    mean_loss = jnp.mean(loss_hist)
+    refine = flat & (min_loss > mean_loss)
+    new_min = jnp.where(refine, mean_loss, min_loss)
+    return refine, new_min
+
+
+def should_refine_depth(loss_hist: jnp.ndarray, rel_tol: float = 0.1) -> jnp.ndarray:
+    """Depth (vs width) refinement trigger: loss has plateaued when the
+    relative improvement over the window is below ``rel_tol``
+    (Main_width_ref.py:487-500)."""
+    return (loss_hist[0] - loss_hist[-1]) / loss_hist[0] < rel_tol

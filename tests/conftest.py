@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh in
+float64 so the 1e-10 effectivity-parity checks are meaningful.
+
+Note: this container's sitecustomize registers the axon TPU plugin and
+imports jax at interpreter startup, so env vars alone are too late here —
+we must use jax.config.update (backends initialize lazily, so this works as
+long as no array has been created yet, which conftest guarantees).
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}, x64: {jax.config.jax_enable_x64}"

@@ -1,0 +1,351 @@
+"""Tests for the FD march / discrete adjoint / error estimate / adaptivity.
+
+Oracle strategy: an independent NumPy implementation of the reference
+algorithm (sequential march, dense (JFᵀ−I)v=−K solve, stride-tricks window
+sum, bisection) is written *here in the tests* and the framework's scan-based
+device code must match it to near machine precision, iteration by iteration.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adjoint_ode_adaptivity_tpu import functionals as fnl
+from adjoint_ode_adaptivity_tpu import odes
+from adjoint_ode_adaptivity_tpu.adapt import (
+    bisect_refine,
+    bisect_refine_padded,
+    pad_times,
+    run_adaptive_fd,
+)
+from adjoint_ode_adaptivity_tpu.adjoint import (
+    adjoint_dense_oracle,
+    adjoint_march,
+    coarse_indicator,
+    interp_to_fine,
+    refine_all,
+    residual,
+)
+from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march, times_from_dt
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def np_forward(dt, u0):
+    """Reference forwardSolve: u[n] = u[n-1] + sin(u[n-1])*dt[n-1]."""
+    u = np.zeros(len(dt) + 1)
+    u[0] = u0
+    for n in range(1, len(u)):
+        u[n] = u[n - 1] + np.sin(u[n - 1]) * dt[n - 1]
+    return u
+
+
+def np_adjoint(dt_fine, u_fine, k_vec):
+    """Reference adjSolve: dense solve of (JF.T - I) v = -K."""
+    jf_diag = 1 + np.cos(u_fine[:-1]) * dt_fine
+    jf = np.diag(jf_diag, -1)
+    return np.linalg.solve(jf.T - np.eye(jf.shape[0]), -k_vec)
+
+
+def np_indicator_strided(err_fine, rf):
+    """Reference stride-tricks window sum (Main_finite_difference.py:270-277)."""
+    e = np.abs(np.asarray(err_fine))[2:]
+    n_rows = (e.size - (rf - 1)) // rf + 1
+    s = e.strides[0]
+    win = np.lib.stride_tricks.as_strided(e, shape=(n_rows, rf - 1), strides=(rf * s, s))
+    return np.sum(win, 1)
+
+
+# ------------------------------------------------------------------ tests
+
+
+class TestForwardMarch:
+    def test_scan_matches_numpy_loop(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        dt = jnp.asarray(np.diff(np.array([0.0, 0.3, 0.8, 1.1, 2.0])))
+        u = forward_march(step, 1.0, dt)
+        np.testing.assert_allclose(u, np_forward(np.asarray(dt), 1.0), rtol=1e-14)
+
+    def test_euler_first_order_convergence(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        errs = []
+        for n in (64, 128, 256):
+            dt = jnp.full((n,), 2.0 / n)
+            u = forward_march(step, 1.0, dt)
+            exact = ode.exact_fwd(2.0, 1.0)
+            errs.append(abs(float(u[-1]) - float(exact)))
+        rate = np.log2(errs[0] / errs[1]), np.log2(errs[1] / errs[2])
+        assert 0.9 < rate[0] < 1.1 and 0.9 < rate[1] < 1.1
+
+    def test_zero_dt_steps_are_identity(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        dt = jnp.array([0.5, 0.0, 0.5, 0.0, 0.0])
+        u = forward_march(step, 1.0, dt)
+        assert float(u[1]) == float(u[2])
+        assert float(u[3]) == float(u[4]) == float(u[5])
+
+    def test_remat_march_same_values_and_grads(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        dt = jnp.full((50,), 0.02)
+
+        def terminal(u0, remat):
+            return forward_march(step, u0, dt, remat=remat)[-1]
+
+        v1, g1 = jax.value_and_grad(lambda u: terminal(u, False))(1.0)
+        v2, g2 = jax.value_and_grad(lambda u: terminal(u, True))(1.0)
+        np.testing.assert_allclose(v1, v2, rtol=1e-14)
+        np.testing.assert_allclose(g1, g2, rtol=1e-14)
+
+
+class TestAdjoint:
+    @pytest.mark.parametrize("functional_name", ["J=int(u)", "J=int(u^2)", "J=u_N"])
+    def test_reverse_scan_equals_reference_dense_solve(self, functional_name):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        rf = 4
+        times = jnp.asarray([0.0, 0.55, 1.0, 1.3, 2.0])
+        dt = jnp.diff(times)
+        u = forward_march(step, 1.0, dt)
+        dt_fine = refine_all(dt, rf)
+        u_fine = interp_to_fine(u, dt, dt_fine)
+
+        # the reference K vectors, hand-built
+        n_f = len(dt_fine)
+        if functional_name == "J=int(u)":
+            k_np = np.concatenate([np.asarray(dt_fine), [0.0]])
+        elif functional_name == "J=int(u^2)":
+            k_np = np.concatenate([2 * np.asarray(u_fine[:-1]) * np.asarray(dt_fine), [0.0]])
+        else:
+            k_np = np.zeros(n_f + 1)
+            k_np[n_f - 1] = 1.0
+
+        # framework K via grad of the functional must equal the hand-built one
+        functional = fnl.get_functional(functional_name)
+        k_jax = jax.grad(functional.value)(u_fine, dt_fine)
+        np.testing.assert_allclose(k_jax, k_np, atol=1e-15)
+
+        v_scan = adjoint_march(step, u_fine, dt_fine, jnp.asarray(k_np))
+        v_np = np_adjoint(np.asarray(dt_fine), np.asarray(u_fine), k_np)
+        np.testing.assert_allclose(v_scan, v_np, rtol=1e-12, atol=1e-14)
+
+        v_dense = adjoint_dense_oracle(step, u_fine, dt_fine, jnp.asarray(k_np))
+        np.testing.assert_allclose(v_dense, v_np, rtol=1e-12, atol=1e-14)
+
+    def test_adjoint_grad_consistency(self):
+        # v[0] must equal dJ/du0 of the fine-grid march (chain rule through
+        # the whole trajectory) — the defining property of the adjoint.
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        dt_fine = jnp.full((32,), 2.0 / 32)
+        functional = fnl.get_functional("J=int(u^2)")
+
+        def j_of_u0(u0):
+            u = forward_march(step, u0, dt_fine)
+            return functional.value(u, dt_fine)
+
+        u_fine = forward_march(step, 1.0, dt_fine)
+        k = jax.grad(functional.value)(u_fine, dt_fine)
+        v = adjoint_march(step, u_fine, dt_fine, k)
+        np.testing.assert_allclose(v[0], jax.grad(j_of_u0)(1.0), rtol=1e-12)
+
+    def test_adjoint_converges_to_continuous_adjoint(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        functional = fnl.get_functional("J=int(u)")
+        n = 512
+        dt = jnp.full((n,), 2.0 / n)
+        u = forward_march(step, 1.0, dt)
+        k = jax.grad(functional.value)(u, dt)
+        v = adjoint_march(step, u, dt, k)
+        t = times_from_dt(dt)
+        a = odes.exact_adjoint_rk4(ode, functional.g_u, t, 1.0, 2.0, functional.terminal)
+        # discrete adjoint is O(dt) accurate against the continuous one
+        assert float(jnp.max(jnp.abs(v - a))) < 5.0 / n
+
+
+class TestEstimate:
+    def test_residual_zero_on_consistent_trajectory(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        dt = jnp.full((16,), 0.125)
+        u = forward_march(step, 1.0, dt)
+        res = residual(step, u, dt)
+        np.testing.assert_allclose(res, 0.0, atol=1e-14)
+
+    def test_strided_indicator_matches_stride_tricks(self):
+        rf = 4
+        rng = np.random.default_rng(0)
+        n_coarse = 7
+        err_fine = rng.normal(size=n_coarse * rf + 1)
+        ours = coarse_indicator(jnp.asarray(err_fine), rf, "strided")
+        ref = np_indicator_strided(err_fine, rf)
+        np.testing.assert_allclose(ours, ref, rtol=1e-14)
+
+    def test_block_indicator_matches_loop(self):
+        rf = 4
+        rng = np.random.default_rng(1)
+        n_coarse = 5
+        err_fine = rng.normal(size=n_coarse * rf + 1)
+        ours = coarse_indicator(jnp.asarray(err_fine), rf, "block")
+        ref = np.abs(
+            [np.sum(err_fine[i * rf + 1 : (i + 1) * rf + 1]) for i in range(n_coarse)]
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-14)
+
+
+class TestBisection:
+    def test_dynamic_matches_reference_insert(self):
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+        err = jnp.asarray([0.1, 0.9, 0.3])
+        new = bisect_refine(times, err)
+        np.testing.assert_allclose(new, [0.0, 0.5, 0.75, 1.0, 2.0])
+
+    def test_padded_matches_dynamic(self):
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+        err = jnp.asarray([0.1, 0.9, 0.3])
+        tp, n_act = pad_times(times, 8)
+        err_p = jnp.concatenate([err, jnp.zeros(4)])
+        tp_new, n_new = bisect_refine_padded(tp, n_act, err_p)
+        expected = bisect_refine(times, err)
+        np.testing.assert_allclose(tp_new[:5], expected)
+        np.testing.assert_allclose(tp_new[5:], 2.0)  # padding invariant
+        assert int(n_new) == 4
+
+
+class TestAdaptiveLoop:
+    def test_full_loop_matches_numpy_reference(self):
+        """End-to-end parity: padded device loop vs a NumPy transliteration
+        of Main_finite_difference.py for u'=sin(u), J=int(u^2)."""
+        rf = 4
+        u0 = 1.0
+        n_iters = 12
+
+        # --- NumPy reference loop
+        times_np = np.linspace(0.0, 2.0, 3)
+        traj_times = []
+        traj_err = []
+        for _ in range(n_iters):
+            dt_n = np.diff(times_np)
+            u = np_forward(dt_n, u0)
+            dt_f = np.repeat(dt_n / rf, rf)
+            t_c = np.concatenate([[0], np.cumsum(dt_n)])
+            t_f = np.concatenate([[0], np.cumsum(dt_f)])
+            u_f = np.interp(t_f, t_c, u)
+            k = np.concatenate([2 * u_f[:-1] * dt_f, [0.0]])
+            v = np_adjoint(dt_f, u_f, k)
+            res = np.zeros_like(u_f)
+            for n in range(1, len(u_f)):
+                res[n] = u_f[n] - (u_f[n - 1] + np.sin(u_f[n - 1]) * dt_f[n - 1])
+            err_fine = res * v
+            err_steps = np_indicator_strided(err_fine, rf)
+            traj_times.append(times_np.copy())
+            traj_err.append(err_steps.copy())
+            ref_idx = int(np.argmax(err_steps)) + 1
+            times_new = np.zeros(len(times_np) + 1)
+            times_new[:ref_idx] = times_np[:ref_idx]
+            times_new[ref_idx + 1 :] = times_np[ref_idx:]
+            times_new[ref_idx] = np.mean(times_np[ref_idx - 1 : ref_idx + 1])
+            times_np = times_new
+
+        # --- framework loop
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        history = run_adaptive_fd(
+            step,
+            u0,
+            (0.0, 2.0),
+            n_steps0=2,
+            functional_name="J=int(u^2)",
+            ref_factor=rf,
+            tol=0.0,
+            maxit=n_iters - 1,
+        )
+        assert len(history) == n_iters
+        for i, result in enumerate(history):
+            n_act = i + 2
+            # grids agree (result.state.times is the *refined* grid of iter i)
+            if i + 1 < n_iters:
+                np.testing.assert_allclose(
+                    np.asarray(result.state.times[: n_act + 2]),
+                    traj_times[i + 1],
+                    rtol=1e-12,
+                    err_msg=f"iteration {i}",
+                )
+            # compare the indicator on the active steps
+            np.testing.assert_allclose(
+                np.asarray(result.err_steps[: n_act]),
+                traj_err[i],
+                rtol=1e-10,
+                atol=1e-15,
+                err_msg=f"iteration {i}",
+            )
+
+    def test_adaptive_error_decreases(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        history = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), n_steps0=2, functional_name="J=int(u^2)",
+            ref_factor=4, tol=1e-5, maxit=60,
+        )
+        errs = [float(r.err_total) for r in history]
+        # forward Euler: total error ~ C/N, so 60 bisections from N=2 gives
+        # roughly a 20-30x reduction (the reference behaves identically —
+        # its tol=1e-5 is never reached before maxit either)
+        assert errs[-1] < errs[0] / 10
+        assert errs[-1] < 0.05
+
+    def test_effectivity_exact_linear_case(self):
+        """For a linear ODE + linear functional the adjoint-weighted residual
+        identity is EXACT:  Σ res·v = J(u_H) − J(u_h)  where u_H is the
+        coarse march interpolated to the fine grid and u_h the fine march.
+        This is the 1e-10 effectivity parity required by the north star
+        (matlab/MAIN.m:55-76 prints exactly this match to %.10e)."""
+        ode = odes.get_ode("du/dt=u")
+        step = euler_step(ode.f)
+        functional = fnl.get_functional("J=int(u)")
+        for rf, n in [(2, 8), (4, 8), (8, 32)]:
+            dt = jnp.full((n,), 2.0 / n)
+            u = forward_march(step, 1.0, dt)
+            dt_fine = refine_all(dt, rf)
+            u_fine = interp_to_fine(u, dt, dt_fine)
+            k = jax.grad(functional.value)(u_fine, dt_fine)
+            v = adjoint_march(step, u_fine, dt_fine, k)
+            res = residual(step, u_fine, dt_fine)
+            est = float(jnp.sum(res * v))
+            u_fine_march = forward_march(step, 1.0, dt_fine)
+            gap = float(
+                functional.value(u_fine, dt_fine)
+                - functional.value(u_fine_march, dt_fine)
+            )
+            assert abs(est - gap) < 1e-10 * max(1.0, abs(gap)), (rf, n, est, gap)
+
+    def test_effectivity_nonlinear_first_order(self):
+        """Nonlinear case: the identity holds to first order — effectivity
+        index → 1 as the grid refines."""
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        functional = fnl.get_functional("J=int(u^2)")
+        ratios = []
+        for n in (16, 64):
+            rf = 4
+            dt = jnp.full((n,), 2.0 / n)
+            u = forward_march(step, 1.0, dt)
+            dt_fine = refine_all(dt, rf)
+            u_fine = interp_to_fine(u, dt, dt_fine)
+            k = jax.grad(functional.value)(u_fine, dt_fine)
+            v = adjoint_march(step, u_fine, dt_fine, k)
+            res = residual(step, u_fine, dt_fine)
+            est = float(jnp.sum(res * v))
+            u_fine_march = forward_march(step, 1.0, dt_fine)
+            gap = float(
+                functional.value(u_fine, dt_fine)
+                - functional.value(u_fine_march, dt_fine)
+            )
+            ratios.append(est / gap)
+        assert abs(ratios[-1] - 1.0) < 0.05, ratios
+        assert abs(ratios[-1] - 1.0) < abs(ratios[0] - 1.0) + 1e-12
