@@ -6,6 +6,7 @@ from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
     adapt_iteration,
     run_adaptive_fd,
 )
+from adjoint_ode_adaptivity_tpu.adapt.dg_loop import DGAdaptResult, run_adaptive_dg
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
     bisect_refine_padded,
@@ -15,6 +16,8 @@ from adjoint_ode_adaptivity_tpu.adapt.policy import (
 )
 
 __all__ = [
+    "DGAdaptResult",
+    "run_adaptive_dg",
     "AdaptState",
     "AdaptResult",
     "adapt_iteration",

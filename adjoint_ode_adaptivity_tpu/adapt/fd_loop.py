@@ -41,7 +41,9 @@ class AdaptState(NamedTuple):
 
 
 class AdaptResult(NamedTuple):
-    state: AdaptState
+    state: AdaptState  # post-refinement state (next iteration's grid)
+    times_used: jnp.ndarray  # (max_nodes,) the grid THIS iteration solved on
+    n_steps_used: jnp.ndarray  # scalar int32: active steps this iteration
     u: jnp.ndarray  # (max_nodes,) coarse primal
     v: jnp.ndarray  # (max_fine+1,) fine-grid adjoint
     err_steps: jnp.ndarray  # (max_nodes-1,) per-coarse-step indicator
@@ -94,7 +96,9 @@ def adapt_iteration(
     else:
         j_coarse = functional.value(u, dt)
     new_state = AdaptState(times=times_new, n_active=n_active_new, it=state.it + 1)
-    return AdaptResult(new_state, u, v, err_steps, err_total, j_coarse)
+    return AdaptResult(
+        new_state, state.times, state.n_active, u, v, err_steps, err_total, j_coarse
+    )
 
 
 def run_adaptive_fd(

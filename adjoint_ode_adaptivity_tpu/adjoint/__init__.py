@@ -12,8 +12,26 @@ from adjoint_ode_adaptivity_tpu.adjoint.estimate import (
     refine_all,
     residual,
 )
+from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
+    continuous_err_contribution,
+    dg_adjoint_march,
+    dg_adjoint_reconstruct,
+    dg_element_functional,
+)
+from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+    advec_adjoint_march,
+    advec_fwd_adj_estimate,
+    terminal_integral_cotangent,
+)
 
 __all__ = [
+    "dg_adjoint_march",
+    "dg_adjoint_reconstruct",
+    "dg_element_functional",
+    "continuous_err_contribution",
+    "advec_adjoint_march",
+    "advec_fwd_adj_estimate",
+    "terminal_integral_cotangent",
     "adjoint_march",
     "adjoint_march_per_step",
     "adjoint_dense_oracle",

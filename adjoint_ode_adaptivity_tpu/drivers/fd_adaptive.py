@@ -1,0 +1,117 @@
+"""Adaptive FD-in-time driver — the Main_finite_difference.py experiment.
+
+Usage:
+    python -m adjoint_ode_adaptivity_tpu.drivers.fd_adaptive \
+        --ode "du/dt=sin(u)" --functional "J=int(u^2)" --tol 1e-5 --maxit 40
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--case", default="FD_nonlinear_u_sq")
+    p.add_argument("--ode", default="du/dt=sin(u)")
+    p.add_argument("--functional", default="J=int(u^2)")
+    p.add_argument("--u0", type=float, default=1.0)
+    p.add_argument("--t0", type=float, default=0.0)
+    p.add_argument("--t1", type=float, default=2.0)
+    p.add_argument("--n-steps0", type=int, default=2)
+    p.add_argument("--ref-factor", type=int, default=4)
+    p.add_argument("--tol", type=float, default=1e-5)
+    p.add_argument("--maxit", type=int, default=40)
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--animate", action="store_true")
+    p.add_argument("--x64", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.x64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from adjoint_ode_adaptivity_tpu import odes
+    from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+    from adjoint_ode_adaptivity_tpu.functionals import get_functional
+    from adjoint_ode_adaptivity_tpu.march import euler_step, times_from_dt
+
+    ode = odes.get_ode(args.ode)
+    functional = get_functional(args.functional)
+    step = euler_step(ode.f)
+
+    plot_state = {"bar_ylim": None}
+    case_dir = None
+    if args.plot:
+        from adjoint_ode_adaptivity_tpu.utils.plotting import fresh_case_dir, plot_iteration
+
+        case_dir = fresh_case_dir(args.case)
+        x_plot = np.linspace(args.t0, args.t1, 500)
+        exact_fwd = (
+            np.asarray(ode.exact_fwd(jnp.asarray(x_plot), args.u0))
+            if ode.exact_fwd
+            else None
+        )
+        exact_adj = None
+        if ode.exact_fwd is not None and functional.g_u is not None:
+            exact_adj = np.asarray(
+                odes.exact_adjoint_rk4(
+                    ode, functional.g_u, jnp.asarray(x_plot), args.u0, args.t1,
+                    functional.terminal,
+                )
+            )
+
+    def callback(result):
+        n_act = int(result.n_steps_used)
+        it = int(result.state.it) - 1
+        print(
+            f"it {it:3d}  steps {n_act:4d}  J={float(result.j_coarse):+.10e}  "
+            f"sum(err)={float(result.err_total):.6e}"
+        )
+        if args.plot:
+            rf = args.ref_factor
+            t_pre = np.asarray(result.times_used)[: n_act + 1]
+            dt = np.diff(t_pre)
+            t_fine = np.concatenate([[t_pre[0]], t_pre[0] + np.cumsum(np.repeat(dt / rf, rf))])
+            n_fine = len(dt) * rf
+            plot_state["bar_ylim"] = plot_iteration(
+                args.case,
+                it,
+                t_pre,
+                np.asarray(result.u)[: n_act + 1],
+                t_fine,
+                np.asarray(result.v)[: n_fine + 1],
+                np.asarray(result.err_steps)[: n_act],
+                exact_t=x_plot,
+                exact_fwd=exact_fwd,
+                exact_adj=exact_adj,
+                bar_ylim=plot_state["bar_ylim"],
+            )
+
+    history = run_adaptive_fd(
+        step,
+        args.u0,
+        (args.t0, args.t1),
+        n_steps0=args.n_steps0,
+        functional_name=args.functional,
+        ref_factor=args.ref_factor,
+        tol=args.tol,
+        maxit=args.maxit,
+        callback=callback,
+    )
+    print(f"finished after {len(history)} iterations; final Σerr = "
+          f"{float(history[-1].err_total):.6e}")
+    if args.plot and args.animate:
+        from adjoint_ode_adaptivity_tpu.utils.plotting import animate_case
+
+        out = animate_case(args.case)
+        print("wrote", out)
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""Train ResNet-as-integrator networks through the differentiable solver
+with adjoint-driven depth (time) and width (neuron) adaptivity.
+
+One driver covers the reference's five NN experiment families:
+
+  --method recurrent        Main_FD_with_net.py   (shared params, batches,
+                            trajectory MSE against RK4 truth)
+  --method variable_params  Main_variable_params.py (per-step params,
+                            ensemble-averaged refinement signal, noise init)
+  --method new_loss         Main_new_loss.py      (trajectory/trapezoid loss
+                            + terminal ramp)
+  --method detect           Main_no_matrix_detect_complex.py (plateau-gated
+                            refinement, Gaussian-mixture ODE)
+  --method width            Main_width_ref.py     (width-vs-depth policy)
+
+Usage:
+    python -m adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode \
+        --method variable_params --seed 1 --epochs 200 --maxit 5
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _ensemble_refinement_signal(net, params_stacked, dt, rf, u0s, trues):
+    """Mean per-coarse-step error indicator over the IC ensemble: vmapped
+    forward/adjoint/residual with the terminal-error goal functional
+    (Main_variable_params.py:330-341)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adjoint_ode_adaptivity_tpu.adjoint import (
+        adjoint_march_per_step,
+        coarse_indicator,
+        interp_to_fine,
+        refine_all,
+        residual,
+    )
+    from adjoint_ode_adaptivity_tpu.functionals import terminal_abs_error
+    from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+
+    def net_step(u, t, d, p):
+        return net.apply({"params": p}, u, t, d)
+
+    dt_f = refine_all(dt, rf)
+    fine_params = jax.tree_util.tree_map(
+        lambda l: jnp.repeat(l, rf, axis=0), params_stacked
+    )
+
+    def one(u0, true):
+        u = forward_march_per_step(net_step, jnp.atleast_1d(u0), dt, params_stacked)
+        u_f = interp_to_fine(jnp.squeeze(u), dt, dt_f)[:, None]
+        k_vec = jax.grad(lambda uu: terminal_abs_error(uu, true))(u_f)
+        v = adjoint_march_per_step(
+            net_step, u_f, dt_f, jnp.squeeze(k_vec), fine_params
+        )
+        res = residual(net_step, u_f, dt_f, params_stacked=fine_params)
+        return coarse_indicator(jnp.squeeze(res * v), rf, "block")
+
+    return jnp.mean(jax.vmap(one)(u0s, trues), axis=0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--method", default="variable_params",
+                   choices=["recurrent", "variable_params", "new_loss", "detect", "width"])
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--node", type=int, default=1, help="accepted for parity; unused")
+    p.add_argument("--ode", default=None, help="override the method's default ODE")
+    p.add_argument("--n-steps", type=int, default=2)
+    p.add_argument("--t1", type=float, default=1.0)
+    p.add_argument("--width", type=int, default=16)
+    p.add_argument("--ref-factor", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=200, help="epochs per outer iteration")
+    p.add_argument("--maxit", type=int, default=5, help="outer refinement iterations")
+    p.add_argument("--n-train", type=int, default=512)
+    p.add_argument("--n-test", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--ref-tol", type=float, default=5e-5, help="plateau tolerance")
+    p.add_argument("--width-tol", type=float, default=5e-5, help="bin-loss tolerance")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--jsonl", default=None, help="metrics JSONL path")
+    p.add_argument("--wandb-project", default=None)
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jrand
+    import optax
+
+    from adjoint_ode_adaptivity_tpu import models, odes
+    from adjoint_ode_adaptivity_tpu.adapt.policy import plateau_detect, should_refine_depth
+    from adjoint_ode_adaptivity_tpu.train import (
+        MetricsLogger,
+        create_train_state,
+        evaluate,
+        make_mixed_loss_train_step,
+        make_per_step_train_step,
+        rk4_truth,
+    )
+
+    default_ode = {
+        "recurrent": "du/dt=t*sin(u)",
+        "variable_params": "du/dt=10cos(u)",
+        "new_loss": "du/dt=cos(2*pi*u)",
+        "detect": "gaussian_mixture",
+        "width": "du/dt=10cos(u)",
+    }[args.method]
+    ode_name = args.ode or default_ode
+    ode = (
+        odes.gaussian_mixture_ode()
+        if ode_name == "gaussian_mixture"
+        else odes.get_ode(ode_name)
+    )
+
+    case = f"ResNetODE_{args.method}_{args.seed}"
+    logger = MetricsLogger(
+        case,
+        wandb_project=args.wandb_project,
+        wandb_config={"problem": "ResNet", "method": args.method},
+        jsonl_path=args.jsonl,
+        verbose=not args.quiet,
+    )
+
+    rng = jrand.PRNGKey(args.seed)
+    n_steps = args.n_steps
+    t = jnp.linspace(0.0, args.t1, n_steps + 1)
+    dt = jnp.diff(t)
+
+    net = models.ResBlockSimple(args.width)
+    p1 = net.init(rng, jnp.ones(1), 0.0, 0.1)["params"]
+    stacked = jax.tree_util.tree_map(lambda l: jnp.stack([l] * n_steps), p1)
+    tx = optax.adam(args.lr)
+    state = create_train_state(stacked, tx)
+
+    u0_train = jrand.uniform(rng, (args.n_train,), minval=-3.0, maxval=3.0)
+    u0_test = jnp.concatenate(
+        [u0_train[:1], jnp.array([-5.0]), 4.0 * jrand.normal(rng, (args.n_test - 2,))]
+    )
+    true_train = rk4_truth(ode.f, u0_train, (0.0, args.t1), n_sub=256)
+    true_test = rk4_truth(ode.f, u0_test, (0.0, args.t1), n_sub=256)
+
+    use_mixed = args.method == "new_loss"
+    if use_mixed:
+        t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
+        traj_train = rk4_truth(
+            ode.f, u0_train, (0.0, args.t1), n_sub=256, save_times=t_nodes
+        )
+        train_step = make_mixed_loss_train_step(net, tx)
+    else:
+        train_step = make_per_step_train_step(net, tx)
+
+    ep_total = 0
+    min_loss = jnp.asarray(1e10)
+    err_total = np.inf
+    it = 0
+    while err_total > args.tol and it <= args.maxit:
+        loss_hist = jnp.zeros((args.epochs,))
+        ep = 0
+        refine = False
+        # --- train until epoch budget (or plateau for --method detect)
+        while True:
+            if use_mixed:
+                state, loss = train_step(state, dt, u0_train, traj_train, jnp.asarray(it))
+            else:
+                state, loss = train_step(state, dt, u0_train, true_train)
+            err = evaluate(net, state.params, dt, u0_test, true_test)
+            logger.log({"Epoch": ep + ep_total, "Loss": loss, "Error": err,
+                        "Refinements": it})
+            loss_hist = jnp.concatenate([loss_hist[1:], loss[None]])
+            ep += 1
+            if args.method == "detect":
+                if ep >= args.epochs:
+                    refine, min_loss = plateau_detect(loss_hist, min_loss, args.ref_tol)
+                    refine = bool(refine)
+                if refine or ep >= 20 * args.epochs:
+                    break
+            elif ep >= args.epochs:
+                break
+        ep_total += ep
+
+        # --- refinement signal (ensemble-averaged adjoint indicator)
+        sig_n = min(args.n_train, 128)  # signal ensemble (full set in reference)
+        err_steps = _ensemble_refinement_signal(
+            net, state.params, dt, args.ref_factor, u0_train[:sig_n], true_train[:sig_n]
+        )
+        err_total = float(jnp.sum(err_steps))
+        idx = int(jnp.argmax(err_steps)) + 1
+
+        # --- adapt
+        grow_depth = True
+        if args.method == "width":
+            grow_depth = bool(should_refine_depth(loss_hist))
+        if grow_depth:
+            t_new = jnp.zeros((len(t) + 1,))
+            t_new = t_new.at[:idx].set(t[:idx])
+            t_new = t_new.at[idx + 1 :].set(t[idx:])
+            t_new = t_new.at[idx].set(jnp.mean(t[idx - 1 : idx + 1]))
+            t = t_new
+            dt = jnp.diff(t)
+            mode = "noise" if args.method == "variable_params" else "copy_left"
+            new_params = models.insert_step_params(
+                state.params, idx, mode=mode, key=jrand.PRNGKey(len(t))
+            )
+            state = create_train_state(new_params, tx)
+            n_steps += 1
+            what = f"depth insert at {idx}"
+        else:
+            # width growth on the worst-fit layer (first hidden step here)
+            def net_step(u, tt, d, pp):
+                return net.apply({"params": pp}, u, tt, d)
+
+            from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+
+            u_arr = jax.vmap(
+                lambda u0: forward_march_per_step(
+                    net_step, jnp.atleast_1d(u0), dt, state.params
+                )
+            )(u0_train[:sig_n])
+            losses = jax.vmap(
+                lambda u, tr: jnp.square(jnp.squeeze(u[-1]) - tr)
+            )(u_arr, true_train[:sig_n])
+            layer0 = jax.tree_util.tree_map(lambda l: l[0], state.params)
+            grown, inserted = models.grow_width(
+                layer0, jnp.squeeze(u_arr[:, 0]), losses, tol=args.width_tol
+            )
+            if inserted:
+                # width change alters shapes: rebuild net at the new width and
+                # re-init the other steps from the grown layer
+                new_width = grown["bias"].shape[0]
+                net = models.ResBlockSimple(new_width)
+                stacked = jax.tree_util.tree_map(
+                    lambda l: jnp.stack([l] * n_steps), grown
+                )
+                state = create_train_state(stacked, tx)
+                if not use_mixed:
+                    train_step = make_per_step_train_step(net, tx)
+                else:
+                    train_step = make_mixed_loss_train_step(net, tx)
+                what = f"width grow -> {new_width}"
+            else:
+                what = "no growth (below tol)"
+
+        if use_mixed:
+            t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
+            traj_train = rk4_truth(
+                ode.f, u0_train, (0.0, args.t1), n_sub=256, save_times=t_nodes
+            )
+
+        print(f"outer it {it}: err_total={err_total:.4e}  {what}  "
+              f"(n_steps={len(dt)})")
+
+        if args.checkpoint_dir:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                args.checkpoint_dir,
+                it,
+                {"params": state.params, "opt_state": state.opt_state,
+                 "times": t, "it": it},
+            )
+        it += 1
+
+    logger.finish()
+    return state, t
+
+
+if __name__ == "__main__":
+    main()

@@ -6,5 +6,32 @@ from adjoint_ode_adaptivity_tpu.march.fd import (
     forward_march_per_step,
     times_from_dt,
 )
+from adjoint_ode_adaptivity_tpu.march.dg_time import (
+    DGMarchResult,
+    DGTimeOperators,
+    dg_march,
+    dg_time_operators,
+)
+from adjoint_ode_adaptivity_tpu.march.advec import (
+    AdvecOperators,
+    advec_march,
+    advec_operators,
+    advec_rhs,
+    cfl_dt,
+)
 
-__all__ = ["euler_step", "forward_march", "forward_march_per_step", "times_from_dt"]
+__all__ = [
+    "euler_step",
+    "forward_march",
+    "forward_march_per_step",
+    "times_from_dt",
+    "DGTimeOperators",
+    "DGMarchResult",
+    "dg_time_operators",
+    "dg_march",
+    "AdvecOperators",
+    "advec_operators",
+    "advec_rhs",
+    "advec_march",
+    "cfl_dt",
+]

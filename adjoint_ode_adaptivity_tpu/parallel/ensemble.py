@@ -1,0 +1,75 @@
+"""Data-parallel IC/seed ensembles over the device mesh.
+
+The reference vmaps forward/adjoint/error over up to 100,000 initial
+conditions on one GPU (Main_variable_params.py:330-341) and farms seeds to
+independent SLURM processes. Here the same ensemble axis is sharded across
+ICI with ``shard_map``: each device vmaps its shard, means/argmaxes reduce
+with ``psum`` — the refinement signal is computed globally without any host
+gather.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["ensemble_vmap", "ensemble_mean", "ensemble_refinement_signal"]
+
+
+def ensemble_vmap(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """vmap ``fn`` over a leading ensemble axis sharded across ``axis``.
+
+    ``fn`` maps one IC (and any replicated extras) to a pytree. The wrapped
+    function takes (u0s, *extras) with u0s sharded and extras replicated,
+    returning per-IC outputs (sharded on the same axis).
+    """
+
+    def sharded(u0s, *extras):
+        return jax.vmap(lambda u0: fn(u0, *extras))(u0s)
+
+    def wrapper(u0s, *extras):
+        in_specs = (P(axis),) + tuple(P() for _ in extras)
+        return shard_map(
+            sharded, mesh=mesh, in_specs=in_specs, out_specs=P(axis)
+        )(u0s, *extras)
+
+    return wrapper
+
+
+def ensemble_mean(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """Like ensemble_vmap but returns the ensemble mean of fn's outputs,
+    reduced across devices with psum (no host gather)."""
+
+    def sharded(u0s, *extras):
+        local = jax.vmap(lambda u0: fn(u0, *extras))(u0s)
+        local_sum = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), local)
+        total = jax.lax.psum(local_sum, axis)
+        n = jax.lax.psum(u0s.shape[0], axis)
+        return jax.tree_util.tree_map(lambda x: x / n, total)
+
+    def wrapper(u0s, *extras):
+        in_specs = (P(axis),) + tuple(P() for _ in extras)
+        return shard_map(
+            sharded, mesh=mesh, in_specs=in_specs, out_specs=P()
+        )(u0s, *extras)
+
+    return wrapper
+
+
+def ensemble_refinement_signal(
+    solve_err: Callable, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """Ensemble-averaged refinement signal: mean over all ICs of the
+    per-step error indicator, then argmax — the device-side equivalent of
+    Main_variable_params.py:330-341. Returns (mean_err_steps, argmax_idx)."""
+    mean_fn = ensemble_mean(solve_err, mesh, axis)
+
+    def wrapper(u0s, *extras):
+        mean_err = mean_fn(u0s, *extras)
+        return mean_err, jnp.argmax(mean_err)
+
+    return wrapper

@@ -1,0 +1,36 @@
+"""Training through the differentiable solver (L4/L5)."""
+
+from adjoint_ode_adaptivity_tpu.train.data import make_batches, rk4_truth, train_test_split
+from adjoint_ode_adaptivity_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    evaluate,
+    make_mixed_loss_train_step,
+    make_per_step_train_step,
+    make_shared_train_step,
+)
+from adjoint_ode_adaptivity_tpu.train.losses import (
+    mixed_ramp_weight,
+    terminal_mse,
+    trajectory_mse,
+    trajectory_trapezoid,
+)
+from adjoint_ode_adaptivity_tpu.train.metrics import MetricsLogger, StepTimer
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_shared_train_step",
+    "make_per_step_train_step",
+    "make_mixed_loss_train_step",
+    "evaluate",
+    "rk4_truth",
+    "make_batches",
+    "train_test_split",
+    "terminal_mse",
+    "trajectory_trapezoid",
+    "trajectory_mse",
+    "mixed_ramp_weight",
+    "MetricsLogger",
+    "StepTimer",
+]

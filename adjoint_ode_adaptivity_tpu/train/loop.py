@@ -1,0 +1,152 @@
+"""Training steps and states for nets trained through the differentiable
+solver.
+
+Reference parity:
+- shared-params trainStep (Main_no_matrix_detect_complex.py:164-173,
+  Main_FD_with_net.py:92-103): vmapped value_and_grad over the IC batch,
+  tree-mean of grads, one adam update.
+- per-step-params trainStep (Main_variable_params.py:143-153): same, but
+  parameters are per time step. Here they are a *stacked* pytree — one
+  optimizer update handles all steps at once (the reference loops a Python
+  list of optimizers; stacked adam state is equivalent because adam is
+  elementwise).
+- mixed-loss trainStep (Main_new_loss.py:153-168): trajectory loss + ramped
+  terminal loss.
+
+All steps are pure (state in, state out) and jit once; the IC-ensemble axis
+is the data-parallel axis that parallel.ensemble shards over the device mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adjoint_ode_adaptivity_tpu.march.fd import forward_march, forward_march_per_step
+from adjoint_ode_adaptivity_tpu.train.losses import (
+    mixed_ramp_weight,
+    terminal_mse,
+    trajectory_trapezoid,
+)
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_shared_train_step",
+    "make_per_step_train_step",
+    "make_mixed_loss_train_step",
+    "evaluate",
+]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _net_step_fn(net) -> Callable:
+    def step(u, t, dt, p):
+        return net.apply({"params": p}, u, t, dt)
+
+    return step
+
+
+def make_shared_train_step(net, tx: optax.GradientTransformation, dt: jnp.ndarray):
+    """Terminal-MSE step with one parameter set shared across time steps."""
+    step_fn = _net_step_fn(net)
+
+    def loss_one(params, u0, true):
+        u = forward_march(lambda u, t, d: step_fn(u, t, d, params), u0, dt)
+        return terminal_mse(u, true)
+
+    @jax.jit
+    def train_step(state: TrainState, u0_batch, true_batch):
+        def batch_loss(params):
+            losses = jax.vmap(loss_one, in_axes=(None, 0, 0))(params, u0_batch, true_batch)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_per_step_train_step(net, tx: optax.GradientTransformation):
+    """Terminal-MSE step with per-time-step stacked parameters; ``dt`` is an
+    argument so depth refinement needs no retrace when padded."""
+    step_fn = _net_step_fn(net)
+
+    def loss_one(params_stacked, dt, u0, true):
+        u = forward_march_per_step(step_fn, u0, dt, params_stacked)
+        return terminal_mse(u, true)
+
+    @jax.jit
+    def train_step(state: TrainState, dt, u0_batch, true_batch):
+        def batch_loss(params):
+            losses = jax.vmap(loss_one, in_axes=(None, None, 0, 0))(
+                params, dt, u0_batch, true_batch
+            )
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_mixed_loss_train_step(net, tx: optax.GradientTransformation):
+    """Trajectory (trapezoid) loss + ramped terminal loss
+    (Main_new_loss.py:153-168). ``true_batch`` holds full trajectories."""
+    step_fn = _net_step_fn(net)
+
+    def losses_one(params_stacked, dt, u0, true_traj):
+        u = forward_march_per_step(step_fn, u0, dt, params_stacked)
+        return (
+            trajectory_trapezoid(u, true_traj, dt),
+            terminal_mse(u, true_traj[..., -1]),
+        )
+
+    @jax.jit
+    def train_step(state: TrainState, dt, u0_batch, true_traj_batch, it):
+        w = mixed_ramp_weight(it)
+
+        def batch_loss(params):
+            new_l, old_l = jax.vmap(losses_one, in_axes=(None, None, 0, 0))(
+                params, dt, u0_batch, true_traj_batch
+            )
+            return jnp.mean(new_l) + w * jnp.mean(old_l)
+
+        loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+@partial(jax.jit, static_argnames=("net", "per_step"))
+def evaluate(net, params, dt, u0s, trues, per_step: bool = True):
+    """Mean terminal MSE over an IC set — the reference's 'Error' metric
+    (``metricCalc``, Main_no_matrix_detect_complex.py:176-182)."""
+    step_fn = _net_step_fn(net)
+
+    def one(u0, true):
+        if per_step:
+            u = forward_march_per_step(step_fn, u0, dt, params)
+        else:
+            u = forward_march(lambda u_, t, d: step_fn(u_, t, d, params), u0, dt)
+        return terminal_mse(u, true)
+
+    return jnp.mean(jax.vmap(one)(u0s, trues))
