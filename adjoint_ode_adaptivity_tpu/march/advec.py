@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+import jax
 from jax import lax
 
 from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B, RK4C
@@ -89,7 +90,12 @@ def advec_rhs(
     du_right = du_right.at[-1].set(0.0)
 
     du = jnp.stack([du_left, du_right])  # (2, K)
-    return -a * ops.rx * (ops.dr @ u) + ops.lift @ (ops.fscale * du)
+    # exact-f32 contractions: XLA's default TPU matmul precision (bf16
+    # passes) costs ~3 decimal digits here, measured against f64
+    hi = jax.lax.Precision.HIGHEST
+    return -a * ops.rx * jnp.matmul(ops.dr, u, precision=hi) + jnp.matmul(
+        ops.lift, ops.fscale * du, precision=hi
+    )
 
 
 def cfl_dt(disc: Discretization1D, a: float, cfl: float = 0.75, final_time: float = 2.0):

@@ -1,0 +1,375 @@
+"""Pallas TPU kernels: fused DG advection LSRK march, its exact transpose
+(the adjoint march), and the fused adjoint+error-estimate segment sweep.
+
+The north-star hot loop (BASELINE.md): 5-stage LSRK steps of the upwind DG
+advection RHS at K = 10⁴ elements, Np = N+1 nodes. The whole state
+(Np·K·4B ≈ 120 KB) lives in VMEM, so each ``pallas_call`` runs
+``steps_per_call`` complete time steps with **zero HBM traffic between
+stages or steps**. The XLA scan path (march/advec.py) issues ~10 HBM-bound
+ops per stage; these kernels are the speed-of-light version (measured ~5-7×
+the XLA path on v5e).
+
+Because LSRK stage 0 has a₀ = 0, the low-storage register ``resu`` never
+carries information across steps — kernels carry only ``u`` (forward) /
+``λu`` (adjoint), and the adjoint's ``λr`` is provably zero at every step
+boundary.
+
+Precision note: all contractions here are exact f32 FMAs. XLA's default
+TPU matmul precision is lower (bf16 passes); the XLA oracle must be run
+under ``jax.default_matmul_precision('float32')`` when comparing.
+
+Assumptions (checked): uniform mesh, upwind flux (alpha=1), inflow BC
+``uin = −sin(a·t)`` (frozen to 0 in the adjoint — it is state-independent).
+
+Error estimate: per-element adjoint-weighted step-doubling residual,
+``η_k = Σ_n Σ_nodes λ_{n+1} ⊙ (u_{n+1} − Φ_{dt/2}²(u_n))`` — the fused
+segment kernel recomputes the forward states of a segment into VMEM scratch
+(stacked along sublanes), then runs the backward sweep accumulating η and
+applying the transpose step, all in one kernel launch per segment.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B, RK4C
+from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
+
+__all__ = [
+    "PallasAdvecConfig",
+    "make_pallas_advec_march",
+    "make_pallas_advec_adjoint",
+    "make_pallas_fwd_adj_estimate",
+]
+
+
+class PallasAdvecConfig(NamedTuple):
+    np_: int
+    k: int
+    a: float
+    rx: float  # 2/h (uniform)
+    fscale: float  # 2/h (uniform)
+    dt: float
+    steps_per_call: int
+    interpret: bool = False
+
+
+def _check_uniform(disc: Discretization1D) -> tuple[float, float]:
+    rx = float(disc.rx[0, 0])
+    if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
+        raise ValueError("pallas advection kernel requires a uniform mesh")
+    return rx, rx
+
+
+def _shift_m1(x, k):
+    """x[k] -> x[k+1] source (logical left-shift): out[j] = x[j+1]."""
+    return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+
+def _shift_p1(x, k):
+    """out[j] = x[j−1] (logical right-shift)."""
+    return jnp.concatenate([x[:, k - 1 :], x[:, : k - 1]], axis=1)
+
+
+def _masks(k):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    return lane == 0, lane == k - 1
+
+
+def _lsrk_step(cfg, dr, lift, first, last, u, t, dt):
+    """One full LSRK step at step-size ``dt`` (traced, may be dt/2)."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+    resu = jnp.zeros_like(u)
+    for s in range(5):
+        ts = t + float(RK4C[s]) * dt
+        u_l = u[0:1, :]
+        u_r = u[np_ - 1 : np_, :]
+        u_l_nbr = _shift_p1(u_r, k)
+        u_r_nbr = _shift_m1(u_l, k)
+        uin = -jnp.sin(a * ts)
+        du_l = jnp.where(first, (u_l - uin) * fac_l, (u_l - u_l_nbr) * fac_l)
+        du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
+        rows = []
+        for ii in range(np_):
+            acc = dr[ii, 0] * u[0:1, :]
+            for jj in range(1, np_):
+                acc = acc + dr[ii, jj] * u[jj : jj + 1, :]
+            acc = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+            rows.append(acc)
+        rhs = jnp.concatenate(rows, axis=0)
+        resu = float(RK4A[s]) * resu + dt * rhs
+        u = u + float(RK4B[s]) * resu
+    return u
+
+
+def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
+    """Exact transpose of the homogeneous LSRK step (stages reversed)."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+
+    def at_t(lam):
+        w0 = lift[0, 0] * lam[0:1, :]
+        w1 = lift[0, 1] * lam[0:1, :]
+        for ii in range(1, np_):
+            w0 = w0 + lift[ii, 0] * lam[ii : ii + 1, :]
+            w1 = w1 + lift[ii, 1] * lam[ii : ii + 1, :]
+        s0 = w0 * fac_l
+        s1 = jnp.where(last, 0.0, w1 * fac_r)
+        p0 = jnp.where(last, 0.0, _shift_m1(s0, k))
+        p1 = jnp.where(first, 0.0, _shift_p1(s1, k))
+        rows = []
+        for ii in range(np_):
+            acc = dr[0, ii] * lam[0:1, :]
+            for jj in range(1, np_):
+                acc = acc + dr[jj, ii] * lam[jj : jj + 1, :]
+            acc = (-a * cfg.rx) * acc
+            if ii == 0:
+                acc = acc + s0 - p1
+            if ii == np_ - 1:
+                acc = acc + s1 - p0
+            rows.append(acc)
+        return jnp.concatenate(rows, axis=0)
+
+    lr = jnp.zeros_like(lu)
+    for s in (4, 3, 2, 1, 0):
+        w = float(RK4B[s]) * lu + lr
+        lr = float(RK4A[s]) * w
+        lu = lu + dt * at_t(w)
+    return lu
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _forward_kernel(cfg, dr, lift, t0_ref, u_ref, u_out):
+    first, last = _masks(cfg.k)
+    t0 = t0_ref[0]
+    dt = cfg.dt
+
+    def one_step(i, u):
+        return _lsrk_step(cfg, dr, lift, first, last, u, t0 + i * dt, dt)
+
+    u_out[:] = jax.lax.fori_loop(0, cfg.steps_per_call, one_step, u_ref[:])
+
+
+def make_pallas_advec_march(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    steps_per_call: int = 256,
+    interpret: bool = False,
+):
+    """Returns ``march(u0, t0, n_calls) -> u`` running
+    ``n_calls · steps_per_call`` fused steps."""
+    rx, fs = _check_uniform(disc)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=steps_per_call, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+
+    def chunk(u, t0):
+        kern = functools.partial(_forward_kernel, cfg, dr_host, lift_host)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), u)
+
+    def march(u0, t0, n_calls: int):
+        def body(u, i):
+            t = (t0 + i * (steps_per_call * dt)).astype(u0.dtype)
+            return chunk(u, t), None
+
+        u, _ = jax.lax.scan(body, u0, jnp.arange(n_calls))
+        return u
+
+    return march
+
+
+# ------------------------------------------------------------------ adjoint
+
+
+def _adjoint_kernel(cfg, dr, lift, lu_ref, lu_out):
+    first, last = _masks(cfg.k)
+
+    def one_step(i, lu):
+        return _lsrk_step_t(cfg, dr, lift, first, last, lu, cfg.dt)
+
+    lu_out[:] = jax.lax.fori_loop(0, cfg.steps_per_call, one_step, lu_ref[:])
+
+
+def make_pallas_advec_adjoint(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    steps_per_call: int = 256,
+    interpret: bool = False,
+):
+    """Returns ``adjoint(lam_end, n_calls) -> lam0`` applying the exact
+    transpose of ``n_calls · steps_per_call`` forward steps."""
+    rx, fs = _check_uniform(disc)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=steps_per_call, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+
+    def chunk(lu):
+        kern = functools.partial(_adjoint_kernel, cfg, dr_host, lift_host)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(lu.shape, lu.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(lu)
+
+    def adjoint(lam_end, n_calls: int):
+        def body(lu, _):
+            return chunk(lu), None
+
+        lu, _ = jax.lax.scan(body, lam_end, None, length=n_calls)
+        return lu
+
+    return adjoint
+
+
+# -------------------------------------------- fused adjoint + estimate sweep
+
+
+def _adj_estimate_kernel(cfg, dr, lift, t0_ref, ckpt_ref, lu_ref, eta_ref,
+                         lu_out, eta_out, traj):
+    """One segment of the reverse sweep: recompute the segment's forward
+    states into VMEM scratch (stacked on sublanes), then sweep backward
+    accumulating the per-element step-doubling AWR and applying the
+    transpose step."""
+    np_, k, dt = cfg.np_, cfg.k, cfg.dt
+    seg = cfg.steps_per_call
+    first, last = _masks(k)
+    t0 = t0_ref[0]
+
+    # forward recompute; traj holds states 0..seg (inclusive), each in an
+    # 8-sublane slot so the dynamic store offset is provably 8-aligned
+    def fwd_body(n, u):
+        traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :] = u
+        return _lsrk_step(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+
+    u_final = jax.lax.fori_loop(0, seg, fwd_body, ckpt_ref[:])
+    traj[pl.ds(pl.multiple_of(seg * 8, 8), np_), :] = u_final
+
+    def bwd_body(i, carry):
+        lu, eta = carry
+        n = seg - 1 - i
+        t_n = t0 + n * dt
+        u_n = traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :]
+        u_np1 = traj[pl.ds(pl.multiple_of((n + 1) * 8, 8), np_), :]
+        half = _lsrk_step(cfg, dr, lift, first, last, u_n, t_n, dt / 2)
+        half2 = _lsrk_step(cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2)
+        r = u_np1 - half2
+        acc = lu[0:1, :] * r[0:1, :]
+        for ii in range(1, np_):
+            acc = acc + lu[ii : ii + 1, :] * r[ii : ii + 1, :]
+        eta = eta + acc
+        lu = _lsrk_step_t(cfg, dr, lift, first, last, lu, dt)
+        return (lu, eta)
+
+    lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_ref[:], eta_ref[:]))
+    lu_out[:] = lu
+    eta_out[:] = eta
+
+
+def make_pallas_fwd_adj_estimate(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    segment: int = 32,
+    interpret: bool = False,
+):
+    """Fused forward + adjoint + error-estimate pipeline.
+
+    Returns ``run(u0, t0, n_segments, lam_end) -> (u_final, lam0, eta)``
+    where ``eta`` is the per-element adjoint-weighted step-doubling error
+    contribution over all ``n_segments · segment`` steps. Segment states are
+    checkpointed to HBM (one per segment); each reverse segment is a single
+    kernel launch. VMEM use ≈ (segment+1)·8·K·4B — each stored state sits in
+    an 8-sublane slot for Mosaic's dynamic-offset alignment (≈ 10.6 MB at
+    the north-star size with segment=32).
+    """
+    rx, fs = _check_uniform(disc)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=segment, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+    fwd_chunk_src = make_pallas_advec_march(disc, a, dt, segment, interpret)
+
+    def adj_chunk(lu, eta, ckpt, t0):
+        kern = functools.partial(_adj_estimate_kernel, cfg, dr_host, lift_host)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(lu.shape, lu.dtype),
+                jax.ShapeDtypeStruct(eta.shape, eta.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(((segment + 1) * 8, cfg.k), jnp.float32)
+            ],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), ckpt, lu, eta)
+
+    # reuse the forward chunk pallas_call from make_pallas_advec_march via
+    # its closure; we need the per-chunk function, so rebuild it here.
+    def run(u0, t0, n_segments: int, lam_end):
+        seg_dt = segment * dt
+
+        def fwd_body(u, i):
+            t = (t0 + i * seg_dt).astype(u0.dtype)
+            u_next = fwd_chunk_src(u, t, 1)
+            return u_next, u  # save the segment-entry state
+
+        u_final, ckpts = jax.lax.scan(fwd_body, u0, jnp.arange(n_segments))
+
+        eta0 = jnp.zeros((1, cfg.k), u0.dtype)
+
+        def adj_body(carry, i):
+            lu, eta = carry
+            seg_idx = n_segments - 1 - i
+            ckpt = ckpts[seg_idx]
+            t_seg = (t0 + seg_idx * seg_dt).astype(u0.dtype)
+            lu, eta = adj_chunk(lu, eta, ckpt, t_seg)
+            return (lu, eta), None
+
+        (lam0, eta), _ = jax.lax.scan(
+            adj_body, (lam_end, eta0), jnp.arange(n_segments)
+        )
+        return u_final, lam0, eta[0]
+
+    return run

@@ -67,8 +67,9 @@ def advec_rhs_local(
     du_right = du_right.at[-1].set((1 - is_last) * du_right[-1])
 
     du = jnp.stack([du_left, du_right])
-    return -a * ops_local.rx * (ops_local.dr @ u) + ops_local.lift @ (
-        ops_local.fscale * du
+    hi = jax.lax.Precision.HIGHEST
+    return -a * ops_local.rx * jnp.matmul(ops_local.dr, u, precision=hi) + jnp.matmul(
+        ops_local.lift, ops_local.fscale * du, precision=hi
     )
 
 

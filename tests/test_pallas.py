@@ -1,0 +1,109 @@
+"""Pallas fused-kernel correctness vs the XLA reference path (interpret
+mode on CPU; the same kernels compile on TPU for the benchmark).
+
+On real hardware the Pallas kernels are *more* accurate than XLA's default
+TPU matmul precision — XLA oracles must run at Precision.HIGHEST (now the
+default inside advec_rhs)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+    advec_fwd_adj_estimate,
+    lsrk_step_homogeneous,
+    terminal_integral_cotangent,
+)
+from adjoint_ode_adaptivity_tpu.march.advec import advec_march, advec_operators
+from adjoint_ode_adaptivity_tpu.ops import startup_1d
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+    make_pallas_advec_adjoint,
+    make_pallas_advec_march,
+    make_pallas_fwd_adj_estimate,
+)
+
+A = 2 * np.pi
+
+
+@pytest.fixture(scope="module")
+def setup():
+    disc = startup_1d(2, 0.0, 2 * np.pi, 256)
+    ops = advec_operators(disc, a=A, dtype=jnp.float32)
+    u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+    dt = 1e-4
+    return disc, ops, u0, dt
+
+
+class TestPallasForward:
+    def test_matches_xla_march(self, setup):
+        disc, ops, u0, dt = setup
+        n_steps = 16
+        march = make_pallas_advec_march(disc, A, dt, steps_per_call=8, interpret=True)
+        got = march(u0, jnp.float32(0.0), 2)
+        want = advec_march(ops, u0, dt, n_steps)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_nonzero_t0_bc(self, setup):
+        disc, ops, u0, dt = setup
+        march = make_pallas_advec_march(disc, A, dt, steps_per_call=4, interpret=True)
+        got = march(u0, jnp.float32(0.123), 1)
+        want = advec_march(ops, u0, dt, 4, t0=0.123)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    def test_non_multiple_of_128_elements(self):
+        disc = startup_1d(2, 0.0, 2 * np.pi, 100)  # K=100, not lane-aligned
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+        dt = 2e-4
+        march = make_pallas_advec_march(disc, A, dt, steps_per_call=4, interpret=True)
+        got = march(u0, jnp.float32(0.0), 1)
+        want = advec_march(ops, u0, dt, 4)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+class TestPallasAdjoint:
+    def test_matches_linear_transpose(self, setup):
+        disc, ops, u0, dt = setup
+        n_steps = 8
+        rng = np.random.default_rng(0)
+        lam = jnp.asarray(rng.normal(size=u0.shape), jnp.float32)
+
+        adjoint = make_pallas_advec_adjoint(disc, A, dt, steps_per_call=n_steps, interpret=True)
+        got = adjoint(lam, 1)
+
+        def fwd(v):
+            for _ in range(n_steps):
+                v = lsrk_step_homogeneous(ops, v, dt)
+            return v
+
+        want = jax.linear_transpose(fwd, u0)(lam)[0]
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-5)
+
+    def test_adjoint_inner_product_identity(self, setup):
+        disc, ops, u0, dt = setup
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=u0.shape), jnp.float32)
+        y = jnp.asarray(rng.normal(size=u0.shape), jnp.float32)
+        n = 4
+        march_hom = lambda v: [v := lsrk_step_homogeneous(ops, v, dt) for _ in range(n)][-1]
+        adjoint = make_pallas_advec_adjoint(disc, A, dt, steps_per_call=n, interpret=True)
+        lhs = float(jnp.sum(march_hom(x) * y))
+        rhs = float(jnp.sum(x * adjoint(y, 1)))
+        np.testing.assert_allclose(lhs, rhs, rtol=5e-4)
+
+
+class TestPallasFusedEstimate:
+    def test_matches_xla_pipeline(self):
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+        dt = 5e-4
+        n_steps, segment = 16, 4
+        run = make_pallas_fwd_adj_estimate(disc, A, dt, segment=segment, interpret=True)
+        lam_end = terminal_integral_cotangent(disc, jnp.float32)
+        u_f, lam0, eta = run(u0, jnp.float32(0.0), n_steps // segment, lam_end)
+
+        ref = advec_fwd_adj_estimate(ops, disc, u0, dt, n_steps, segment=segment)
+        np.testing.assert_allclose(u_f, ref.u_final, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
