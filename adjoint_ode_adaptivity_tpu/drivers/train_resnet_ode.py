@@ -145,12 +145,21 @@ def main(argv=None):
     true_test = rk4_truth(ode.f, u0_test, (0.0, args.t1), n_sub=256)
 
     use_mixed = args.method == "new_loss"
+    use_shared = args.method == "recurrent"
     if use_mixed:
         t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
         traj_train = rk4_truth(
             ode.f, u0_train, (0.0, args.t1), n_sub=256, save_times=t_nodes
         )
         train_step = make_mixed_loss_train_step(net, tx)
+    elif use_shared:
+        # Main_FD_with_net: ONE parameter set shared across all steps,
+        # shuffled mini-batches of the IC ensemble
+        from adjoint_ode_adaptivity_tpu.train import make_batches, make_shared_train_step
+
+        state = create_train_state(p1, tx)
+        train_step = make_shared_train_step(net, tx, dt)
+        batch_size = max(8, args.n_train // 16)
     else:
         train_step = make_per_step_train_step(net, tx)
 
@@ -166,9 +175,17 @@ def main(argv=None):
         while True:
             if use_mixed:
                 state, loss = train_step(state, dt, u0_train, traj_train, jnp.asarray(it))
+            elif use_shared:
+                u0_b, true_b = make_batches(
+                    jrand.PRNGKey(ep + ep_total), u0_train, true_train, batch_size
+                )
+                for b in range(u0_b.shape[0]):
+                    state, loss = train_step(state, u0_b[b], true_b[b])
             else:
                 state, loss = train_step(state, dt, u0_train, true_train)
-            err = evaluate(net, state.params, dt, u0_test, true_test)
+            err = evaluate(
+                net, state.params, dt, u0_test, true_test, per_step=not use_shared
+            )
             logger.log({"Epoch": ep + ep_total, "Loss": loss, "Error": err,
                         "Refinements": it})
             loss_hist = jnp.concatenate([loss_hist[1:], loss[None]])
@@ -185,8 +202,14 @@ def main(argv=None):
 
         # --- refinement signal (ensemble-averaged adjoint indicator)
         sig_n = min(args.n_train, 128)  # signal ensemble (full set in reference)
+        if use_shared:
+            sig_params = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (len(dt),) + l.shape), state.params
+            )
+        else:
+            sig_params = state.params
         err_steps = _ensemble_refinement_signal(
-            net, state.params, dt, args.ref_factor, u0_train[:sig_n], true_train[:sig_n]
+            net, sig_params, dt, args.ref_factor, u0_train[:sig_n], true_train[:sig_n]
         )
         err_total = float(jnp.sum(err_steps))
         idx = int(jnp.argmax(err_steps)) + 1
@@ -202,11 +225,17 @@ def main(argv=None):
             t_new = t_new.at[idx].set(jnp.mean(t[idx - 1 : idx + 1]))
             t = t_new
             dt = jnp.diff(t)
-            mode = "noise" if args.method == "variable_params" else "copy_left"
-            new_params = models.insert_step_params(
-                state.params, idx, mode=mode, key=jrand.PRNGKey(len(t))
-            )
-            state = create_train_state(new_params, tx)
+            if use_shared:
+                # shared params need no surgery; rebuild the step for new dt
+                from adjoint_ode_adaptivity_tpu.train import make_shared_train_step
+
+                train_step = make_shared_train_step(net, tx, dt)
+            else:
+                mode = "noise" if args.method == "variable_params" else "copy_left"
+                new_params = models.insert_step_params(
+                    state.params, idx, mode=mode, key=jrand.PRNGKey(len(t))
+                )
+                state = create_train_state(new_params, tx)
             n_steps += 1
             what = f"depth insert at {idx}"
         else:

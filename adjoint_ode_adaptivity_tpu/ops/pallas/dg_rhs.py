@@ -147,6 +147,83 @@ def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
     return lu
 
 
+
+def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
+    """One full LSRK step with the 5 stages as a fori_loop (small live set —
+    the unrolled variant blows Mosaic's scoped-VMEM stack in large kernels).
+    ``rk_ref`` is an SMEM ref holding [a0..a4, b0..b4, c0..c4]."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+
+    def stage(s, carry):
+        u, resu = carry
+        ts = t + rk_ref[10 + s] * dt
+        u_l = u[0:1, :]
+        u_r = u[np_ - 1 : np_, :]
+        u_l_nbr = _shift_p1(u_r, k)
+        u_r_nbr = _shift_m1(u_l, k)
+        uin = -jnp.sin(a * ts)
+        du_l = jnp.where(first, (u_l - uin) * fac_l, (u_l - u_l_nbr) * fac_l)
+        du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
+        rows = []
+        for ii in range(np_):
+            acc = dr[ii, 0] * u[0:1, :]
+            for jj in range(1, np_):
+                acc = acc + dr[ii, jj] * u[jj : jj + 1, :]
+            acc = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+            rows.append(acc)
+        rhs = jnp.concatenate(rows, axis=0)
+        resu = rk_ref[s] * resu + dt * rhs
+        u = u + rk_ref[5 + s] * resu
+        return (u, resu)
+
+    u, _ = jax.lax.fori_loop(0, 5, stage, (u, jnp.zeros_like(u)))
+    return u
+
+
+def _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt):
+    """Transpose step with the 5 reversed stages as a fori_loop."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+
+    def stage(i, carry):
+        lu, lr = carry
+        s = 4 - i
+        w = rk_ref[5 + s] * lu + lr
+        lr = rk_ref[s] * w
+        # A^T w
+        w0 = lift[0, 0] * w[0:1, :]
+        w1 = lift[0, 1] * w[0:1, :]
+        for ii in range(1, np_):
+            w0 = w0 + lift[ii, 0] * w[ii : ii + 1, :]
+            w1 = w1 + lift[ii, 1] * w[ii : ii + 1, :]
+        s0 = w0 * fac_l
+        s1 = jnp.where(last, 0.0, w1 * fac_r)
+        p0 = jnp.where(last, 0.0, _shift_m1(s0, k))
+        p1 = jnp.where(first, 0.0, _shift_p1(s1, k))
+        rows = []
+        for ii in range(np_):
+            acc = dr[0, ii] * w[0:1, :]
+            for jj in range(1, np_):
+                acc = acc + dr[jj, ii] * w[jj : jj + 1, :]
+            acc = (-a * cfg.rx) * acc
+            if ii == 0:
+                acc = acc + s0 - p1
+            if ii == np_ - 1:
+                acc = acc + s1 - p0
+            rows.append(acc)
+        lu = lu + dt * jnp.concatenate(rows, axis=0)
+        return (lu, lr)
+
+    lu, _ = jax.lax.fori_loop(0, 5, stage, (lu, jnp.zeros_like(lu)))
+    return lu
+
+
+RK_PACKED = np.concatenate([RK4A, RK4B, RK4C]).astype(np.float32)
+
+
 # ------------------------------------------------------------------ forward
 
 
@@ -254,7 +331,7 @@ def make_pallas_advec_adjoint(
 # -------------------------------------------- fused adjoint + estimate sweep
 
 
-def _adj_estimate_kernel(cfg, dr, lift, t0_ref, ckpt_ref, lu_ref, eta_ref,
+def _adj_estimate_kernel(cfg, dr, lift, t0_ref, rk_ref, ckpt_ref, lu_ref, eta_ref,
                          lu_out, eta_out, traj):
     """One segment of the reverse sweep: recompute the segment's forward
     states into VMEM scratch (stacked on sublanes), then sweep backward
@@ -269,7 +346,7 @@ def _adj_estimate_kernel(cfg, dr, lift, t0_ref, ckpt_ref, lu_ref, eta_ref,
     # 8-sublane slot so the dynamic store offset is provably 8-aligned
     def fwd_body(n, u):
         traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :] = u
-        return _lsrk_step(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+        return _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t0 + n * dt, dt)
 
     u_final = jax.lax.fori_loop(0, seg, fwd_body, ckpt_ref[:])
     traj[pl.ds(pl.multiple_of(seg * 8, 8), np_), :] = u_final
@@ -280,14 +357,14 @@ def _adj_estimate_kernel(cfg, dr, lift, t0_ref, ckpt_ref, lu_ref, eta_ref,
         t_n = t0 + n * dt
         u_n = traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :]
         u_np1 = traj[pl.ds(pl.multiple_of((n + 1) * 8, 8), np_), :]
-        half = _lsrk_step(cfg, dr, lift, first, last, u_n, t_n, dt / 2)
-        half2 = _lsrk_step(cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2)
+        half = _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u_n, t_n, dt / 2)
+        half2 = _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, half, t_n + dt / 2, dt / 2)
         r = u_np1 - half2
         acc = lu[0:1, :] * r[0:1, :]
         for ii in range(1, np_):
             acc = acc + lu[ii : ii + 1, :] * r[ii : ii + 1, :]
         eta = eta + acc
-        lu = _lsrk_step_t(cfg, dr, lift, first, last, lu, dt)
+        lu = _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt)
         return (lu, eta)
 
     lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_ref[:], eta_ref[:]))
@@ -331,6 +408,7 @@ def make_pallas_fwd_adj_estimate(
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -343,7 +421,7 @@ def make_pallas_fwd_adj_estimate(
                 pltpu.VMEM(((segment + 1) * 8, cfg.k), jnp.float32)
             ],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), ckpt, lu, eta)
+        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), ckpt, lu, eta)
 
     # reuse the forward chunk pallas_call from make_pallas_advec_march via
     # its closure; we need the per-chunk function, so rebuild it here.

@@ -27,12 +27,13 @@ class BaselineResult(NamedTuple):
 def numpy_advec_fwd_adj_baseline(
     disc: Discretization1D, a: float, dt: float, n_steps: int
 ) -> BaselineResult:
-    """NumPy/MATLAB-style forward + adjoint march, timed.
+    """NumPy/MATLAB-style forward + adjoint + error-estimate pipeline, timed.
 
-    Forward: LSRK4(5) with the AdvecRHS1D formula (vectorised gathers).
-    Adjoint: same cost profile — we run the transpose march via the
-    transposed operators (the honest cost of an adjoint sweep in
-    MATLAB/NumPy).
+    Computes the *same outputs* as the measured TPU pipeline: LSRK4(5)
+    forward march (trajectory stored — MATLAB-style, no recomputation, which
+    slightly favours this baseline), backward transpose-adjoint march, and
+    the per-element adjoint-weighted step-doubling residual
+    η_k += Σ λ_{n+1} ⊙ (u_{n+1} − Φ_{dt/2}²(u_n)).
     """
     np_, k = disc.np_, disc.k
     dr = np.asarray(disc.dr)
@@ -64,23 +65,39 @@ def numpy_advec_fwd_adj_baseline(
         out[0, :] -= np.roll(s1, 1)
         return out
 
+    def lsrk_step(u, t, h):
+        resu = np.zeros_like(u)
+        for s in range(5):
+            r = rhs(u, t + RK4C[s] * h)
+            resu = RK4A[s] * resu + h * r
+            u = u + RK4B[s] * resu
+        return u
+
     u = np.sin(np.asarray(disc.x))
-    resu = np.zeros_like(u)
     t0 = time.perf_counter()
+    # forward, storing the trajectory (MATLAB-style)
+    traj = np.empty((n_steps + 1,) + u.shape)
+    traj[0] = u
     t = 0.0
     for n in range(n_steps):
-        for s in range(5):
-            r = rhs(u, t + RK4C[s] * dt)
-            resu = RK4A[s] * resu + dt * r
-            u = u + RK4B[s] * resu
+        u = lsrk_step(u, t, dt)
+        traj[n + 1] = u
         t += dt
+    # backward: transpose march + adjoint-weighted step-doubling residual
     lam = np.ones_like(u)
-    resl = np.zeros_like(u)
-    for n in range(n_steps):
-        for s in range(5):
-            r = rhs_t(lam)
-            resl = RK4A[s] * resl + dt * r
-            lam = lam + RK4B[s] * resl
+    eta = np.zeros(k)
+    for n in range(n_steps - 1, -1, -1):
+        t_n = n * dt
+        half = lsrk_step(traj[n], t_n, dt / 2)
+        half2 = lsrk_step(half, t_n + dt / 2, dt / 2)
+        r = traj[n + 1] - half2
+        eta += np.sum(lam * r, axis=0)
+        # exact transpose step (stages reversed, w-form)
+        lr = np.zeros_like(lam)
+        for s in (4, 3, 2, 1, 0):
+            w = RK4B[s] * lam + lr
+            lr = RK4A[s] * w
+            lam = lam + dt * rhs_t(w)
     elapsed = time.perf_counter() - t0
     dof_steps = np_ * k * (2 * n_steps)
     return BaselineResult(dof_steps / elapsed, n_steps)

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the TPU tunnel's remote compile of the fused
+# kernels takes minutes; cache so subsequent bench runs start in seconds
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from adjoint_ode_adaptivity_tpu.adjoint.advec import (
@@ -49,9 +54,9 @@ def main():
     xmin = float(np.min(np.abs(disc.x[0, :] - disc.x[1, :])))
     dt = 0.5 * (0.75 / a) * xmin
 
-    segment = 64
+    segment = 32
     n_segments = 64
-    n_steps = segment * n_segments  # 4096
+    n_steps = segment * n_segments  # 2048
 
     u0 = jnp.asarray(np.sin(disc.x), dtype)
     lam_end = terminal_integral_cotangent(disc, dtype)
