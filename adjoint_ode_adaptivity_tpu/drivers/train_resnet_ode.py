@@ -82,6 +82,8 @@ def main(argv=None):
     p.add_argument("--ref-tol", type=float, default=5e-5, help="plateau tolerance")
     p.add_argument("--width-tol", type=float, default=5e-5, help="bin-loss tolerance")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--jsonl", default=None, help="metrics JSONL path")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--quiet", action="store_true")
@@ -167,6 +169,57 @@ def main(argv=None):
     min_loss = jnp.asarray(1e10)
     err_total = np.inf
     it = 0
+
+    if args.resume and args.checkpoint_dir:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        last = latest_step(args.checkpoint_dir)
+        if last is not None:
+            import json as _json
+            from pathlib import Path as _Path
+
+            # the meta sidecar records the grid size so the restore template
+            # has the right shapes even after depth refinements
+            meta_path = _Path(args.checkpoint_dir) / "meta.json"
+            ck_steps = n_steps
+            if meta_path.exists():
+                ck_steps = int(_json.loads(meta_path.read_text())["n_steps"])
+            t_tpl = jnp.linspace(0.0, args.t1, ck_steps + 1)
+            if use_shared:
+                stacked_tpl = p1  # shared method: one unstacked parameter set
+            else:
+                stacked_tpl = jax.tree_util.tree_map(
+                    lambda l: jnp.stack([l] * ck_steps), p1
+                )
+            state_tpl = create_train_state(stacked_tpl, tx)
+            template = {
+                "params": state_tpl.params,
+                "opt_state": state_tpl.opt_state,
+                "times": t_tpl,
+                "it": jnp.asarray(0),
+            }
+            try:
+                restored = restore_checkpoint(args.checkpoint_dir, template, last)
+                state = state_tpl._replace(
+                    params=restored["params"], opt_state=restored["opt_state"]
+                )
+                t = restored["times"]
+                dt = jnp.diff(t)
+                it = int(restored["it"]) + 1
+                n_steps = len(dt)
+                if use_shared:
+                    from adjoint_ode_adaptivity_tpu.train import (
+                        make_shared_train_step as _mk_shared,
+                    )
+
+                    train_step = _mk_shared(net, tx, dt)
+                print(f"resumed from checkpoint step {last} (outer it {it})")
+            except Exception as e:
+                print(f"resume failed ({type(e).__name__}: {e}); starting fresh")
+
     while err_total > args.tol and it <= args.maxit:
         loss_hist = jnp.zeros((args.epochs,))
         ep = 0
@@ -284,6 +337,9 @@ def main(argv=None):
               f"(n_steps={len(dt)})")
 
         if args.checkpoint_dir:
+            import json as _json
+            from pathlib import Path as _Path
+
             from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(
@@ -291,6 +347,10 @@ def main(argv=None):
                 it,
                 {"params": state.params, "opt_state": state.opt_state,
                  "times": t, "it": it},
+            )
+            # sidecar: grid size for shape-correct resume templates
+            (_Path(args.checkpoint_dir) / "meta.json").write_text(
+                _json.dumps({"n_steps": int(len(dt)), "width": int(args.width)})
             )
         it += 1
 
