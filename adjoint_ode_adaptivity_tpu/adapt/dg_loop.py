@@ -5,15 +5,23 @@ effectivity report, adjoint march at n+1, per-element adjoint-weighted
 residual, bisect the element with the largest |contribution|
 (MAIN.m:137-141), repeat.
 
-The mesh grows by one element per iteration; each iteration jits at its own
-(small) static shape. A padded static-shape variant is unnecessary here —
-the DG element counts stay tiny (the MATLAB driver caps at 30 iterations) —
-but the per-iteration pipeline is fully on device.
+Two modes:
+- dynamic (default off-TPU): the mesh grows by one element per iteration and
+  each iteration jits at its own (small) static shape;
+- padded (``padded=True``): the partition is padded with zero-width slabs to
+  ``max_elements`` and the whole per-iteration pipeline jits ONCE — a
+  zero-width DG slab solve is an exact identity (``(Sᵀ+B)U = −e_L u_prev``
+  has the constant solution), the adjoint on it is inert, and its error
+  contribution is exactly zero (verified in tests), so refinement changes
+  data, never shapes. This is what makes the loop usable through the slow
+  TPU compile path.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +45,31 @@ class DGAdaptResult(NamedTuple):
     est_total: float  # Σ err (MAIN.m:75-76)
 
 
+def _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f):
+    """Build the jitted per-iteration pipeline (operators closed over as
+    constants; compiles once per run at a fixed padded shape)."""
+
+    @jax.jit
+    def iteration(times, y0):
+        res_p = dg_march(ops_p, f, times, y0)
+        res_f = dg_march(ops_f, f, times, y0)
+        adj = dg_adjoint_march(ops_a, f, res_p.u, times, y0, g_u=g_u)
+        j_coarse = dg_element_functional(ops_p, res_p.u, times, g)
+        j_fine = dg_element_functional(ops_f, res_f.u, times, g)
+        # padded bisection: zero-width slabs contribute exactly zero error
+        # and can never win the argmax
+        ref_i = jnp.argmax(jnp.abs(adj.err))
+        mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+        idx = jnp.arange(times.shape[0])
+        shifted = times[jnp.maximum(idx - 1, 0)]
+        times_new = jnp.where(
+            idx <= ref_i, times, jnp.where(idx == ref_i + 1, mid, shifted)
+        )
+        return res_p.u, adj.v, adj.err, j_coarse, j_fine, times_new
+
+    return iteration
+
+
 def run_adaptive_dg(
     f: Callable,
     y0: float,
@@ -51,39 +84,48 @@ def run_adaptive_dg(
     fine_offset: int = 2,
     n_gq: int | None = None,
     callback: Callable | None = None,
+    padded: bool = False,
 ) -> list[DGAdaptResult]:
     """Adaptive h-refinement of the DG-in-time partition driven by the
-    adjoint-weighted residual, with MAIN.m's effectivity telemetry."""
+    adjoint-weighted residual, with MAIN.m's effectivity telemetry.
+
+    ``padded=True`` compiles the whole iteration once at ``k0 + maxit``
+    elements (zero-width padding slabs) — use on TPU.
+    """
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
     ops_f = dg_time_operators(n_order + fine_offset)
 
     times = np.linspace(t_span[0], t_span[1], k0 + 1)
+    if padded:
+        max_k = k0 + maxit + 1
+        times = np.concatenate([times, np.full(max_k - k0, times[-1])])
+    n_active = k0
+    iteration = _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f)
     history: list[DGAdaptResult] = []
     for it in range(maxit + 1):
         t_j = jnp.asarray(times)
-        res_p = dg_march(ops_p, f, t_j, y0)
-        res_f = dg_march(ops_f, f, t_j, y0)
-        adj = dg_adjoint_march(ops_a, f, res_p.u, t_j, y0, g_u=g_u)
-        j_coarse = float(dg_element_functional(ops_p, res_p.u, t_j, g))
-        j_fine = float(dg_element_functional(ops_f, res_f.u, t_j, g))
+        u, v, err, j_coarse, j_fine, times_new = iteration(t_j, y0)
         result = DGAdaptResult(
-            times=times.copy(),
-            u=np.asarray(res_p.u),
-            v=np.asarray(adj.v),
-            err=np.asarray(adj.err),
-            j_coarse=j_coarse,
-            j_fine=j_fine,
-            effectivity_gap=j_coarse - j_fine,
-            est_total=float(jnp.sum(adj.err)),
+            times=times[: n_active + 1].copy(),
+            u=np.asarray(u)[:n_active],
+            v=np.asarray(v)[:n_active],
+            err=np.asarray(err)[:n_active],
+            j_coarse=float(j_coarse),
+            j_fine=float(j_fine),
+            effectivity_gap=float(j_coarse) - float(j_fine),
+            est_total=float(jnp.sum(err)),
         )
         history.append(result)
         if callback is not None:
             callback(result)
         if abs(result.est_total) < tol:
             break
-        # bisect the element with the largest |contribution| (MAIN.m:137-140)
-        ref_i = int(np.argmax(np.abs(result.err)))
-        mid = 0.5 * (times[ref_i] + times[ref_i + 1])
-        times = np.insert(times, ref_i + 1, mid)
+        if padded:
+            times = np.asarray(times_new)
+        else:
+            ref_i = int(np.argmax(np.abs(result.err)))
+            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+            times = np.insert(times, ref_i + 1, mid)
+        n_active += 1
     return history

@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--maxit", type=int, default=30)
     p.add_argument("--plot", action="store_true")
     p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument(
+        "--padded",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="compile-once padded loop (default: on for TPU backends)",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -34,6 +40,7 @@ def main(argv=None):
 
         jax.config.update("jax_enable_x64", True)
 
+    import jax
     import jax.numpy as jnp
 
     from adjoint_ode_adaptivity_tpu import odes
@@ -58,6 +65,9 @@ def main(argv=None):
         print("Adj-W Res")
         print(f"{r.est_total:.10e}")
 
+    padded = args.padded
+    if padded is None:
+        padded = jax.default_backend() == "tpu"
     history = run_adaptive_dg(
         ode.f,
         args.y0,
@@ -67,6 +77,7 @@ def main(argv=None):
         tol=args.tol,
         maxit=args.maxit,
         callback=callback,
+        padded=padded,
     )
     print(f"finished after {len(history)} iterations, "
           f"K={len(history[-1].times) - 1} elements")

@@ -24,6 +24,51 @@ class BaselineResult(NamedTuple):
     steps_measured: int
 
 
+def ensemble_fd_pipeline(n_ics: int, n_steps: int = 16, ref_factor: int = 4):
+    """vmapped forward+adjoint+indicator over an IC ensemble — the
+    reference's refinement-signal computation at its largest scale
+    (100,000 ICs, Main_variable_params.py:234,330-341).
+
+    Returns a jitted ``fn(u0s) -> err_steps`` (ensemble-mean indicator) and
+    an example ``u0s`` batch of size ``n_ics``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from adjoint_ode_adaptivity_tpu import functionals as fnl
+    from adjoint_ode_adaptivity_tpu import odes
+    from adjoint_ode_adaptivity_tpu.adjoint import (
+        adjoint_march,
+        coarse_indicator,
+        interp_to_fine,
+        refine_all,
+        residual,
+    )
+    from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march
+
+    ode = odes.get_ode("du/dt=sin(u)")
+    functional = fnl.get_functional("J=int(u^2)")
+    step = euler_step(ode.f)
+    dt = jnp.full((n_steps,), 2.0 / n_steps, jnp.float32)
+    dt_fine = refine_all(dt, ref_factor)
+
+    def one(u0):
+        u = forward_march(step, u0, dt)
+        u_fine = interp_to_fine(u, dt, dt_fine)
+        k_vec = jax.grad(functional.value)(u_fine, dt_fine)
+        v = adjoint_march(step, u_fine, dt_fine, k_vec)
+        res = residual(step, u_fine, dt_fine)
+        return coarse_indicator(res * v, ref_factor, "block")
+
+    fn = jax.jit(lambda u0s: jnp.mean(jax.vmap(one)(u0s), axis=0))
+    import numpy as _np
+
+    u0s = jnp.asarray(
+        _np.random.default_rng(0).uniform(-3, 3, size=n_ics), jnp.float32
+    )
+    return fn, u0s
+
+
 def numpy_advec_fwd_adj_baseline(
     disc: Discretization1D, a: float, dt: float, n_steps: int
 ) -> BaselineResult:
