@@ -27,6 +27,8 @@ import numpy as np
 
 from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
     dg_adjoint_march,
+    dg_adjoint_reconstruct,
+    dg_awr_from_adjoint,
     dg_element_functional,
 )
 from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march, dg_time_operators
@@ -45,15 +47,26 @@ class DGAdaptResult(NamedTuple):
     est_total: float  # Σ err (MAIN.m:75-76)
 
 
-def _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f):
+def _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f, adjoint_mode="solve"):
     """Build the jitted per-iteration pipeline (operators closed over as
-    constants; compiles once per run at a fixed padded shape)."""
+    constants; compiles once per run at a fixed padded shape).
+
+    ``adjoint_mode``: 'solve' marches the adjoint directly at order n+1
+    (adj_march.m); 'reconstruct' solves it at the primal's order and lifts
+    it to n+1 through Radau collocation (adj_rec.m) before weighting the
+    residual."""
 
     @jax.jit
     def iteration(times, y0):
         res_p = dg_march(ops_p, f, times, y0)
         res_f = dg_march(ops_f, f, times, y0)
-        adj = dg_adjoint_march(ops_a, f, res_p.u, times, y0, g_u=g_u)
+        if adjoint_mode == "reconstruct":
+            adj_low = dg_adjoint_march(ops_p, f, res_p.u, times, y0, g_u=g_u)
+            v_rec = dg_adjoint_reconstruct(ops_p, adj_low.v, times)
+            err = dg_awr_from_adjoint(ops_a, f, res_p.u, times, y0, v_rec)
+            adj = adj_low._replace(v=v_rec, err=err)
+        else:
+            adj = dg_adjoint_march(ops_a, f, res_p.u, times, y0, g_u=g_u)
         j_coarse = dg_element_functional(ops_p, res_p.u, times, g)
         j_fine = dg_element_functional(ops_f, res_f.u, times, g)
         # padded bisection: zero-width slabs contribute exactly zero error
@@ -85,6 +98,7 @@ def run_adaptive_dg(
     n_gq: int | None = None,
     callback: Callable | None = None,
     padded: bool = False,
+    adjoint_mode: str = "solve",
 ) -> list[DGAdaptResult]:
     """Adaptive h-refinement of the DG-in-time partition driven by the
     adjoint-weighted residual, with MAIN.m's effectivity telemetry.
@@ -101,7 +115,7 @@ def run_adaptive_dg(
         max_k = k0 + maxit + 1
         times = np.concatenate([times, np.full(max_k - k0, times[-1])])
     n_active = k0
-    iteration = _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f)
+    iteration = _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f, adjoint_mode)
     history: list[DGAdaptResult] = []
     for it in range(maxit + 1):
         t_j = jnp.asarray(times)

@@ -1,6 +1,7 @@
 """Adjoint solvers and error estimation (L2/L3)."""
 
 from adjoint_ode_adaptivity_tpu.adjoint.discrete import (
+    adjoint_march_linearized,
     adjoint_dense_oracle,
     adjoint_march,
     adjoint_march_per_step,
@@ -33,6 +34,7 @@ __all__ = [
     "advec_fwd_adj_estimate",
     "terminal_integral_cotangent",
     "adjoint_march",
+    "adjoint_march_linearized",
     "adjoint_march_per_step",
     "adjoint_dense_oracle",
     "refine_all",

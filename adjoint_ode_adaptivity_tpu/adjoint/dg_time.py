@@ -154,6 +154,49 @@ def dg_element_functional(
     return jnp.sum(jax.vmap(one)(u, times[:-1], hs))
 
 
+def dg_awr_from_adjoint(
+    ops_adj: DGTimeOperators,
+    f: Callable,
+    u_primal: jnp.ndarray,
+    times: jnp.ndarray,
+    y0,
+    v_hi: jnp.ndarray,  # (K, Np_adj) adjoint at ops_adj order (solved or reconstructed)
+) -> jnp.ndarray:
+    """Per-element adjoint-weighted residual err_k = v_kᵀ R_k(u_H) for a
+    *given* higher-order adjoint — used by the reconstruction path
+    (adj_rec.m) where v comes from a low-order solve lifted through Radau
+    collocation instead of a direct higher-order solve."""
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    n_primal = u_primal.shape[1] - 1
+    to_nodes, to_quad = _interp_ops(n_primal, ops_adj)
+    to_nodes = jnp.asarray(to_nodes, dtype)
+    to_quad = jnp.asarray(to_quad, dtype)
+    s = jnp.asarray(ops_adj.stiff, dtype)
+    phi = jnp.asarray(ops_adj.phi, dtype)
+    wq = jnp.asarray(ops_adj.wq, dtype)
+    rq = jnp.asarray(ops_adj.rq, dtype)
+    np_a = ops_adj.np_
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+    u_prevs = jnp.concatenate([jnp.asarray(y0, dtype).reshape(1), u_primal[:-1, -1]])
+
+    def one(u_el, v_el, tl, h, u_prev):
+        u_q = to_quad @ u_el
+        t_q = tl + (1.0 + rq) * h / 2.0
+        u_h = to_nodes @ u_el
+        m_tilde = h / 2.0 * (phi.T @ (wq * f(u_q, t_q)))
+        res = (
+            s.T @ u_h
+            - jnp.zeros((np_a,), dtype).at[-1].set(u_h[-1])
+            + m_tilde
+            + jnp.zeros((np_a,), dtype).at[0].set(u_prev)
+        )
+        return v_el @ res
+
+    return jax.vmap(one)(u_primal, v_hi, t_left, hs, u_prevs)
+
+
 def dg_adjoint_reconstruct(
     ops_primal: DGTimeOperators,
     v_low: jnp.ndarray,  # (K, Np_primal) adjoint solved at the primal's order

@@ -23,7 +23,12 @@ from jax import lax
 
 from adjoint_ode_adaptivity_tpu.march.fd import times_from_dt
 
-__all__ = ["adjoint_march", "adjoint_march_per_step", "adjoint_dense_oracle"]
+__all__ = [
+    "adjoint_march",
+    "adjoint_march_per_step",
+    "adjoint_march_linearized",
+    "adjoint_dense_oracle",
+]
 
 
 def adjoint_march(
@@ -87,6 +92,33 @@ def adjoint_march_per_step(
         (u_traj[:-1], t[:-1], dt, k_vec[:-1], params_stacked),
         reverse=True,
     )
+    return jnp.concatenate([vs, v_last[None]])
+
+
+def adjoint_march_linearized(
+    f_u: Callable,
+    u_traj: jnp.ndarray,
+    dt: jnp.ndarray,
+    k_vec: jnp.ndarray,
+    t0: float = 0.0,
+) -> jnp.ndarray:
+    """Fast-path adjoint for forward-Euler steps with a closed-form Jacobian:
+    d_n = 1 + f_u(u_n, t_n)·dt_n, then v_n = k_n + d_n·v_{n+1} as a pure
+    arithmetic reverse scan (no per-step VJP tracing — noticeably cheaper to
+    compile and run when vmapped over large IC ensembles).
+
+    Equals :func:`adjoint_march` with ``euler_step(f)`` to rounding (tested).
+    """
+    t = times_from_dt(dt, t0)
+    d = 1.0 + f_u(u_traj[:-1], t[:-1]) * dt
+
+    def body(v_next, xs):
+        d_n, k_n = xs
+        v_n = k_n + d_n * v_next
+        return v_n, v_n
+
+    v_last = k_vec[-1] * jnp.ones_like(u_traj[-1])
+    _, vs = lax.scan(body, v_last, (d, k_vec[:-1]), reverse=True)
     return jnp.concatenate([vs, v_last[None]])
 
 

@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--maxit", type=int, default=30)
     p.add_argument("--plot", action="store_true")
     p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument("--adjoint", choices=["solve", "reconstruct"], default="solve",
+                   help="adjoint at order n+1: direct march (adj_march) or "
+                        "Radau reconstruction from an order-n solve (adj_rec)")
     p.add_argument(
         "--padded",
         action=argparse.BooleanOptionalAction,
@@ -78,6 +81,7 @@ def main(argv=None):
         maxit=args.maxit,
         callback=callback,
         padded=padded,
+        adjoint_mode=args.adjoint,
     )
     print(f"finished after {len(history)} iterations, "
           f"K={len(history[-1].times) - 1} elements")

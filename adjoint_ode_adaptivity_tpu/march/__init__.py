@@ -12,6 +12,12 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import (
     dg_march,
     dg_time_operators,
 )
+from adjoint_ode_adaptivity_tpu.march.burgers import (
+    BurgersOperators,
+    burgers_march,
+    burgers_operators,
+    burgers_rhs,
+)
 from adjoint_ode_adaptivity_tpu.march.advec import (
     AdvecOperators,
     advec_march,
@@ -34,4 +40,8 @@ __all__ = [
     "advec_rhs",
     "advec_march",
     "cfl_dt",
+    "BurgersOperators",
+    "burgers_operators",
+    "burgers_rhs",
+    "burgers_march",
 ]

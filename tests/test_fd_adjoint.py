@@ -349,3 +349,21 @@ class TestAdaptiveLoop:
             ratios.append(est / gap)
         assert abs(ratios[-1] - 1.0) < 0.05, ratios
         assert abs(ratios[-1] - 1.0) < abs(ratios[0] - 1.0) + 1e-12
+
+
+class TestLinearizedFastPath:
+    def test_matches_vjp_adjoint(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        from adjoint_ode_adaptivity_tpu.adjoint import adjoint_march_linearized
+
+        dt = jnp.asarray(np.diff(np.array([0.0, 0.3, 0.8, 1.1, 2.0])))
+        rf = 4
+        u = forward_march(step, 1.0, dt)
+        dt_fine = refine_all(dt, rf)
+        u_fine = interp_to_fine(u, dt, dt_fine)
+        functional = fnl.get_functional("J=int(u^2)")
+        k = jax.grad(functional.value)(u_fine, dt_fine)
+        v_vjp = adjoint_march(step, u_fine, dt_fine, k)
+        v_lin = adjoint_march_linearized(ode.f_u, u_fine, dt_fine, k)
+        np.testing.assert_allclose(v_lin, v_vjp, rtol=1e-13)
