@@ -17,6 +17,7 @@ from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
     continuous_err_contribution,
     dg_adjoint_march,
     dg_adjoint_reconstruct,
+    dg_awr_from_adjoint,
     dg_element_functional,
 )
 from adjoint_ode_adaptivity_tpu.adjoint.advec import (
@@ -28,6 +29,7 @@ from adjoint_ode_adaptivity_tpu.adjoint.advec import (
 __all__ = [
     "dg_adjoint_march",
     "dg_adjoint_reconstruct",
+    "dg_awr_from_adjoint",
     "dg_element_functional",
     "continuous_err_contribution",
     "advec_adjoint_march",
