@@ -43,10 +43,15 @@ def refine_all(dt: jnp.ndarray, ref_factor: int) -> jnp.ndarray:
 def interp_to_fine(
     u: jnp.ndarray, dt: jnp.ndarray, dt_fine: jnp.ndarray, t0: float = 0.0
 ) -> jnp.ndarray:
-    """Linear interpolation of nodal values from the coarse to the fine grid."""
+    """Linear interpolation of nodal values from the coarse to the fine grid.
+
+    ``u`` is (N+1,) for scalar state or (N+1, d) for systems (interpolated
+    per component)."""
     t_coarse = times_from_dt(dt, t0)
     t_fine = times_from_dt(dt_fine, t0)
-    return jnp.interp(t_fine, t_coarse, u)
+    if u.ndim == 1:
+        return jnp.interp(t_fine, t_coarse, u)
+    return jax.vmap(lambda col: jnp.interp(t_fine, t_coarse, col), in_axes=1, out_axes=1)(u)
 
 
 def residual(

@@ -160,3 +160,24 @@ def exact_adjoint_rk4(
     a_grid = jnp.concatenate([a_end[None], a_hist])
     # ts is decreasing; flip for interp
     return jnp.interp(t_eval, ts[::-1], a_grid[::-1])
+
+
+# vector-state system: harmonic oscillator u'' = -ω²u as a 2-vector ODE
+def _harmonic_f(u, t, omega: float = 2.0):
+    return jnp.stack([u[..., 1], -(omega**2) * u[..., 0]], axis=-1)
+
+
+register_ode(
+    ODEProblem(
+        name="harmonic_oscillator",
+        f=_harmonic_f,
+        exact_fwd=lambda t, u0: jnp.stack(
+            [
+                u0[..., 0] * jnp.cos(2.0 * t) + u0[..., 1] / 2.0 * jnp.sin(2.0 * t),
+                -2.0 * u0[..., 0] * jnp.sin(2.0 * t) + u0[..., 1] * jnp.cos(2.0 * t),
+            ],
+            axis=-1,
+        ),
+        linear=True,
+    )
+)
