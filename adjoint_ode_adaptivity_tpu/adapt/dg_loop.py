@@ -18,7 +18,6 @@ Two modes:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

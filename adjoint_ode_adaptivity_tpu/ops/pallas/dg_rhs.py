@@ -451,3 +451,174 @@ def make_pallas_fwd_adj_estimate(
         return u_final, lam0, eta[0]
 
     return run
+
+
+# ------------------------------------ single-launch grid pipeline (fastest)
+
+
+def _fwd_ckpt_grid_kernel(cfg, dr, lift, n_seg, t0_ref, rk_ref, u0_ref,
+                          ckpt_out, ufinal_out, u_scr):
+    """Grid dim = segment index; carries the state in scratch across the
+    sequential TPU grid, writing one checkpoint block per grid step. ONE
+    kernel launch for the whole forward phase (the per-launch latency of
+    the chunked variant dominates at small segments)."""
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = u0_ref[:]
+
+    ckpt_out[0] = u_scr[:]
+    t0 = t0_ref[0] + (i * seg) * dt
+
+    def body(n, u):
+        return _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t0 + n * dt, dt)
+
+    u_scr[:] = jax.lax.fori_loop(0, seg, body, u_scr[:])
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        ufinal_out[:] = u_scr[:]
+
+
+def _adj_est_grid_kernel(cfg, dr, lift, n_seg, t0_ref, rk_ref, lam_ref,
+                         ckpt_ref, lam0_out, eta_out, traj, lu_scr, eta_scr):
+    """Reverse sweep over segments as one kernel launch: grid step i
+    processes segment n_seg−1−i (the checkpoint BlockSpec index_map feeds
+    blocks in reverse); λu and η accumulate in scratch across grid steps."""
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    np_ = cfg.np_
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+    seg_idx = n_seg - 1 - i
+    t0 = t0_ref[0] + (seg_idx * seg) * dt
+
+    @pl.when(i == 0)
+    def _():
+        lu_scr[:] = lam_ref[:]
+        eta_scr[:] = jnp.zeros_like(eta_scr)
+
+    # recompute the segment's forward states into traj (8-aligned slots)
+    def fwd_body(n, u):
+        traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :] = u
+        return _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t0 + n * dt, dt)
+
+    u_final = jax.lax.fori_loop(0, seg, fwd_body, ckpt_ref[0])
+    traj[pl.ds(pl.multiple_of(seg * 8, 8), np_), :] = u_final
+
+    def bwd_body(j, carry):
+        lu, eta = carry
+        n = seg - 1 - j
+        t_n = t0 + n * dt
+        u_n = traj[pl.ds(pl.multiple_of(n * 8, 8), np_), :]
+        u_np1 = traj[pl.ds(pl.multiple_of((n + 1) * 8, 8), np_), :]
+        half = _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u_n, t_n, dt / 2)
+        half2 = _lsrk_step_loop(
+            cfg, dr, lift, rk_ref, first, last, half, t_n + dt / 2, dt / 2
+        )
+        r = u_np1 - half2
+        acc = lu[0:1, :] * r[0:1, :]
+        for ii in range(1, np_):
+            acc = acc + lu[ii : ii + 1, :] * r[ii : ii + 1, :]
+        eta = eta + acc
+        lu = _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt)
+        return (lu, eta)
+
+    lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_scr[:], eta_scr[:]))
+    lu_scr[:] = lu
+    eta_scr[:] = eta
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        lam0_out[:] = lu
+        eta_out[:] = eta
+
+
+def make_pallas_fwd_adj_estimate_grid(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    segment: int = 32,
+    n_segments: int = 64,
+    interpret: bool = False,
+):
+    """Single-launch-per-phase fused pipeline: the forward phase and the
+    reverse adjoint+estimate phase are each ONE ``pallas_call`` with a grid
+    over segments (sequential on TPU; state carried in scratch). Eliminates
+    the per-launch latency that dominates the chunked variant.
+
+    Returns ``run(u0, t0, lam_end) -> (u_final, lam0, eta)`` for exactly
+    ``n_segments · segment`` steps (both phase sizes are baked into the
+    compiled grids).
+    """
+    rx, fs = _check_uniform(disc)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=segment, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+    np_, k = cfg.np_, cfg.k
+
+    def run(u0, t0, lam_end):
+        fwd_kern = functools.partial(
+            _fwd_ckpt_grid_kernel, cfg, dr_host, lift_host, n_segments
+        )
+        ckpts, u_final = pl.pallas_call(
+            fwd_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_segments, np_, k), u0.dtype),
+                jax.ShapeDtypeStruct((np_, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, np_, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((np_, k), jnp.float32)],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), u0)
+
+        adj_kern = functools.partial(
+            _adj_est_grid_kernel, cfg, dr_host, lift_host, n_segments
+        )
+        lam0, eta = pl.pallas_call(
+            adj_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((np_, k), u0.dtype),
+                jax.ShapeDtypeStruct((1, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, np_, k),
+                    lambda i: (n_segments - 1 - i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((np_, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(((segment + 1) * 8, k), jnp.float32),
+                pltpu.VMEM((np_, k), jnp.float32),
+                pltpu.VMEM((1, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), lam_end, ckpts)
+        return u_final, lam0, eta[0]
+
+    return run

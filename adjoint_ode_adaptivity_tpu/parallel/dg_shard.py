@@ -8,7 +8,6 @@ kernel; only the two boundary faces of each shard talk to neighbours.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
