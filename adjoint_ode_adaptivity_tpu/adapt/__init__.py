@@ -5,11 +5,14 @@ from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
     AdaptState,
     adapt_iteration,
     run_adaptive_fd,
+    run_adaptive_fd_backtrack,
 )
 from adjoint_ode_adaptivity_tpu.adapt.dg_loop import DGAdaptResult, run_adaptive_dg
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
+    bisect_refine_masked,
     bisect_refine_padded,
+    coarsen_merge,
     pad_times,
     plateau_detect,
     should_refine_depth,
@@ -22,6 +25,9 @@ __all__ = [
     "AdaptResult",
     "adapt_iteration",
     "run_adaptive_fd",
+    "run_adaptive_fd_backtrack",
+    "bisect_refine_masked",
+    "coarsen_merge",
     "pad_times",
     "bisect_refine",
     "bisect_refine_padded",

@@ -16,6 +16,7 @@ from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from adjoint_ode_adaptivity_tpu import functionals as fnl
@@ -29,7 +30,13 @@ from adjoint_ode_adaptivity_tpu.adjoint.estimate import (
 )
 from adjoint_ode_adaptivity_tpu.march.fd import forward_march, times_from_dt
 
-__all__ = ["AdaptState", "AdaptResult", "adapt_iteration", "run_adaptive_fd"]
+__all__ = [
+    "AdaptState",
+    "AdaptResult",
+    "adapt_iteration",
+    "run_adaptive_fd",
+    "run_adaptive_fd_backtrack",
+]
 
 
 class AdaptState(NamedTuple):
@@ -141,5 +148,101 @@ def run_adaptive_fd(
             callback(result)
         state = result.state
         err = float(result.err_total)
+        it += 1
+    return history
+
+
+def run_adaptive_fd_backtrack(
+    step_fn: Callable,
+    u0: float,
+    t_span: tuple[float, float],
+    n_steps0: int = 2,
+    *,
+    functional_name: str = "J=int(u^2)",
+    ref_factor: int = 4,
+    tol: float = 1e-5,
+    maxit: int = 100,
+    convention: str = "strided",
+    coarsen_tol: float | None = None,
+) -> list[dict]:
+    """Adaptive loop with a BACKTRACK schedule (and optional coarsening).
+
+    The reference's job scripts name a backtracking variant
+    (python/main_backtrack_serial.sh runs Main_no_matrix_backtrack_complex.py,
+    a file absent from the repo); the policy here: refine at the masked
+    argmax; if the total estimate *increased* after a refinement, undo that
+    insert, permanently block the offending interval, and pick the next
+    candidate. With ``coarsen_tol`` set, the cheapest adjacent step pair is
+    merged whenever its combined contribution falls below the tolerance.
+
+    Host-driven with dynamic shapes (each grid size compiles once — intended
+    for CPU analysis runs; the padded :func:`run_adaptive_fd` is the TPU
+    path). Returns per-iteration dicts with times/err/action records.
+    """
+    from adjoint_ode_adaptivity_tpu.adapt.policy import (
+        bisect_refine_masked,
+        coarsen_merge,
+    )
+
+    functional = fnl.get_functional(functional_name)
+    times = jnp.linspace(t_span[0], t_span[1], n_steps0 + 1)
+
+    def interval_key(tl, tr):
+        return (round(float(tl), 12), round(float(tr), 12))
+
+    def solve(times):
+        dt = jnp.diff(times)
+        u = forward_march(step_fn, u0, dt, times[0])
+        dt_fine = refine_all(dt, ref_factor)
+        u_fine = interp_to_fine(u, dt, dt_fine, times[0])
+        k_vec = jax.grad(functional.value)(u_fine, dt_fine)
+        v = adjoint_march(step_fn, u_fine, dt_fine, k_vec, times[0])
+        res = residual(step_fn, u_fine, dt_fine, times[0])
+        err_steps = coarse_indicator(res * v, ref_factor, convention)
+        return u, v, err_steps, float(jnp.sum(err_steps))
+
+    blocked: set = set()
+    history: list[dict] = []
+    prev_total = None
+    last_insert = None  # (times_before, interval_key)
+    it = 0
+    while it <= maxit:
+        u, v, err_steps, total = solve(times)
+        action = "accept"
+        if prev_total is not None and last_insert is not None and total > prev_total:
+            # backtrack: revert the insert, block the interval
+            times, key = last_insert
+            blocked.add(key)
+            last_insert = None
+            action = f"backtrack {key}"
+            history.append({"it": it, "times": np.asarray(times), "total": total,
+                            "action": action})
+            it += 1
+            continue
+        prev_total = total
+        history.append({"it": it, "times": np.asarray(times),
+                        "err_steps": np.asarray(err_steps), "total": total,
+                        "action": action})
+        if total < tol:
+            break
+        if coarsen_tol is not None:
+            times = coarsen_merge(times, err_steps, coarsen_tol)
+            if times.shape[0] - 1 != err_steps.shape[0]:
+                # grid changed: recompute the indicator before refining
+                u, v, err_steps, total = solve(times)
+        mask = jnp.asarray(
+            [
+                interval_key(times[i], times[i + 1]) in blocked
+                for i in range(times.shape[0] - 1)
+            ]
+        )
+        if bool(jnp.all(mask)):
+            break  # every interval blocked: no legal refinement left
+        times_before = times
+        times, interval = bisect_refine_masked(times, err_steps, mask)
+        last_insert = (
+            times_before,
+            interval_key(times_before[interval], times_before[interval + 1]),
+        )
         it += 1
     return history

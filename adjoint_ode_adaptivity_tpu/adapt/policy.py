@@ -27,6 +27,8 @@ __all__ = [
     "pad_times",
     "bisect_refine",
     "bisect_refine_padded",
+    "bisect_refine_masked",
+    "coarsen_merge",
     "plateau_detect",
     "should_refine_depth",
 ]
@@ -77,6 +79,42 @@ def bisect_refine_padded(
     shifted = times[jnp.maximum(idx - 1, 0)]
     times_new = jnp.where(idx < ref_idx, times, jnp.where(idx == ref_idx, mid, shifted))
     return times_new, n_active + 1
+
+
+def bisect_refine_masked(
+    times: jnp.ndarray, err_steps: jnp.ndarray, blocked_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, int]:
+    """Bisection with intervals masked out (backtrack schedules): the
+    argmax runs over unblocked intervals only. Returns (new_times, ref_idx)
+    with ref_idx the *interval* index that was bisected."""
+    masked = jnp.where(blocked_mask, -jnp.inf, err_steps)
+    interval = int(jnp.argmax(masked))
+    ref_idx = interval + 1
+    mid = (times[ref_idx - 1] + times[ref_idx]) / 2.0
+    return (
+        jnp.concatenate([times[:ref_idx], mid[None], times[ref_idx:]]),
+        interval,
+    )
+
+
+def coarsen_merge(
+    times: jnp.ndarray, err_steps: jnp.ndarray, coarsen_tol: float
+) -> jnp.ndarray:
+    """Remove the interior node between the two adjacent steps with the
+    smallest combined error contribution, when that sum is below
+    ``coarsen_tol`` (the inverse of bisection — the reference never
+    coarsens, so over-refined regions stay refined forever).
+
+    Returns the (possibly shortened) node vector.
+    """
+    if err_steps.shape[0] < 2:
+        return times
+    pair_sums = err_steps[:-1] + err_steps[1:]
+    k = int(jnp.argmin(pair_sums))
+    if float(pair_sums[k]) >= coarsen_tol:
+        return times
+    # drop the shared node between steps k and k+1 (node index k+1)
+    return jnp.concatenate([times[: k + 1], times[k + 2 :]])
 
 
 def plateau_detect(

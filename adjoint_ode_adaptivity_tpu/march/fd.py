@@ -54,19 +54,53 @@ def forward_march(
     dt: jnp.ndarray,
     t0: float = 0.0,
     *,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """March u_{n+1} = step_fn(u_n, t_n, dt_n) over all steps.
 
     Returns the full trajectory stacked on a new leading axis,
     shape ``(len(dt)+1, *shape(u0))``.
 
-    ``remat=True`` rematerialises each step in reverse-mode AD
-    (``jax.checkpoint`` on the step) — the scan-of-checkpoints pattern gives
-    O(N) memory for the saved carries only, trading recompute for HBM.
+    ``remat``:
+    - ``True``: rematerialise each step in reverse-mode AD (jax.checkpoint
+      on the step) — saves the per-step intermediates, keeps the carries.
+    - ``"sqrt"``: two-level scan-of-checkpointed-scans — reverse-mode AD
+      stores only O(√N) outer carries and recomputes inner segments, the
+      jax-native analogue of the segmented/binomial checkpointing the
+      adjoint kernels use (PAPERS.md retrievals). Requires len(dt) to have
+      an integer-ish factorisation; the remainder runs unchunked.
     """
     u0 = jnp.asarray(u0)
     t = times_from_dt(dt, t0)
+
+    if remat == "sqrt":
+        import math
+
+        n = dt.shape[0]
+        inner = max(int(math.isqrt(n)), 1)
+        n_outer = n // inner
+        rem = n - n_outer * inner
+
+        @jax.checkpoint
+        def segment(u, xs):
+            def body(u, x):
+                t_n, dt_n = x
+                u_next = step_fn(u, t_n, dt_n)
+                return u_next, u_next
+
+            return lax.scan(body, u, xs)
+
+        xs_main = (
+            t[: n_outer * inner].reshape(n_outer, inner),
+            dt[: n_outer * inner].reshape(n_outer, inner),
+        )
+        u_mid, us_main = lax.scan(segment, u0, xs_main)
+        us = us_main.reshape((n_outer * inner,) + u0.shape)
+        if rem:
+            _, us_tail = segment(u_mid, (t[n_outer * inner : -1], dt[n_outer * inner :]))
+            us = jnp.concatenate([us, us_tail])
+        return jnp.concatenate([u0[None], us])
+
     fn = jax.checkpoint(step_fn) if remat else step_fn
 
     def body(u, x):

@@ -419,3 +419,56 @@ class TestVectorStateSystems:
 
         g = jax.grad(j_of_u0)(u0)
         np.testing.assert_allclose(v0, g, rtol=1e-10)
+
+
+class TestBacktrackAndCoarsen:
+    def test_masked_bisection_skips_blocked(self):
+        from adjoint_ode_adaptivity_tpu.adapt import bisect_refine_masked
+
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+        err = jnp.asarray([0.1, 0.9, 0.3])
+        blocked = jnp.asarray([False, True, False])  # block the argmax
+        new, interval = bisect_refine_masked(times, err, blocked)
+        assert interval == 2  # next-best unblocked interval
+        np.testing.assert_allclose(new, [0.0, 0.5, 1.0, 1.5, 2.0])
+
+    def test_coarsen_merges_below_tol_only(self):
+        from adjoint_ode_adaptivity_tpu.adapt import coarsen_merge
+
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0])
+        err = jnp.asarray([1e-12, 1e-12, 0.5])
+        merged = coarsen_merge(times, err, coarsen_tol=1e-6)
+        np.testing.assert_allclose(merged, [0.0, 1.0, 2.0])
+        kept = coarsen_merge(times, jnp.asarray([0.1, 0.1, 0.5]), coarsen_tol=1e-6)
+        assert kept.shape == times.shape
+
+    def test_backtrack_loop_converges(self):
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd_backtrack
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        h = run_adaptive_fd_backtrack(
+            euler_step(ode.f), 1.0, (0.0, 2.0), n_steps0=2,
+            maxit=12, tol=1e-4, coarsen_tol=1e-10,
+        )
+        assert h[-1]["total"] < h[0]["total"] / 3
+        assert all("action" in r for r in h)
+
+
+class TestSqrtRemat:
+    def test_sqrt_remat_values_and_grads(self):
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        for n in (49, 50):  # perfect square and remainder case
+            dt = jnp.full((n,), 1.0 / n)
+
+            def terminal(u0, mode):
+                return forward_march(step, u0, dt, remat=mode)[-1]
+
+            v0, g0 = jax.value_and_grad(lambda u: terminal(u, False))(1.0)
+            v1, g1 = jax.value_and_grad(lambda u: terminal(u, "sqrt"))(1.0)
+            np.testing.assert_allclose(v1, v0, rtol=1e-13)
+            np.testing.assert_allclose(g1, g0, rtol=1e-13)
+            # trajectories identical too
+            u_a = forward_march(step, 1.0, dt)
+            u_b = forward_march(step, 1.0, dt, remat="sqrt")
+            np.testing.assert_allclose(u_b, u_a, rtol=1e-14)
