@@ -74,3 +74,54 @@ class TestElementSharding:
         mesh = make_mesh({"space": 8})
         sharded = advec_march_sharded(ops, mesh, u0, dt, n_steps, axis="space")
         np.testing.assert_allclose(sharded, dense, rtol=1e-10, atol=1e-12)
+
+
+class TestShardedTraining:
+    def test_dp_tp_train_step_matches_single_device(self):
+        """One per-step train step with the batch sharded over 'data' and
+        the hidden width sharded over 'model' must produce the same loss and
+        parameters as the unsharded step (XLA inserts the psums)."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from adjoint_ode_adaptivity_tpu import models
+        from adjoint_ode_adaptivity_tpu.parallel import make_mesh
+        from adjoint_ode_adaptivity_tpu.train import (
+            create_train_state,
+            make_per_step_train_step,
+            rk4_truth,
+        )
+
+        n_steps, width, batch = 3, 8, 16
+        dt = jnp.full((n_steps,), 1.0 / n_steps)
+        net = models.ResBlockSimple(width)
+        p1 = net.init(jax.random.PRNGKey(0), jnp.ones(1), 0.0, 0.1)["params"]
+        stacked = jax.tree_util.tree_map(lambda l: jnp.stack([l] * n_steps), p1)
+        tx = optax.adam(1e-3)
+        u0s = jax.random.uniform(jax.random.PRNGKey(1), (batch,), minval=-2, maxval=2)
+        trues = rk4_truth(lambda u, t: jnp.sin(u), u0s, (0.0, 1.0), n_sub=32)
+        step = make_per_step_train_step(net, tx)
+
+        # single device
+        s0 = create_train_state(stacked, tx)
+        s0, loss0 = step(s0, dt, u0s, trues)
+
+        # dp + tp sharded
+        mesh = make_mesh({"data": 4, "model": 2})
+        shardings = {
+            "bias": NamedSharding(mesh, P(None, "model", None)),
+            "weights1": NamedSharding(mesh, P(None, "model", None)),
+            "weights2": NamedSharding(mesh, P(None, None, "model")),
+        }
+        sharded_params = {k: jax.device_put(v, shardings[k]) for k, v in stacked.items()}
+        s1 = create_train_state(sharded_params, tx)
+        u0s_s = jax.device_put(u0s, NamedSharding(mesh, P("data")))
+        trues_s = jax.device_put(trues, NamedSharding(mesh, P("data")))
+        with mesh:
+            s1, loss1 = step(s1, dt, u0s_s, trues_s)
+
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-12)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s0.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
