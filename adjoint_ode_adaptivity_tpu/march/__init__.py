@@ -4,6 +4,8 @@ from adjoint_ode_adaptivity_tpu.march.fd import (
     euler_step,
     forward_march,
     forward_march_per_step,
+    heun_step,
+    rk4_step,
     times_from_dt,
 )
 from adjoint_ode_adaptivity_tpu.march.dg_time import (
@@ -28,6 +30,8 @@ from adjoint_ode_adaptivity_tpu.march.advec import (
 
 __all__ = [
     "euler_step",
+    "heun_step",
+    "rk4_step",
     "forward_march",
     "forward_march_per_step",
     "times_from_dt",

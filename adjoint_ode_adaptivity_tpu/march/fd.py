@@ -43,6 +43,35 @@ def euler_step(f: Callable) -> Callable:
     return step
 
 
+def heun_step(f: Callable) -> Callable:
+    """Heun (explicit trapezoid) step — 2nd order. The reference is
+    Euler-only; higher-order one-step rules drop into the same march/
+    adjoint/estimate machinery because everything is written against the
+    generic ``step_fn(u, t, dt)`` contract (the adjoint differentiates the
+    step with VJPs, whatever its order). Zero-dt padding steps remain exact
+    identities."""
+
+    def step(u, t, dt):
+        k1 = f(u, t)
+        k2 = f(u + dt * k1, t + dt)
+        return u + dt / 2.0 * (k1 + k2)
+
+    return step
+
+
+def rk4_step(f: Callable) -> Callable:
+    """Classical RK4 step — 4th order, same generic contract."""
+
+    def step(u, t, dt):
+        k1 = f(u, t)
+        k2 = f(u + 0.5 * dt * k1, t + 0.5 * dt)
+        k3 = f(u + 0.5 * dt * k2, t + 0.5 * dt)
+        k4 = f(u + dt * k3, t + dt)
+        return u + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    return step
+
+
 def times_from_dt(dt: jnp.ndarray, t0: float = 0.0) -> jnp.ndarray:
     """Node times from step sizes: t = [t0, t0+cumsum(dt)]."""
     return jnp.concatenate([jnp.full((1,), t0, dtype=dt.dtype), t0 + jnp.cumsum(dt)])

@@ -472,3 +472,56 @@ class TestSqrtRemat:
             u_a = forward_march(step, 1.0, dt)
             u_b = forward_march(step, 1.0, dt, remat="sqrt")
             np.testing.assert_allclose(u_b, u_a, rtol=1e-14)
+
+
+class TestHigherOrderSteps:
+    @pytest.mark.parametrize("maker,order", [("heun_step", 2), ("rk4_step", 4)])
+    def test_convergence_order(self, maker, order):
+        from adjoint_ode_adaptivity_tpu.march import heun_step, rk4_step
+
+        step = {"heun_step": heun_step, "rk4_step": rk4_step}[maker]
+        ode = odes.get_ode("du/dt=sin(u)")
+        fn = step(ode.f)
+        errs = []
+        for n in (16, 32):
+            dt = jnp.full((n,), 2.0 / n)
+            u = forward_march(fn, 1.0, dt)
+            errs.append(abs(float(u[-1]) - float(ode.exact_fwd(2.0, 1.0))))
+        rate = np.log2(errs[0] / errs[1])
+        assert rate > order - 0.3, (errs, rate)
+
+    def test_adaptive_loop_with_rk4_step(self):
+        """The whole padded adaptive loop runs unchanged with an RK4 update
+        rule — the estimate localises the (much smaller) RK4 errors."""
+        from adjoint_ode_adaptivity_tpu.march import rk4_step
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        history = run_adaptive_fd(
+            rk4_step(ode.f), 1.0, (0.0, 2.0), n_steps0=2,
+            functional_name="J=int(u^2)", ref_factor=4, tol=1e-10, maxit=10,
+        )
+        errs = [float(r.err_total) for r in history]
+        assert errs[-1] < errs[0]
+        # note: the indicator interpolates the coarse trajectory linearly
+        # (reference convention), so at coarse grids it is dominated by
+        # interpolation error rather than RK4's integration error — it still
+        # localises and drives refinement correctly
+        n_act = int(history[-1].n_steps_used)
+        exact = float(odes.get_ode("du/dt=sin(u)").exact_fwd(2.0, 1.0))
+        assert abs(float(history[-1].u[n_act]) - exact) < 1e-6  # RK4 accuracy
+
+    def test_adjoint_grad_consistency_rk4(self):
+        from adjoint_ode_adaptivity_tpu.march import rk4_step
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        fn = rk4_step(ode.f)
+        functional = fnl.get_functional("J=int(u)")
+        dt = jnp.full((16,), 0.125)
+        u = forward_march(fn, 1.0, dt)
+        k = jax.grad(functional.value)(u, dt)
+        v = adjoint_march(fn, u, dt, k)
+
+        def j_of_u0(u0):
+            return functional.value(forward_march(fn, u0, dt), dt)
+
+        np.testing.assert_allclose(v[0], jax.grad(j_of_u0)(1.0), rtol=1e-12)
