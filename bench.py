@@ -96,6 +96,42 @@ def main():
     # baseline: short NumPy run on host CPU
     base = numpy_advec_fwd_adj_baseline(disc, a, dt, n_steps=8)
 
+    # effectivity parity (the north star's second metric): |Σres·v − (J(u_H)−J(u_h))|
+    # for the linear case, computed at float64 in a CPU subprocess (x64 must
+    # be set before jax init; this process is pinned to the TPU at f32)
+    import subprocess
+    import sys as _sys
+
+    eff_code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax.numpy as jnp\n"
+        "from adjoint_ode_adaptivity_tpu import odes, functionals as fnl\n"
+        "from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march\n"
+        "from adjoint_ode_adaptivity_tpu.adjoint import ("
+        "adjoint_march, refine_all, interp_to_fine, residual)\n"
+        "ode = odes.get_ode('du/dt=u'); step = euler_step(ode.f)\n"
+        "functional = fnl.get_functional('J=int(u)')\n"
+        "dt = jnp.full((32,), 2.0/32); u = forward_march(step, 1.0, dt)\n"
+        "dtf = refine_all(dt, 4); uf = interp_to_fine(u, dt, dtf)\n"
+        "k = jax.grad(functional.value)(uf, dtf)\n"
+        "v = adjoint_march(step, uf, dtf, k)\n"
+        "res = residual(step, uf, dtf)\n"
+        "est = float(jnp.sum(res*v))\n"
+        "um = forward_march(step, 1.0, dtf)\n"
+        "gap = float(functional.value(uf, dtf) - functional.value(um, dtf))\n"
+        "print(abs(est - gap))\n"
+    ) % (__file__.rsplit("/", 1)[0],)
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c", eff_code], capture_output=True, text=True,
+            timeout=120,
+        )
+        effectivity_error = float(out.stdout.strip().split("\n")[-1])
+    except Exception:
+        effectivity_error = None
+
     print(
         json.dumps(
             {
@@ -110,6 +146,7 @@ def main():
                 "kernel": "pallas-fused" if on_tpu else "xla",
                 "j_value": j_value,
                 "sum_eta": sum_eta,
+                "effectivity_error_f64": effectivity_error,
             }
         )
     )
