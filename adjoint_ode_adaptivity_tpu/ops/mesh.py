@@ -40,6 +40,18 @@ def mesh_gen_1d(xmin: float, xmax: float, k: int) -> tuple[np.ndarray, np.ndarra
     return vx, etov
 
 
+def mesh_from_vertices(vx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Mesh from an arbitrary (sorted) vertex vector — non-uniform spatial
+    meshes for h-adaptive DG (the reference only ever builds equidistant
+    grids; adaptivity there lives in time)."""
+    vx = np.asarray(vx, dtype=np.float64)
+    if np.any(np.diff(vx) <= 0):
+        raise ValueError("vertices must be strictly increasing")
+    k = len(vx) - 1
+    etov = np.stack([np.arange(k), np.arange(1, k + 1)], axis=1)
+    return vx, etov
+
+
 def connect_1d(etov: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Element-to-element (EToE) and element-to-face (EToF) connectivity.
 
@@ -144,13 +156,20 @@ class Discretization1D(NamedTuple):
     vmap_o: int
 
 
-def startup_1d(n: int, xmin: float, xmax: float, k: int) -> Discretization1D:
+def startup_1d(
+    n: int, xmin: float, xmax: float, k: int, vx: np.ndarray | None = None
+) -> Discretization1D:
     """Build the complete 1D DG discretization (order n, K elements).
 
     Mirrors ``utils/StartUp1D.m`` but returns an immutable pytree instead of
-    mutating globals.
+    mutating globals. Pass ``vx`` for a non-uniform mesh (xmin/xmax/k are
+    then ignored for vertex placement).
     """
-    vx, etov = mesh_gen_1d(xmin, xmax, k)
+    if vx is not None:
+        vx, etov = mesh_from_vertices(vx)
+        k = len(vx) - 1
+    else:
+        vx, etov = mesh_gen_1d(xmin, xmax, k)
     r = jacobi_gl(0.0, 0.0, n)
     np_ = n + 1
     v = vandermonde_1d(n, r)

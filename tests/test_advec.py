@@ -147,3 +147,34 @@ class TestAdvecAdjoint:
         # step-doubling AWR: effectivity ~0.99 in the asymptotic regime
         assert abs(true_gap) > 0
         assert 0.9 < est / true_gap < 1.1, (est, true_gap)
+
+
+class TestNonUniformMeshAndAdaptivity:
+    def test_non_uniform_mesh_march_accuracy(self):
+        # graded mesh: march still converges to the exact solution
+        from adjoint_ode_adaptivity_tpu.ops.mesh import startup_1d
+
+        a = 2 * np.pi
+        vx = np.concatenate([np.linspace(0, np.pi, 17), np.linspace(np.pi, 2 * np.pi, 9)[1:]])
+        disc = startup_1d(3, 0.0, 2 * np.pi, 0, vx=vx)
+        assert disc.k == 24
+        ops = advec_operators(disc, a=a, dtype=jnp.float64)
+        u0 = jnp.asarray(np.sin(disc.x))
+        from adjoint_ode_adaptivity_tpu.march.advec import cfl_dt
+
+        dt, n_steps = cfl_dt(disc, a, final_time=0.25)
+        u = advec_march(ops, u0, dt, n_steps)
+        exact = np.sin(np.asarray(disc.x) - a * 0.25)
+        assert float(jnp.max(jnp.abs(u - exact))) < 5e-4
+
+    def test_adaptive_element_loop_reduces_estimate(self):
+        from adjoint_ode_adaptivity_tpu.adapt.advec_loop import run_adaptive_advec
+
+        h = run_adaptive_advec(
+            lambda x: np.sin(x), n_order=2, k0=8, final_time=0.1, maxit=3,
+            tol=1e-10,
+        )
+        assert len(h) >= 2
+        assert abs(h[-1].est_total) < abs(h[0].est_total) / 10
+        # mesh grew by bisection
+        assert len(h[-1].vx) > len(h[0].vx)
