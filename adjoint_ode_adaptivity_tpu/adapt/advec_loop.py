@@ -24,14 +24,10 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adjoint_ode_adaptivity_tpu.adjoint.advec import (
-    advec_fwd_adj_estimate,
-    terminal_integral_cotangent,
-)
+from adjoint_ode_adaptivity_tpu.adjoint.advec import advec_fwd_adj_estimate
 from adjoint_ode_adaptivity_tpu.march.advec import advec_operators
 from adjoint_ode_adaptivity_tpu.ops.mesh import startup_1d
 

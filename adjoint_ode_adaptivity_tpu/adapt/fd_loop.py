@@ -28,7 +28,7 @@ from adjoint_ode_adaptivity_tpu.adjoint.estimate import (
     refine_all,
     residual,
 )
-from adjoint_ode_adaptivity_tpu.march.fd import forward_march, times_from_dt
+from adjoint_ode_adaptivity_tpu.march.fd import forward_march
 
 __all__ = [
     "AdaptState",

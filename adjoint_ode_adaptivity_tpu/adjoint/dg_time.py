@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators, dg_time_operators
+from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
 from adjoint_ode_adaptivity_tpu.ops.jacobi import radau_points
 from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d, vandermonde_1d
 

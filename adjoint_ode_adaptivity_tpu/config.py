@@ -14,7 +14,6 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from adjoint_ode_adaptivity_tpu import functionals as fnl
 from adjoint_ode_adaptivity_tpu import odes

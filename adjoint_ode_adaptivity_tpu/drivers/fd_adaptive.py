@@ -38,7 +38,7 @@ def main(argv=None):
     from adjoint_ode_adaptivity_tpu import odes
     from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
     from adjoint_ode_adaptivity_tpu.functionals import get_functional
-    from adjoint_ode_adaptivity_tpu.march import euler_step, times_from_dt
+    from adjoint_ode_adaptivity_tpu.march import euler_step
 
     ode = odes.get_ode(args.ode)
     functional = get_functional(args.functional)

@@ -14,14 +14,13 @@ Periodic boundary conditions (the classic Burgers test setting).
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B, RK4C
+from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
 from adjoint_ode_adaptivity_tpu.ops.limiters import slope_limit_1, slope_limit_n
 from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
 
