@@ -62,19 +62,38 @@ def insert_step_params(
 
 
 def insert_step_params_padded(
-    params_stacked: Any, n_active: jnp.ndarray, idx: jnp.ndarray
+    params_stacked: Any,
+    n_active: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    depth: int | None = None,
+    fill: str = "copy_left",
 ) -> Any:
     """Static-shape depth insertion on padded stacks: shift steps ≥ idx right
-    by one and copy step idx−1 into slot idx. The stack must be allocated
-    with spare depth; steps ≥ n_active+1 are inert padding (their dt is 0).
+    by one and fill slot idx (``copy_left``: duplicate step idx−1 — the
+    Main_width_ref.py:201 init; ``zero``: zeros — fresh optimizer moments).
+    The stack must be allocated with spare depth; steps ≥ n_active+1 are
+    inert padding (their dt is 0).
+
+    Leaves whose leading dimension differs from the stack depth (e.g. adam's
+    scalar ``count``) pass through untouched; ``depth`` defaults to the
+    largest leading dim among leaves.
     """
+    leaves = jax.tree_util.tree_leaves(params_stacked)
+    if depth is None:
+        depth = max((l.shape[0] for l in leaves if l.ndim >= 1), default=0)
 
     def insert(leaf):
-        depth = leaf.shape[0]
+        if leaf.ndim < 1 or leaf.shape[0] != depth:
+            return leaf  # non-stacked state (e.g. optax count)
         pos = jnp.arange(depth)
         shifted = leaf[jnp.maximum(pos - 1, 0)]
         take_orig = (pos < idx)[(...,) + (None,) * (leaf.ndim - 1)]
-        return jnp.where(take_orig, leaf, shifted)
+        out = jnp.where(take_orig, leaf, shifted)
+        if fill == "zero":
+            is_new = (pos == idx)[(...,) + (None,) * (leaf.ndim - 1)]
+            out = jnp.where(is_new, jnp.zeros_like(out), out)
+        return out
 
     return jax.tree_util.tree_map(insert, params_stacked)
 

@@ -1,5 +1,9 @@
 """Training through the differentiable solver (L4/L5)."""
 
+from adjoint_ode_adaptivity_tpu.train.adaptive import (
+    PaddedAdaptiveState,
+    make_padded_adaptive_trainer,
+)
 from adjoint_ode_adaptivity_tpu.train.data import make_batches, rk4_truth, train_test_split
 from adjoint_ode_adaptivity_tpu.train.loop import (
     TrainState,
@@ -19,6 +23,8 @@ from adjoint_ode_adaptivity_tpu.train.metrics import MetricsLogger, StepTimer
 
 __all__ = [
     "TrainState",
+    "PaddedAdaptiveState",
+    "make_padded_adaptive_trainer",
     "create_train_state",
     "make_shared_train_step",
     "make_per_step_train_step",

@@ -223,3 +223,54 @@ class TestTraining:
         after = forward_march_per_step(step, jnp.array([1.0]), dt_new, stacked_new)
         # terminal values close (same network, finer grid at step 2)
         assert abs(float(after[-1][0]) - float(before[-1][0])) < 0.05
+
+
+class TestPaddedAdaptiveTrainer:
+    def test_compile_once_depth_growth(self):
+        """Padded adaptive training: identical shapes across refinements,
+        padded steps inert, loss decreases, depth insertion localizes."""
+        import optax
+
+        from adjoint_ode_adaptivity_tpu.train.adaptive import (
+            make_padded_adaptive_trainer,
+        )
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        net = models.ResBlockSimple(8)
+        p1 = net.init(jrand.PRNGKey(0), jnp.ones(1), 0.0, 0.1)["params"]
+        tx = optax.adam(1e-2)
+        max_depth = 8
+        init, train_step, refine = make_padded_adaptive_trainer(
+            net, tx, max_depth=max_depth, ref_factor=4
+        )
+        times0 = jnp.linspace(0.0, 1.0, 3)  # 2 active steps
+        state = init(p1, times0)
+        assert int(state.n_active) == 2
+        leaves = jax.tree_util.tree_leaves(state.train.params)
+        assert all(l.shape[0] == max_depth for l in leaves)
+
+        u0s = jrand.uniform(jrand.PRNGKey(1), (32,), minval=-2, maxval=2)
+        trues = rk4_truth(ode.f, u0s, (0.0, 1.0), n_sub=64)
+        _, loss0 = train_step(state, u0s, trues)
+        for _ in range(40):
+            state, loss = train_step(state, u0s, trues)
+        assert float(loss) < float(loss0)
+
+        # padded params (slots >= n_active) never received gradient:
+        # every padding slot is still the identical untouched copy
+        p_before = np.asarray(jax.tree_util.tree_leaves(state.train.params)[0])
+        assert np.max(np.abs(p_before[3:] - p_before[3:4])) == 0.0
+
+        state2, err_steps, total = refine(state, u0s[:8], trues[:8])
+        assert int(state2.n_active) == 3
+        # shapes unchanged (no retrace needed)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state2.train.params),
+            jax.tree_util.tree_leaves(state.train.params),
+        ):
+            assert a.shape == b.shape
+        # training continues after refinement with the SAME jitted step
+        state2, loss2 = train_step(state2, u0s, trues)
+        assert np.isfinite(float(loss2))
+        # padding indicator is zero
+        assert float(jnp.max(jnp.abs(err_steps[3:]))) == 0.0
