@@ -76,3 +76,17 @@ class TestSweep:
         assert len(cmds) == 2
         assert "--seed 1" in cmds[0]
         assert (tmp_path / "cmds.txt").exists()
+
+
+class TestDetectMethod:
+    def test_detect_smoke(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        main([
+            "--method", "detect", "--epochs", "4", "--maxit", "0",
+            "--n-train", "16", "--n-test", "4", "--width", "4",
+            "--ref-tol", "1e6", "--quiet",  # huge tol => plateau fires fast
+        ])
+        out = capsys.readouterr().out
+        assert "outer it 0" in out
