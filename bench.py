@@ -38,7 +38,7 @@ def main():
     from adjoint_ode_adaptivity_tpu.march.advec import advec_operators
     from adjoint_ode_adaptivity_tpu.ops import startup_1d
     from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
-        make_pallas_fwd_adj_estimate,
+        make_pallas_fwd_adj_estimate_grid,
     )
     from adjoint_ode_adaptivity_tpu.utils.benchmarks import (
         numpy_advec_fwd_adj_baseline,
@@ -54,8 +54,8 @@ def main():
     xmin = float(np.min(np.abs(disc.x[0, :] - disc.x[1, :])))
     dt = 0.5 * (0.75 / a) * xmin
 
-    segment = 32
-    n_segments = 64
+    segment = 8  # best measured config: single-launch grid, unrolled stages
+    n_segments = 256
     n_steps = segment * n_segments  # 2048
 
     u0 = jnp.asarray(np.sin(disc.x), dtype)
@@ -63,8 +63,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     if on_tpu:
-        pipeline = make_pallas_fwd_adj_estimate(disc, a, dt, segment=segment)
-        run = jax.jit(lambda u: pipeline(u, jnp.float32(0.0), n_segments, lam_end))
+        pipeline = make_pallas_fwd_adj_estimate_grid(
+            disc, a, dt, segment=segment, n_segments=n_segments, unroll=True
+        )
+        run = jax.jit(lambda u: pipeline(u, jnp.float32(0.0), lam_end))
 
         def extract(res):
             u_final, lam0, eta = res
