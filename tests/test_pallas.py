@@ -129,3 +129,23 @@ class TestPallasGridPipeline:
         np.testing.assert_allclose(uf, ref.u_final, rtol=2e-4, atol=1e-6)
         np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
         np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
+
+    def test_grid_unrolled_matches_chunked(self):
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+        dt = 5e-4
+        seg, nseg = 4, 4
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid,
+        )
+
+        run = make_pallas_fwd_adj_estimate_grid(
+            disc, A, dt, segment=seg, n_segments=nseg, interpret=True, unroll=True
+        )
+        lam = terminal_integral_cotangent(disc, jnp.float32)
+        uf, lam0, eta = run(u0, jnp.float32(0.0), lam)
+        ref = advec_fwd_adj_estimate(ops, disc, u0, dt, seg * nseg, segment=seg)
+        np.testing.assert_allclose(uf, ref.u_final, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
