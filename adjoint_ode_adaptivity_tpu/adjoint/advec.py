@@ -20,6 +20,16 @@ discretisation, with the residual measured by step doubling:
 ``η_k = Σ_n Σ_nodes λ_{n+1} ⊙ r_n`` restricted to element k. This is the
 advection-march analogue of the reference's one-step residual weighted by the
 discrete adjoint (python/Main_finite_difference.py:79-94).
+
+The estimate's λ weights are propagated by the transpose of the **fine**
+(half-step-squared) propagator B = Φ_{dt/2}², not the coarse step A. With
+coarse-state error e_{n+1} = r_n + B e_n, the identity
+``J(u_N) − J(û_N) = Σ_n λ_{n+1}ᵀ r_n`` with ``λ_n = Bᵀ λ_{n+1}`` is *exact*
+for this affine march — effectivity holds to roundoff, mirroring the
+reference's adjoint-at-higher-order convention (matlab/MAIN.m:34 solves the
+adjoint at Ns+1 against an Ns primal). Weighting with the coarse transpose
+instead is first-order only and fails by O(1) when the residual is dominated
+by marginally-resolved high-frequency modes (where A and B genuinely differ).
 """
 from __future__ import annotations
 
@@ -105,11 +115,21 @@ def advec_fwd_adj_estimate(
     n_steps: int,
     segment: int = 256,
     t0: float = 0.0,
+    lam_end: jnp.ndarray | None = None,
+    fine_adjoint: bool = True,
 ) -> AdvecAdjointResult:
     """Forward march + adjoint sweep + adjoint-weighted step-doubling error
     estimate, with two-level checkpointing.
 
     ``n_steps`` must be a multiple of ``segment`` (pad the run length).
+    ``lam_end`` is ∂J/∂u(T); defaults to the full-domain terminal integral
+    J = ∫ u(x,T) dx. Pass a windowed cotangent for localized goal
+    functionals (e.g. J over a subdomain).
+
+    ``fine_adjoint=True`` (default) propagates λ with the transpose of the
+    half-step-squared propagator, making ``Σ η == J(u_dt) − J(u_dt/2)``
+    exact to roundoff (see module docstring). ``False`` uses the coarse
+    transpose (first-order estimate, one transpose step cheaper).
     """
     if n_steps % segment != 0:
         raise ValueError(f"n_steps={n_steps} not a multiple of segment={segment}")
@@ -135,10 +155,22 @@ def advec_fwd_adj_estimate(
     u_final, seg_starts = lax.scan(fwd_scan, u0, jnp.arange(n_seg))
 
     # ---- terminal cotangent
-    lam = terminal_integral_cotangent(disc, u0.dtype)
+    lam = terminal_integral_cotangent(disc, u0.dtype) if lam_end is None else lam_end
     j_value = jnp.sum(lam * u_final)
 
-    step_t = jax.linear_transpose(lambda v: lsrk_step_homogeneous(ops, v, dt), lam)
+    if fine_adjoint:
+        half_t = jax.linear_transpose(
+            lambda v: lsrk_step_homogeneous(ops, v, dt / 2), lam
+        )
+
+        def step_t(v):
+            (v,) = half_t(v)
+            return half_t(v)
+
+    else:
+        step_t = jax.linear_transpose(
+            lambda v: lsrk_step_homogeneous(ops, v, dt), lam
+        )
 
     def adj_segment(carry, seg_rev_idx):
         lam, eta = carry

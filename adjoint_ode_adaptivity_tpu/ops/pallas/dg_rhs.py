@@ -364,7 +364,10 @@ def _adj_estimate_kernel(cfg, dr, lift, t0_ref, rk_ref, ckpt_ref, lu_ref, eta_re
         for ii in range(1, np_):
             acc = acc + lu[ii : ii + 1, :] * r[ii : ii + 1, :]
         eta = eta + acc
-        lu = _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt)
+        # fine (half-step-squared) transpose: makes Ση == J(u_dt) − J(u_dt/2)
+        # exact to roundoff (see adjoint/advec.py module docstring)
+        lu = _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt / 2)
+        lu = _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt / 2)
         return (lu, eta)
 
     lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_ref[:], eta_ref[:]))
@@ -534,7 +537,8 @@ def _adj_est_grid_kernel(cfg, dr, lift, n_seg, unroll, t0_ref, rk_ref, lam_ref,
         for ii in range(1, np_):
             acc = acc + lu[ii : ii + 1, :] * r[ii : ii + 1, :]
         eta = eta + acc
-        lu = step_t_fn(lu, dt)
+        # fine (half-step-squared) transpose — exact effectivity identity
+        lu = step_t_fn(step_t_fn(lu, dt / 2), dt / 2)
         return (lu, eta)
 
     lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_scr[:], eta_scr[:]))

@@ -137,12 +137,14 @@ def numpy_advec_fwd_adj_baseline(
         half2 = lsrk_step(half, t_n + dt / 2, dt / 2)
         r = traj[n + 1] - half2
         eta += np.sum(lam * r, axis=0)
-        # exact transpose step (stages reversed, w-form)
-        lr = np.zeros_like(lam)
-        for s in (4, 3, 2, 1, 0):
-            w = RK4B[s] * lam + lr
-            lr = RK4A[s] * w
-            lam = lam + dt * rhs_t(w)
+        # fine (half-step-squared) transpose, matching adjoint/advec.py:
+        # two reversed-stage passes at dt/2
+        for _ in range(2):
+            lr = np.zeros_like(lam)
+            for s in (4, 3, 2, 1, 0):
+                w = RK4B[s] * lam + lr
+                lr = RK4A[s] * w
+                lam = lam + (dt / 2) * rhs_t(w)
     elapsed = time.perf_counter() - t0
     dof_steps = np_ * k * (2 * n_steps)
     return BaselineResult(dof_steps / elapsed, n_steps)

@@ -10,9 +10,15 @@ element march on the host CPU (the reference is MATLAB and publishes no
 numbers — SURVEY.md §6), extrapolated from a short run.
 
 DoF-step accounting: one unit = one DoF advanced through one forward-or-
-adjoint step. The estimate work (forward recompute + two half-step solves
-per step) rides inside the adjoint sweep and is NOT credited — the metric
-stays conservative.
+adjoint step. The estimate work (forward recompute + two half-step solves +
+the half-step transpose pair per step) rides inside the adjoint sweep and is
+NOT credited in the headline number; a second, clearly-labelled
+``dof_steps_per_sec_credited`` figure counts it.
+
+Also reported: effectivity parity measured ON this benchmark problem
+(K=10k/N=2, same dt, f64 CPU subprocess) against a half-step truth march,
+and the reference's largest compute — the 100k-IC vmapped fwd+adj+indicator
+ensemble (Main_variable_params.py:234,330-341).
 """
 import json
 import sys
@@ -94,13 +100,24 @@ def main():
     dof_steps = dof * (2 * n_steps)  # forward sweep + adjoint sweep
     throughput = dof_steps / best
     j_value, sum_eta = extract(res)
+    # step-doubling accounting: each reverse step also recomputes 1 forward
+    # step and runs 2 half steps + 2 half transpose steps — 5 extra
+    # step-equivalents of real work per adjoint step, here credited in a
+    # clearly-labelled second figure (the headline stays conservative)
+    throughput_credited = dof * (7 * n_steps) / best
 
-    # baseline: short NumPy run on host CPU
-    base = numpy_advec_fwd_adj_baseline(disc, a, dt, n_steps=8)
+    # baseline: NumPy element pipeline on the host CPU, pinned with a longer
+    # run (best of 2×16 steps; the old 8-step sample wobbled 250-320×)
+    base = numpy_advec_fwd_adj_baseline(disc, a, dt, n_steps=16)
+    base2 = numpy_advec_fwd_adj_baseline(disc, a, dt, n_steps=16)
+    baseline_dsps = max(base.dof_steps_per_sec, base2.dof_steps_per_sec)
 
-    # effectivity parity (the north star's second metric): |Σres·v − (J(u_H)−J(u_h))|
-    # for the linear case, computed at float64 in a CPU subprocess (x64 must
-    # be set before jax init; this process is pinned to the TPU at f32)
+    # ---- effectivity parity ON the benchmark problem (north star metric 2):
+    # the same K=10k/N=2 discretisation and dt, f64 in a CPU subprocess
+    # (x64 must be set before jax touches an array; this process is pinned
+    # to the TPU at f32). u0 = sin(800x) gives a measurable time-error gap;
+    # J = ∫ u(T) over x∈[π, π+1]. Reports |Ση − (J(u_dt) − J(u_dt/2))|,
+    # absolute and relative to the gap.
     import subprocess
     import sys as _sys
 
@@ -108,31 +125,60 @@ def main():
         "import jax; jax.config.update('jax_platforms','cpu'); "
         "jax.config.update('jax_enable_x64', True)\n"
         "import sys; sys.path.insert(0, %r)\n"
-        "import jax.numpy as jnp\n"
-        "from adjoint_ode_adaptivity_tpu import odes, functionals as fnl\n"
-        "from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march\n"
-        "from adjoint_ode_adaptivity_tpu.adjoint import ("
-        "adjoint_march, refine_all, interp_to_fine, residual)\n"
-        "ode = odes.get_ode('du/dt=u'); step = euler_step(ode.f)\n"
-        "functional = fnl.get_functional('J=int(u)')\n"
-        "dt = jnp.full((32,), 2.0/32); u = forward_march(step, 1.0, dt)\n"
-        "dtf = refine_all(dt, 4); uf = interp_to_fine(u, dt, dtf)\n"
-        "k = jax.grad(functional.value)(uf, dtf)\n"
-        "v = adjoint_march(step, uf, dtf, k)\n"
-        "res = residual(step, uf, dtf)\n"
-        "est = float(jnp.sum(res*v))\n"
-        "um = forward_march(step, 1.0, dtf)\n"
-        "gap = float(functional.value(uf, dtf) - functional.value(um, dtf))\n"
-        "print(abs(est - gap))\n"
-    ) % (__file__.rsplit("/", 1)[0],)
+        "import jax.numpy as jnp, numpy as np\n"
+        "from jax import lax\n"
+        "from adjoint_ode_adaptivity_tpu.ops import startup_1d\n"
+        "from adjoint_ode_adaptivity_tpu.march.advec import advec_operators\n"
+        "from adjoint_ode_adaptivity_tpu.adjoint.advec import ("
+        "advec_fwd_adj_estimate, lsrk_step, terminal_integral_cotangent)\n"
+        "disc = startup_1d(%d, 0.0, 2*np.pi, %d)\n"
+        "a = 2*np.pi; dt = %r; n_steps = 64\n"
+        "ops = advec_operators(disc, a=a, dtype=jnp.float64)\n"
+        "u0 = jnp.asarray(np.sin(800*np.asarray(disc.x)), jnp.float64)\n"
+        "lam = terminal_integral_cotangent(disc, jnp.float64)\n"
+        "xc = np.mean(np.asarray(disc.x), axis=0)\n"
+        "lam = lam * jnp.asarray(((xc>=np.pi)&(xc<=np.pi+1.0)).astype(np.float64))[None,:]\n"
+        "res = advec_fwd_adj_estimate(ops, disc, u0, dt, n_steps, segment=8, lam_end=lam)\n"
+        "def half(u):\n"
+        "    def body(c, i):\n"
+        "        (u,) = c\n"
+        "        return (lsrk_step(ops, u, i*(dt/2), dt/2),), None\n"
+        "    (u,), _ = lax.scan(body, (u,), jnp.arange(2*n_steps))\n"
+        "    return u\n"
+        "gap = float(jnp.sum(lam*(res.u_final - half(u0))))\n"
+        "est = float(jnp.sum(res.eta))\n"
+        "print(abs(est-gap), abs(est-gap)/abs(gap), gap)\n"
+    ) % (__file__.rsplit("/", 1)[0], n_order, k_elems, dt)
+    eff_abs = eff_rel = eff_gap = None
     try:
         out = subprocess.run(
             [_sys.executable, "-c", eff_code], capture_output=True, text=True,
-            timeout=120,
+            timeout=600,
         )
-        effectivity_error = float(out.stdout.strip().split("\n")[-1])
+        eff_abs, eff_rel, eff_gap = (
+            float(v) for v in out.stdout.strip().split("\n")[-1].split()
+        )
     except Exception:
-        effectivity_error = None
+        pass
+
+    # ---- ensemble benchmark: vmapped fwd+adj+indicator over 100k ICs —
+    # the reference's largest compute (Main_variable_params.py:234,330-341)
+    from adjoint_ode_adaptivity_tpu.utils.benchmarks import ensemble_fd_pipeline
+
+    n_ics, ens_steps, ref_factor = 100_000, 16, 4
+    ens_fn, u0s = ensemble_fd_pipeline(n_ics, n_steps=ens_steps, ref_factor=ref_factor)
+    ens = ens_fn(u0s)
+    jax.block_until_ready(ens)
+    ens_best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ens = ens_fn(u0s)
+        jax.block_until_ready(ens)
+        ens_best = min(ens_best, time.perf_counter() - t0)
+    # fwd coarse + fine interp grid adjoint + residual ≈ (1 + 2·ref_factor)
+    # Euler-step-equivalents per coarse step per IC
+    ens_dof_steps = n_ics * ens_steps * (1 + 2 * ref_factor)
+    ens_throughput = ens_dof_steps / ens_best
 
     print(
         json.dumps(
@@ -140,15 +186,21 @@ def main():
                 "metric": "fwd+adjoint DoF-steps/sec (1D DG advection, K=10k, N=2)",
                 "value": throughput,
                 "unit": "DoF-steps/s",
-                "vs_baseline": throughput / base.dof_steps_per_sec,
+                "vs_baseline": throughput / baseline_dsps,
                 "elapsed_s": round(best, 4),
                 "n_steps": n_steps,
-                "baseline_dof_steps_per_sec": base.dof_steps_per_sec,
+                "baseline_dof_steps_per_sec": baseline_dsps,
                 "backend": jax.default_backend(),
                 "kernel": "pallas-fused" if on_tpu else "xla",
                 "j_value": j_value,
                 "sum_eta": sum_eta,
-                "effectivity_error_f64": effectivity_error,
+                "dof_steps_per_sec_credited": throughput_credited,
+                "effectivity_abs_error_f64": eff_abs,
+                "effectivity_rel_error_f64": eff_rel,
+                "effectivity_gap_f64": eff_gap,
+                "ensemble_ics_per_sec": n_ics / ens_best,
+                "ensemble_dof_steps_per_sec": ens_throughput,
+                "ensemble_n_ics": n_ics,
             }
         )
     )
