@@ -25,6 +25,11 @@ from adjoint_ode_adaptivity_tpu.adjoint.advec import (
     advec_fwd_adj_estimate,
     terminal_integral_cotangent,
 )
+from adjoint_ode_adaptivity_tpu.adjoint.revolve_vjp import (
+    checkpointed_advec_march,
+    checkpointed_march,
+    execute_revolve,
+)
 
 __all__ = [
     "dg_adjoint_march",
@@ -36,6 +41,9 @@ __all__ = [
     "advec_fwd_adj_estimate",
     "terminal_integral_cotangent",
     "adjoint_march",
+    "checkpointed_march",
+    "checkpointed_advec_march",
+    "execute_revolve",
     "adjoint_march_linearized",
     "adjoint_march_per_step",
     "adjoint_dense_oracle",
