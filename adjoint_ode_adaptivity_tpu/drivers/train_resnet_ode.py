@@ -24,10 +24,11 @@ import argparse
 import numpy as np
 
 
-def _ensemble_refinement_signal(net, params_stacked, dt, rf, u0s, trues):
+def _ensemble_refinement_signal(net, params_stacked, dt, rf, u0s, trues, n_active=None):
     """Mean per-coarse-step error indicator over the IC ensemble: vmapped
     forward/adjoint/residual with the terminal-error goal functional
-    (Main_variable_params.py:330-341)."""
+    (Main_variable_params.py:330-341). ``n_active`` (L,) switches to the
+    masked padded-capacity net (ResBlockSimpleMasked)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,8 +42,16 @@ def _ensemble_refinement_signal(net, params_stacked, dt, rf, u0s, trues):
     from adjoint_ode_adaptivity_tpu.functionals import terminal_abs_error
     from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
 
-    def net_step(u, t, d, p):
-        return net.apply({"params": p}, u, t, d)
+    if n_active is None:
+        def net_step(u, t, d, p):
+            return net.apply({"params": p}, u, t, d)
+
+    else:
+        params_stacked = (params_stacked, n_active)
+
+        def net_step(u, t, d, pm):
+            p, n_a = pm
+            return net.apply({"params": p}, u, t, d, n_a)
 
     dt_f = refine_all(dt, rf)
     fine_params = jax.tree_util.tree_map(
@@ -72,6 +81,9 @@ def main(argv=None):
     p.add_argument("--n-steps", type=int, default=2)
     p.add_argument("--t1", type=float, default=1.0)
     p.add_argument("--width", type=int, default=16)
+    p.add_argument("--width-capacity", type=int, default=0,
+                   help="padded neuron capacity for --method width "
+                        "(0 = width + maxit + 4)")
     p.add_argument("--ref-factor", type=int, default=4)
     p.add_argument("--epochs", type=int, default=200, help="epochs per outer iteration")
     p.add_argument("--maxit", type=int, default=5, help="outer refinement iterations")
@@ -133,8 +145,19 @@ def main(argv=None):
     t = jnp.linspace(0.0, args.t1, n_steps + 1)
     dt = jnp.diff(t)
 
-    net = models.ResBlockSimple(args.width)
-    p1 = net.init(rng, jnp.ones(1), 0.0, 0.1)["params"]
+    use_masked = args.method == "width"
+    if use_masked:
+        # padded-capacity masked net: width growth is an in-place scatter,
+        # shapes (and the compiled train step) never change
+        capacity = args.width_capacity or (args.width + args.maxit + 4)
+        net = models.ResBlockSimpleMasked(capacity)
+        p1 = net.init(rng, jnp.ones(1), 0.0, 0.1, jnp.asarray(args.width))["params"]
+        n_active = jnp.full((n_steps,), args.width, jnp.int32)
+    else:
+        capacity = args.width
+        net = models.ResBlockSimple(args.width)
+        p1 = net.init(rng, jnp.ones(1), 0.0, 0.1)["params"]
+        n_active = None
     stacked = jax.tree_util.tree_map(lambda l: jnp.stack([l] * n_steps), p1)
     tx = optax.adam(args.lr)
     state = create_train_state(stacked, tx)
@@ -162,6 +185,10 @@ def main(argv=None):
         state = create_train_state(p1, tx)
         train_step = make_shared_train_step(net, tx, dt)
         batch_size = max(8, args.n_train // 16)
+    elif use_masked:
+        from adjoint_ode_adaptivity_tpu.train import make_per_step_masked_train_step
+
+        train_step = make_per_step_masked_train_step(net, tx)
     else:
         train_step = make_per_step_train_step(net, tx)
 
@@ -181,12 +208,27 @@ def main(argv=None):
             import json as _json
             from pathlib import Path as _Path
 
-            # the meta sidecar records the grid size so the restore template
-            # has the right shapes even after depth refinements
+            # the meta sidecar records the grid size AND the padded neuron
+            # capacity so the restore template has the right shapes after
+            # both depth refinements and width growth (width growth never
+            # changes shapes — capacity is the allocation)
             meta_path = _Path(args.checkpoint_dir) / "meta.json"
-            ck_steps = n_steps
+            ck_steps, ck_capacity = n_steps, capacity
             if meta_path.exists():
-                ck_steps = int(_json.loads(meta_path.read_text())["n_steps"])
+                meta = _json.loads(meta_path.read_text())
+                ck_steps = int(meta["n_steps"])
+                ck_capacity = int(meta.get("capacity", capacity))
+            if use_masked and ck_capacity != capacity:
+                capacity = ck_capacity
+                net = models.ResBlockSimpleMasked(capacity)
+                p1 = net.init(
+                    rng, jnp.ones(1), 0.0, 0.1, jnp.asarray(args.width)
+                )["params"]
+                from adjoint_ode_adaptivity_tpu.train import (
+                    make_per_step_masked_train_step as _mk_masked,
+                )
+
+                train_step = _mk_masked(net, tx)
             t_tpl = jnp.linspace(0.0, args.t1, ck_steps + 1)
             if use_shared:
                 stacked_tpl = p1  # shared method: one unstacked parameter set
@@ -201,6 +243,8 @@ def main(argv=None):
                 "times": t_tpl,
                 "it": jnp.asarray(0),
             }
+            if use_masked:
+                template["n_active"] = jnp.full((ck_steps,), args.width, jnp.int32)
             try:
                 restored = restore_checkpoint(args.checkpoint_dir, template, last)
                 state = state_tpl._replace(
@@ -210,6 +254,8 @@ def main(argv=None):
                 dt = jnp.diff(t)
                 it = int(restored["it"]) + 1
                 n_steps = len(dt)
+                if use_masked:
+                    n_active = restored["n_active"]
                 if use_shared:
                     from adjoint_ode_adaptivity_tpu.train import (
                         make_shared_train_step as _mk_shared,
@@ -234,11 +280,20 @@ def main(argv=None):
                 )
                 for b in range(u0_b.shape[0]):
                     state, loss = train_step(state, u0_b[b], true_b[b])
+            elif use_masked:
+                state, loss = train_step(state, dt, n_active, u0_train, true_train)
             else:
                 state, loss = train_step(state, dt, u0_train, true_train)
-            err = evaluate(
-                net, state.params, dt, u0_test, true_test, per_step=not use_shared
-            )
+            if use_masked:
+                from adjoint_ode_adaptivity_tpu.train import evaluate_masked
+
+                err = evaluate_masked(
+                    net, state.params, n_active, dt, u0_test, true_test
+                )
+            else:
+                err = evaluate(
+                    net, state.params, dt, u0_test, true_test, per_step=not use_shared
+                )
             logger.log({"Epoch": ep + ep_total, "Loss": loss, "Error": err,
                         "Refinements": it})
             loss_hist = jnp.concatenate([loss_hist[1:], loss[None]])
@@ -262,7 +317,8 @@ def main(argv=None):
         else:
             sig_params = state.params
         err_steps = _ensemble_refinement_signal(
-            net, sig_params, dt, args.ref_factor, u0_train[:sig_n], true_train[:sig_n]
+            net, sig_params, dt, args.ref_factor, u0_train[:sig_n],
+            true_train[:sig_n], n_active=n_active,
         )
         err_total = float(jnp.sum(err_steps))
         idx = int(jnp.argmax(err_steps)) + 1
@@ -289,41 +345,37 @@ def main(argv=None):
                     state.params, idx, mode=mode, key=jrand.PRNGKey(len(t))
                 )
                 state = create_train_state(new_params, tx)
+                if use_masked:
+                    n_active = models.insert_step_params(n_active, idx)
             n_steps += 1
             what = f"depth insert at {idx}"
         else:
-            # width growth on the worst-fit layer (first hidden step here)
-            def net_step(u, tt, d, pp):
-                return net.apply({"params": pp}, u, tt, d)
-
+            # reference-faithful width growth: adaptWidth over EVERY step's
+            # parameters in place (Main_width_ref.py:225-312) — hidden layers
+            # bin per-layer knot losses, the last layer bins the terminal
+            # prediction error; trained weights of every step are preserved,
+            # grown steps get fresh optimizer moments; no retrace.
             from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+            from adjoint_ode_adaptivity_tpu.train.loop import _masked_net_step_fn
 
+            step_fn = _masked_net_step_fn(net)
             u_arr = jax.vmap(
                 lambda u0: forward_march_per_step(
-                    net_step, jnp.atleast_1d(u0), dt, state.params
+                    step_fn, jnp.atleast_1d(u0), dt, (state.params, n_active)
                 )
-            )(u0_train[:sig_n])
-            losses = jax.vmap(
-                lambda u, tr: jnp.square(jnp.squeeze(u[-1]) - tr)
-            )(u_arr, true_train[:sig_n])
-            layer0 = jax.tree_util.tree_map(lambda l: l[0], state.params)
-            grown, inserted = models.grow_width(
-                layer0, jnp.squeeze(u_arr[:, 0]), losses, tol=args.width_tol
+            )(u0_train[:sig_n])[..., 0]
+            grown, n_active_new, inserted = models.grow_width_all_steps(
+                state.params, n_active, u_arr, true_train[:sig_n],
+                tol=args.width_tol,
             )
-            if inserted:
-                # width change alters shapes: rebuild net at the new width and
-                # re-init the other steps from the grown layer
-                new_width = grown["bias"].shape[0]
-                net = models.ResBlockSimple(new_width)
-                stacked = jax.tree_util.tree_map(
-                    lambda l: jnp.stack([l] * n_steps), grown
+            if bool(jnp.any(inserted)):
+                opt_state = models.zero_step_moments(state.opt_state, inserted)
+                state = state._replace(params=grown, opt_state=opt_state)
+                n_active = n_active_new
+                what = (
+                    f"width grow at steps {np.flatnonzero(np.asarray(inserted)).tolist()}"
+                    f" -> n_active={np.asarray(n_active).tolist()}"
                 )
-                state = create_train_state(stacked, tx)
-                if not use_mixed:
-                    train_step = make_per_step_train_step(net, tx)
-                else:
-                    train_step = make_mixed_loss_train_step(net, tx)
-                what = f"width grow -> {new_width}"
             else:
                 what = "no growth (below tol)"
 
@@ -342,15 +394,16 @@ def main(argv=None):
 
             from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
 
-            save_checkpoint(
-                args.checkpoint_dir,
-                it,
-                {"params": state.params, "opt_state": state.opt_state,
-                 "times": t, "it": it},
-            )
-            # sidecar: grid size for shape-correct resume templates
+            ck = {"params": state.params, "opt_state": state.opt_state,
+                  "times": t, "it": it}
+            if use_masked:
+                ck["n_active"] = n_active
+            save_checkpoint(args.checkpoint_dir, it, ck)
+            # sidecar: grid size + padded capacity for shape-correct resume
+            # templates (the capacity, not the original --width: width growth
+            # is in-place so shapes are always (capacity,...))
             (_Path(args.checkpoint_dir) / "meta.json").write_text(
-                _json.dumps({"n_steps": int(len(dt)), "width": int(args.width)})
+                _json.dumps({"n_steps": int(len(dt)), "capacity": int(capacity)})
             )
         it += 1
 

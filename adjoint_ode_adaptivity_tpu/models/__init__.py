@@ -3,6 +3,7 @@
 from adjoint_ode_adaptivity_tpu.models.blocks import (
     ResBlock,
     ResBlockSimple,
+    ResBlockSimpleMasked,
     ResNetBlock,
     ResNetODE,
     SingleNeuronLayers,
@@ -11,15 +12,23 @@ from adjoint_ode_adaptivity_tpu.models.blocks import (
 )
 from adjoint_ode_adaptivity_tpu.models.surgery import (
     bin_losses,
+    bin_losses_padded,
     grow_width,
+    grow_width_all_steps,
+    grow_width_padded,
     insert_neuron,
+    insert_neuron_padded,
     insert_step_params,
     insert_step_params_padded,
+    layer_knot_losses,
+    sort_neurons_padded,
+    zero_step_moments,
 )
 
 __all__ = [
     "SingleNeuronLayers",
     "ResBlockSimple",
+    "ResBlockSimpleMasked",
     "ResBlock",
     "ResNetBlock",
     "ResNetODE",
@@ -30,4 +39,11 @@ __all__ = [
     "bin_losses",
     "insert_neuron",
     "grow_width",
+    "sort_neurons_padded",
+    "layer_knot_losses",
+    "bin_losses_padded",
+    "insert_neuron_padded",
+    "grow_width_padded",
+    "grow_width_all_steps",
+    "zero_step_moments",
 ]

@@ -15,8 +15,11 @@ TPU-first notes: ``ResNetODE`` here runs its per-step blocks under
 ``lax.scan`` over a *stacked* parameter pytree instead of Python-unrolled
 ``.at[l].set`` loops — one compiled block regardless of depth, and depth
 insertion is a pytree scatter (models/surgery.py) rather than a retrace.
-Widths are static per module instance; width growth uses padded parameters
-with a neuron mask (see surgery.grow_width) so jit caches survive surgery.
+``ResBlockSimple`` widths are static per module instance (dynamic-shape
+surgery via surgery.grow_width); ``ResBlockSimpleMasked`` allocates a fixed
+neuron *capacity* with a per-call active count so width growth is a
+static-shape scatter (surgery.grow_width_padded) and jit caches survive
+surgery.
 """
 from __future__ import annotations
 
@@ -30,6 +33,7 @@ __all__ = [
     "sorted_bias_init",
     "SingleNeuronLayers",
     "ResBlockSimple",
+    "ResBlockSimpleMasked",
     "ResBlock",
     "ResNetBlock",
     "ResNetODE",
@@ -89,6 +93,39 @@ class ResBlockSimple(nn.Module):
         w2 = self.param("weights2", default_kernel_init, (d, self.features), self.param_dtype)
         f = u[None, :] - bias  # (F, d)
         f = self.activation(w1 * f)
+        f = jnp.einsum("df,fd->d", w2, f)
+        out = u + f * dt_n
+        return out.reshape(u_in.shape)
+
+
+class ResBlockSimpleMasked(nn.Module):
+    """``ResBlockSimple`` with a fixed neuron *capacity* and a per-call
+    active-neuron count: ``u + W2 @ (m ⊙ σ(W1 ⊙ (u − b))) · dt`` with
+    ``m = arange(capacity) < n_active``.
+
+    Inactive slots contribute nothing to the output AND receive exactly zero
+    gradient (the mask multiplies the activation), so padded parameters and
+    adam moments stay frozen at their fill values. Width surgery
+    (surgery.grow_width_padded) bumps ``n_active`` and scatters the new
+    neuron in place — the compiled train step never retraces
+    (Main_width_ref.py:225-312 rebuilds modules and shapes instead).
+    """
+
+    capacity: int
+    activation: Callable = nn.relu
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, u_n, t_n, dt_n, n_active):
+        u_in = jnp.asarray(u_n)
+        u = jnp.atleast_1d(u_in)
+        d = u.shape[-1]
+        bias = self.param("bias", sorted_bias_init, (self.capacity, d), self.param_dtype)
+        w1 = self.param("weights1", default_kernel_init, (self.capacity, d), self.param_dtype)
+        w2 = self.param("weights2", default_kernel_init, (d, self.capacity), self.param_dtype)
+        mask = (jnp.arange(self.capacity) < n_active).astype(u.dtype)[:, None]
+        f = u[None, :] - bias  # (capacity, d)
+        f = mask * self.activation(w1 * f)
         f = jnp.einsum("df,fd->d", w2, f)
         out = u + f * dt_n
         return out.reshape(u_in.shape)

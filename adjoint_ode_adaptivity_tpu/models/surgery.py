@@ -31,7 +31,16 @@ __all__ = [
     "bin_losses",
     "insert_neuron",
     "grow_width",
+    "sort_neurons_padded",
+    "layer_knot_losses",
+    "bin_losses_padded",
+    "insert_neuron_padded",
+    "grow_width_padded",
+    "grow_width_all_steps",
+    "zero_step_moments",
 ]
+
+_BIG = 1e30  # sentinel distance for inactive neuron slots
 
 
 def insert_step_params(
@@ -182,3 +191,194 @@ def grow_width(
         bias, w1, w2, jnp.asarray(k), u_bins[k], new_weight
     )
     return {"bias": b_new[:, None], "weights1": w1_new, "weights2": w2_new}, True
+
+
+# --------------------------------------------------------------------------
+# Static-shape (padded-capacity) width machinery: parameters are allocated at
+# a fixed neuron capacity F; ``n_active`` counts the live slots (always the
+# first n_active, sorted by bias). Every operation below is a jnp.where /
+# gather at static shapes, so the whole growth step jits once and the train
+# step never retraces — the TPU-native form of adaptWidth
+# (Main_width_ref.py:225-312), preserving every trained weight in place.
+# --------------------------------------------------------------------------
+
+
+def sort_neurons_padded(params_l: dict, n_active: jnp.ndarray) -> dict:
+    """Re-establish the sorted-by-bias invariant for one layer's padded
+    parameters {'bias': (F,d), 'weights1': (F,d), 'weights2': (d,F)}:
+    active slots first, ascending bias (training can unsort them — the
+    reference argsorts on every adaptWidth call, Main_width_ref.py:230-233).
+    """
+    f = params_l["bias"].shape[0]
+    active = jnp.arange(f) < n_active
+    key = jnp.where(active, params_l["bias"][:, 0], _BIG)
+    order = jnp.argsort(key)
+    return {
+        "bias": params_l["bias"][order],
+        "weights1": params_l["weights1"][order],
+        "weights2": params_l["weights2"][:, order],
+    }
+
+
+def layer_knot_losses(u_samples: jnp.ndarray, bias: jnp.ndarray, n_active):
+    """Masked ``layerLoss`` (Main_width_ref.py:146-150): per sample, the
+    squared distance to the nearest *active* bias knot. ``bias`` is the 1-d
+    knot vector (F,). Returns (B,) — the hidden-layer refinement signal."""
+    f = bias.shape[0]
+    active = jnp.arange(f) < n_active
+    d = jnp.square(u_samples[:, None] - bias[None, :])
+    d = jnp.where(active[None, :], d, _BIG)
+    return jnp.min(d, axis=1)
+
+
+def bin_losses_padded(
+    u_samples: jnp.ndarray,
+    losses: jnp.ndarray,
+    bias: jnp.ndarray,
+    n_active,
+):
+    """Static-shape ``fillBins`` (Main_width_ref.py:214-222) over F+1 bin
+    slots; bins beyond ``n_active + 1`` are dead (count 0, loss −BIG so
+    argmax never picks them). ``bias`` must be sorted with actives first."""
+    f = bias.shape[0]
+    active = jnp.arange(f) < n_active
+    d = jnp.square(u_samples[:, None] - bias[None, :])
+    d = jnp.where(active[None, :], d, _BIG)
+    i = jnp.argmin(d, axis=1)
+    sgn = jnp.sign(u_samples - bias[i, 0] if bias.ndim == 2 else u_samples - bias[i])
+    k = i + jnp.where(sgn > 0, 0, -1) + 1
+    n_bins = f + 1
+    counts = jax.ops.segment_sum(jnp.ones_like(u_samples), k, n_bins)
+    u_sum = jax.ops.segment_sum(u_samples, k, n_bins)
+    l_sum = jax.ops.segment_sum(losses, k, n_bins)
+    safe = jnp.where(counts > 0, counts, 1.0)
+    valid = jnp.arange(n_bins) <= n_active
+    l_mean = jnp.where(valid, l_sum / safe, -_BIG)
+    return counts, u_sum / safe, l_mean
+
+
+def insert_neuron_padded(
+    params_l: dict,
+    n_active: jnp.ndarray,
+    k: jnp.ndarray,
+    new_bias: jnp.ndarray,
+    new_weight: float = 1e-5,
+    do_insert=True,
+) -> tuple[dict, jnp.ndarray]:
+    """Static-shape neuron insertion at sorted position ``k``: slots ≥ k
+    shift right by one (the last padding slot falls off), slot k gets
+    (bias ← new_bias, W1 row ← new_weight, W2 column ← new_weight), and
+    ``n_active`` bumps — Main_width_ref.py:283-300 without the reshape.
+    ``do_insert=False`` makes the whole thing an exact identity (so the
+    growth decision can be a traced bool)."""
+    do = jnp.asarray(do_insert) & (n_active < params_l["bias"].shape[0])
+
+    f = params_l["bias"].shape[0]
+    pos = jnp.arange(f)
+
+    def shift_rows(leaf, new_row):
+        new_row = jnp.asarray(new_row).astype(leaf.dtype)  # keep param dtype
+        shifted = leaf[jnp.maximum(pos - 1, 0)]
+        out = jnp.where((pos < k)[:, None], leaf, shifted)
+        out = jnp.where((pos == k)[:, None], new_row, out)
+        return jnp.where(do, out, leaf)
+
+    d = params_l["bias"].shape[1]
+    bias = shift_rows(params_l["bias"], jnp.broadcast_to(new_bias, (d,)))
+    w1 = shift_rows(params_l["weights1"], jnp.full((d,), new_weight))
+    w2t = shift_rows(
+        params_l["weights2"].T, jnp.full((d,), new_weight)
+    )
+    return (
+        {"bias": bias, "weights1": w1, "weights2": w2t.T},
+        n_active + do.astype(n_active.dtype),
+    )
+
+
+def grow_width_padded(
+    params_l: dict,
+    n_active: jnp.ndarray,
+    u_samples: jnp.ndarray,
+    losses: jnp.ndarray,
+    *,
+    tol: float = 5e-5,
+    new_weight: float = 1e-5,
+):
+    """One layer's full adaptWidth step at static shapes, jittable: sort by
+    bias, bin the samples, and insert a neuron at the worst bin (bias ← bin
+    mean u) iff its mean loss exceeds ``tol`` and capacity remains.
+
+    Returns (params_l, n_active, inserted) — ``inserted`` is a traced bool.
+    """
+    srt = sort_neurons_padded(params_l, n_active)
+    _, u_bins, l_bins = bin_losses_padded(
+        u_samples, losses, srt["bias"][:, 0], n_active
+    )
+    k = jnp.argmax(l_bins)
+    do = l_bins[k] > tol
+    params_new, n_new = insert_neuron_padded(
+        srt, n_active, k, u_bins[k], new_weight, do_insert=do
+    )
+    inserted = n_new > n_active
+    # no growth ⇒ bit-identical parameters (not even re-sorted), so other
+    # layers' trained weights and optimizer moments stay aligned exactly
+    params_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(inserted, a, b), params_new, params_l
+    )
+    return params_out, n_new, inserted
+
+
+def grow_width_all_steps(
+    params_stacked: dict,
+    n_active: jnp.ndarray,
+    u_states: jnp.ndarray,
+    trues: jnp.ndarray,
+    *,
+    tol: float = 5e-5,
+    new_weight: float = 1e-5,
+):
+    """Reference-faithful adaptWidth over *every* step's parameters in place
+    (Main_width_ref.py:225-312): hidden layers bin the per-layer knot losses
+    ``min_j (u_l − b_j)²`` of the state entering the layer
+    (``layerLoss`` :146-150); the last layer bins the terminal prediction
+    error by the state entering it (``lastLayerLoss`` :153-157). Each layer
+    grows independently; all trained weights of every step are preserved.
+
+    ``params_stacked``: stacked layer pytree with leading axis L;
+    ``n_active``: (L,) int; ``u_states``: (B, L+1) trajectory states;
+    ``trues``: (B,) terminal truth. Returns (params, n_active, inserted(L,)).
+    One vmapped, jittable scatter — no retraces, no shape changes.
+    """
+    l_steps = params_stacked["bias"].shape[0]
+    u_in = jnp.swapaxes(u_states[:, :-1], 0, 1)  # (L, B) states entering layer l
+    u_last = u_states[:, -1]
+    pred_losses = jnp.square(u_last - trues)  # (B,)
+    is_last = jnp.arange(l_steps) == l_steps - 1
+
+    def per_step(params_l, n_a, u_l, last):
+        srt = sort_neurons_padded(params_l, n_a)
+        knot = layer_knot_losses(u_l, srt["bias"][:, 0], n_a)
+        losses = jnp.where(last, pred_losses, knot)
+        return grow_width_padded(
+            params_l, n_a, u_l, losses, tol=tol, new_weight=new_weight
+        )
+
+    return jax.vmap(per_step)(params_stacked, n_active, u_in, is_last)
+
+
+def zero_step_moments(opt_state: Any, inserted: jnp.ndarray) -> Any:
+    """Fresh optimizer moments for the steps that grew: the reference
+    re-inits the grown layer's optimizer state (Main_width_ref.py:302-303,
+    266-267); with one stacked optimizer, that is zeroing the grown steps'
+    moment slices (adam moments init to zero). Leaves without the stacked
+    leading axis (e.g. the shared adam ``count`` — a documented deviation:
+    the reference keeps per-layer counts) pass through."""
+    l_steps = inserted.shape[0]
+
+    def z(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == l_steps:
+            sel = inserted.reshape((l_steps,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(sel, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(z, opt_state)

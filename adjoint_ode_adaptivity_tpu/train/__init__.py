@@ -9,7 +9,9 @@ from adjoint_ode_adaptivity_tpu.train.loop import (
     TrainState,
     create_train_state,
     evaluate,
+    evaluate_masked,
     make_mixed_loss_train_step,
+    make_per_step_masked_train_step,
     make_per_step_train_step,
     make_shared_train_step,
 )
@@ -28,8 +30,10 @@ __all__ = [
     "create_train_state",
     "make_shared_train_step",
     "make_per_step_train_step",
+    "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
     "evaluate",
+    "evaluate_masked",
     "rk4_truth",
     "make_batches",
     "train_test_split",

@@ -37,8 +37,10 @@ __all__ = [
     "create_train_state",
     "make_shared_train_step",
     "make_per_step_train_step",
+    "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
     "evaluate",
+    "evaluate_masked",
 ]
 
 
@@ -104,6 +106,57 @@ def make_per_step_train_step(net, tx: optax.GradientTransformation):
         return TrainState(params, opt_state, state.step + 1), loss
 
     return train_step
+
+
+def _masked_net_step_fn(net) -> Callable:
+    """Per-step fn for ResBlockSimpleMasked: the scanned pytree is
+    (params_n, n_active_n)."""
+
+    def step(u, t, dt, pm):
+        p, n_a = pm
+        return net.apply({"params": p}, u, t, dt, n_a)
+
+    return step
+
+
+def make_per_step_masked_train_step(net, tx: optax.GradientTransformation):
+    """Per-step train step for padded-capacity masked nets
+    (models.ResBlockSimpleMasked): ``n_active`` (L,) is a traced argument, so
+    one compiled step serves every width the capacity admits — width surgery
+    (surgery.grow_width_padded) never retraces. Gradients flow to parameters
+    only; inactive slots get exactly zero gradient through the mask."""
+    step_fn = _masked_net_step_fn(net)
+
+    def loss_one(params_stacked, n_active, dt, u0, true):
+        u = forward_march_per_step(step_fn, u0, dt, (params_stacked, n_active))
+        return terminal_mse(u, true)
+
+    @jax.jit
+    def train_step(state: TrainState, dt, n_active, u0_batch, true_batch):
+        def batch_loss(params):
+            losses = jax.vmap(loss_one, in_axes=(None, None, None, 0, 0))(
+                params, n_active, dt, u0_batch, true_batch
+            )
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+@partial(jax.jit, static_argnames=("net",))
+def evaluate_masked(net, params, n_active, dt, u0s, trues):
+    """``evaluate`` for padded-capacity masked nets."""
+    step_fn = _masked_net_step_fn(net)
+
+    def one(u0, true):
+        u = forward_march_per_step(step_fn, u0, dt, (params, n_active))
+        return terminal_mse(u, true)
+
+    return jnp.mean(jax.vmap(one)(u0s, trues))
 
 
 def make_mixed_loss_train_step(net, tx: optax.GradientTransformation):

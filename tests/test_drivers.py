@@ -78,6 +78,65 @@ class TestSweep:
         assert (tmp_path / "cmds.txt").exists()
 
 
+class TestNewLossMethod:
+    def test_new_loss_smoke(self, tmp_path, monkeypatch, capsys):
+        # Main_new_loss.py end-to-end: trajectory/trapezoid loss with the
+        # ramped terminal mix, one refinement iteration
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        state, t = main([
+            "--method", "new_loss", "--epochs", "3", "--maxit", "1",
+            "--n-train", "16", "--n-test", "4", "--width", "4", "--quiet",
+        ])
+        out = capsys.readouterr().out
+        assert "outer it 0" in out and "outer it 1" in out
+        assert np.all(np.isfinite(np.asarray(t)))
+        # the mixed ramp engages: weight is finite and follows the schedule
+        from adjoint_ode_adaptivity_tpu.train import mixed_ramp_weight
+
+        assert float(mixed_ramp_weight(0)) > 0
+
+    def test_ramp_schedule_values(self):
+        # 10**((it+1)//10 - 4), Main_new_loss.py:163-165
+        from adjoint_ode_adaptivity_tpu.train import mixed_ramp_weight
+
+        assert float(mixed_ramp_weight(0)) == pytest.approx(1e-4)
+        assert float(mixed_ramp_weight(9)) == pytest.approx(1e-3)
+        assert float(mixed_ramp_weight(19)) == pytest.approx(1e-2)
+
+
+class TestWidthMethod:
+    def test_width_grows_and_resumes(self, tmp_path, monkeypatch, capsys):
+        """Main_width_ref.py end-to-end: the padded-capacity width path
+        actually inserts neurons (in place, all steps' trained weights
+        preserved), and a post-growth checkpoint resumes with the grown
+        n_active instead of falling back to fresh."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        ckpt = str(tmp_path / "ckpt")
+        args = [
+            "--method", "width", "--epochs", "6", "--maxit", "0",
+            "--n-train", "16", "--n-test", "4", "--width", "4",
+            "--width-tol", "0", "--lr", "1e-2", "--seed", "1", "--quiet",
+            "--checkpoint-dir", ckpt,
+        ]
+        main(args)
+        out = capsys.readouterr().out
+        assert "width grow at steps" in out  # a neuron was inserted
+
+        # resume: must pick up the checkpoint (not 'starting fresh') and
+        # continue growing FROM the grown widths
+        args_resume = list(args)
+        args_resume[args_resume.index("--maxit") + 1] = "1"
+        main(args_resume + ["--resume"])
+        out = capsys.readouterr().out
+        assert "resumed from checkpoint" in out
+        assert "starting fresh" not in out
+        assert "n_active=[6, 6]" in out  # grew 4->5 in run 1, 5->6 here
+
+
 class TestDetectMethod:
     def test_detect_smoke(self, tmp_path, monkeypatch, capsys):
         monkeypatch.chdir(tmp_path)
