@@ -1,0 +1,17 @@
+"""Pallas TPU kernels for the DG hot loops."""
+
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+    PallasAdvecConfig,
+    make_pallas_advec_adjoint,
+    make_pallas_advec_march,
+    make_pallas_fwd_adj_estimate,
+    make_pallas_fwd_adj_estimate_grid,
+)
+
+__all__ = [
+    "PallasAdvecConfig",
+    "make_pallas_advec_march",
+    "make_pallas_advec_adjoint",
+    "make_pallas_fwd_adj_estimate",
+    "make_pallas_fwd_adj_estimate_grid",
+]

@@ -47,7 +47,8 @@ def ensemble_mean(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
         local = jax.vmap(lambda u0: fn(u0, *extras))(u0s)
         local_sum = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), local)
         total = jax.lax.psum(local_sum, axis)
-        n = jax.lax.psum(u0s.shape[0], axis)
+        # global count = local shard size × axis size (both static)
+        n = u0s.shape[0] * jax.lax.axis_size(axis)
         return jax.tree_util.tree_map(lambda x: x / n, total)
 
     def wrapper(u0s, *extras):
