@@ -4,15 +4,19 @@ from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
     AdaptResult,
     AdaptState,
     adapt_iteration,
+    backtrack_iteration,
     run_adaptive_fd,
     run_adaptive_fd_backtrack,
+    run_adaptive_fd_backtrack_padded,
 )
 from adjoint_ode_adaptivity_tpu.adapt.dg_loop import DGAdaptResult, run_adaptive_dg
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
     bisect_refine_masked,
     bisect_refine_padded,
+    bisect_refine_padded_masked,
     coarsen_merge,
+    coarsen_merge_padded,
     pad_times,
     plateau_detect,
     should_refine_depth,
@@ -26,6 +30,10 @@ __all__ = [
     "adapt_iteration",
     "run_adaptive_fd",
     "run_adaptive_fd_backtrack",
+    "run_adaptive_fd_backtrack_padded",
+    "backtrack_iteration",
+    "bisect_refine_padded_masked",
+    "coarsen_merge_padded",
     "bisect_refine_masked",
     "coarsen_merge",
     "pad_times",

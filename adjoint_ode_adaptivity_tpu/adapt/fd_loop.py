@@ -34,8 +34,10 @@ __all__ = [
     "AdaptState",
     "AdaptResult",
     "adapt_iteration",
+    "backtrack_iteration",
     "run_adaptive_fd",
     "run_adaptive_fd_backtrack",
+    "run_adaptive_fd_backtrack_padded",
 ]
 
 
@@ -148,6 +150,127 @@ def run_adaptive_fd(
             callback(result)
         state = result.state
         err = float(result.err_total)
+        it += 1
+    return history
+
+
+@partial(
+    jax.jit,
+    static_argnames=("step_fn", "functional_name", "ref_factor", "convention"),
+)
+def backtrack_iteration(
+    state: AdaptState,
+    blocked: jnp.ndarray,
+    u0,
+    step_fn: Callable,
+    functional_name: str,
+    ref_factor: int,
+    convention: str = "strided",
+):
+    """One backtrack-schedule iteration at static padded shapes: the full
+    solve + indicator, then a *masked* bisection (blocked intervals excluded
+    from the argmax). Returns (err_steps, err_total, times_new, n_active_new,
+    blocked_new, interval). Compiles once per padded size — the TPU-viable
+    form of the host-driven :func:`run_adaptive_fd_backtrack` solve."""
+    from adjoint_ode_adaptivity_tpu.adapt.policy import bisect_refine_padded_masked
+
+    functional = fnl.get_functional(functional_name)
+    t0 = state.times[0]
+    dt = jnp.diff(state.times)
+    u = forward_march(step_fn, u0, dt, t0)
+    dt_fine = refine_all(dt, ref_factor)
+    u_fine = interp_to_fine(u, dt, dt_fine, t0)
+    k_vec = _k_vector(functional, u_fine, dt_fine, state.n_active, ref_factor)
+    v = adjoint_march(step_fn, u_fine, dt_fine, k_vec, t0)
+    res = residual(step_fn, u_fine, dt_fine, t0)
+    err_steps = coarse_indicator(res * v, ref_factor, convention)
+    err_total = jnp.sum(err_steps)
+    times_new, n_active_new, blocked_new, interval = bisect_refine_padded_masked(
+        state.times, state.n_active, err_steps, blocked
+    )
+    return err_steps, err_total, times_new, n_active_new, blocked_new, interval
+
+
+def run_adaptive_fd_backtrack_padded(
+    step_fn: Callable,
+    u0: float,
+    t_span: tuple[float, float],
+    n_steps0: int = 2,
+    *,
+    functional_name: str = "J=int(u^2)",
+    ref_factor: int = 4,
+    tol: float = 1e-5,
+    maxit: int = 100,
+    convention: str = "strided",
+    coarsen_tol: float | None = None,
+    max_nodes: int | None = None,
+    dtype=None,
+) -> list[dict]:
+    """The backtrack schedule (insert / undo / block, optional coarsening) on
+    the padded static-shape machinery: every device computation compiles once
+    at ``max_nodes``; the host only runs the accept/backtrack control flow.
+    Semantics match :func:`run_adaptive_fd_backtrack` — refine at the masked
+    argmax; if the total estimate increased, undo the insert and permanently
+    block that interval (the blocked mask shifts with inserts/merges).
+    """
+    from adjoint_ode_adaptivity_tpu.adapt.policy import coarsen_merge_padded
+
+    if max_nodes is None:
+        max_nodes = n_steps0 + maxit + 2
+    dtype = dtype or jnp.asarray(0.0).dtype
+    times0 = jnp.linspace(t_span[0], t_span[1], n_steps0 + 1, dtype=dtype)
+    times, n_active = pad_times(times0, max_nodes)
+    state = AdaptState(times=times, n_active=n_active, it=jnp.asarray(0, jnp.int32))
+    blocked = jnp.zeros((max_nodes - 1,), bool)
+
+    history: list[dict] = []
+    prev_total = None
+    last_insert = None  # (times, n_active, blocked-with-interval-blocked)
+    it = 0
+    while it <= maxit:
+        err_steps, err_total, t_new, n_new, b_new, interval = backtrack_iteration(
+            state, blocked, u0, step_fn, functional_name, ref_factor, convention
+        )
+        total = float(err_total)
+        if prev_total is not None and last_insert is not None and total > prev_total:
+            # backtrack: revert to the pre-insert grid, block the interval
+            state, blocked = last_insert
+            last_insert = None
+            history.append({"it": it, "n_steps": int(state.n_active),
+                            "total": total, "action": "backtrack"})
+            it += 1
+            continue
+        prev_total = total
+        history.append({
+            "it": it,
+            "n_steps": int(state.n_active),
+            "times": np.asarray(state.times[: int(state.n_active) + 1]),
+            "err_steps": np.asarray(err_steps),
+            "total": total,
+            "action": "accept",
+        })
+        if total < tol:
+            break
+        if coarsen_tol is not None:
+            t_c, n_c, b_c, merged = coarsen_merge_padded(
+                state.times, state.n_active, err_steps, blocked, coarsen_tol
+            )
+            if bool(merged):
+                state = AdaptState(times=t_c, n_active=n_c, it=state.it)
+                blocked = b_c
+                it += 1
+                continue  # re-solve on the merged grid before refining
+        n_act = int(state.n_active)
+        if bool(jnp.all(blocked[:n_act])):
+            break  # every active interval blocked: no legal refinement left
+        # remember the pre-insert state with the chosen interval blocked, so
+        # a backtrack reverts AND blocks in one assignment
+        last_insert = (
+            state,
+            blocked.at[interval].set(True),
+        )
+        state = AdaptState(times=t_new, n_active=n_new, it=state.it + 1)
+        blocked = b_new
         it += 1
     return history
 

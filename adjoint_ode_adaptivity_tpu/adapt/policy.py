@@ -28,7 +28,9 @@ __all__ = [
     "bisect_refine",
     "bisect_refine_padded",
     "bisect_refine_masked",
+    "bisect_refine_padded_masked",
     "coarsen_merge",
+    "coarsen_merge_padded",
     "plateau_detect",
     "should_refine_depth",
 ]
@@ -95,6 +97,72 @@ def bisect_refine_masked(
         jnp.concatenate([times[:ref_idx], mid[None], times[ref_idx:]]),
         interval,
     )
+
+
+def bisect_refine_padded_masked(
+    times: jnp.ndarray,
+    n_active: jnp.ndarray,
+    err_steps: jnp.ndarray,
+    blocked: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-shape masked bisection for backtrack schedules: argmax over
+    active, unblocked intervals; the blocked mask shifts with the insert
+    (both children of the bisected interval start unblocked).
+
+    Returns (times_new, n_active_new, blocked_new, interval).
+    """
+    max_nodes = times.shape[0]
+    step_idx = jnp.arange(max_nodes - 1)
+    valid = (step_idx < n_active) & ~blocked
+    masked = jnp.where(valid, err_steps, -jnp.inf)
+    interval = jnp.argmax(masked)
+    ref_idx = interval + 1
+    mid = (times[ref_idx - 1] + times[ref_idx]) / 2.0
+    idx = jnp.arange(max_nodes)
+    shifted_t = times[jnp.maximum(idx - 1, 0)]
+    times_new = jnp.where(
+        idx < ref_idx, times, jnp.where(idx == ref_idx, mid, shifted_t)
+    )
+    shifted_b = blocked[jnp.maximum(step_idx - 1, 0)]
+    blocked_new = jnp.where(step_idx <= interval, blocked, shifted_b)
+    blocked_new = jnp.where(step_idx == interval + 1, False, blocked_new)
+    return times_new, n_active + 1, blocked_new, interval
+
+
+def coarsen_merge_padded(
+    times: jnp.ndarray,
+    n_active: jnp.ndarray,
+    err_steps: jnp.ndarray,
+    blocked: jnp.ndarray,
+    coarsen_tol: float,
+):
+    """Static-shape coarsening: merge the adjacent active step pair with the
+    smallest combined contribution when it is below ``coarsen_tol`` (shift
+    everything after the dropped node left by one; padding still repeats the
+    final time). The merged interval starts unblocked — a deliberate
+    deviation from the dynamic variant's persistent (t_l, t_r) block keys.
+
+    Returns (times_new, n_active_new, blocked_new, merged?).
+    """
+    max_nodes = times.shape[0]
+    step_idx = jnp.arange(max_nodes - 1)
+    pair_valid = step_idx + 1 < n_active
+    pair_sums = err_steps + jnp.where(
+        pair_valid, err_steps[jnp.minimum(step_idx + 1, max_nodes - 2)], jnp.inf
+    )
+    pair_sums = jnp.where(pair_valid, pair_sums, jnp.inf)
+    k = jnp.argmin(pair_sums)
+    do = (pair_sums[k] < coarsen_tol) & (n_active >= 2)
+
+    idx = jnp.arange(max_nodes)
+    shifted_t = times[jnp.minimum(idx + 1, max_nodes - 1)]
+    times_new = jnp.where(idx <= k, times, shifted_t)
+    times_new = jnp.where(do, times_new, times)
+    shifted_b = blocked[jnp.minimum(step_idx + 1, max_nodes - 2)]
+    blocked_new = jnp.where(step_idx < k, blocked, shifted_b)
+    blocked_new = jnp.where(step_idx == k, False, blocked_new)
+    blocked_new = jnp.where(do, blocked_new, blocked)
+    return times_new, n_active - do.astype(n_active.dtype), blocked_new, do
 
 
 def coarsen_merge(

@@ -525,3 +525,95 @@ class TestHigherOrderSteps:
             return functional.value(forward_march(fn, u0, dt), dt)
 
         np.testing.assert_allclose(v[0], jax.grad(j_of_u0)(1.0), rtol=1e-12)
+
+
+class TestBacktrackPadded:
+    def test_padded_masked_bisect_matches_dynamic(self):
+        from adjoint_ode_adaptivity_tpu.adapt import (
+            bisect_refine_masked,
+            bisect_refine_padded_masked,
+        )
+
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0, 2.0, 2.0])  # padded, 3 steps
+        err = jnp.asarray([0.1, 0.9, 0.4, 0.0, 0.0])
+        blocked = jnp.asarray([False, True, False, False, False])
+        t_new, n_new, b_new, interval = bisect_refine_padded_masked(
+            times, jnp.asarray(3), err, blocked
+        )
+        t_dyn, i_dyn = bisect_refine_masked(times[:4], err[:3], blocked[:3])
+        assert int(interval) == i_dyn == 2
+        np.testing.assert_allclose(t_new[: int(n_new) + 1], t_dyn)
+        # the blocked flag follows its interval through the shift
+        np.testing.assert_array_equal(
+            np.asarray(b_new[:4]), [False, True, False, False]
+        )
+
+    def test_padded_coarsen_matches_dynamic(self):
+        from adjoint_ode_adaptivity_tpu.adapt import (
+            coarsen_merge,
+            coarsen_merge_padded,
+        )
+
+        times = jnp.asarray([0.0, 0.5, 1.0, 2.0, 2.0])
+        err = jnp.asarray([1e-12, 1e-12, 0.5, 0.0])
+        blocked = jnp.asarray([False, False, True, False])
+        t_new, n_new, b_new, merged = coarsen_merge_padded(
+            times, jnp.asarray(3), err, blocked, 1e-6
+        )
+        assert bool(merged) and int(n_new) == 2
+        t_dyn = coarsen_merge(times[:4], err[:3], 1e-6)
+        np.testing.assert_allclose(t_new[: int(n_new) + 1], t_dyn)
+        # blocked flag of the surviving interval shifted left with it
+        np.testing.assert_array_equal(np.asarray(b_new[:2]), [False, True])
+        # below-tol pair absent -> identity
+        t_id, n_id, b_id, m_id = coarsen_merge_padded(
+            times, jnp.asarray(3), jnp.asarray([0.1, 0.1, 0.5, 0.0]), blocked, 1e-6
+        )
+        assert not bool(m_id)
+        np.testing.assert_array_equal(t_id, times)
+
+    def test_padded_backtrack_matches_dynamic_loop(self):
+        from adjoint_ode_adaptivity_tpu.adapt import (
+            run_adaptive_fd_backtrack,
+            run_adaptive_fd_backtrack_padded,
+        )
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import backtrack_iteration
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        kw = dict(n_steps0=2, maxit=10, tol=1e-4, coarsen_tol=1e-10)
+        h_dyn = run_adaptive_fd_backtrack(euler_step(ode.f), 1.0, (0.0, 2.0), **kw)
+        before = backtrack_iteration._cache_size()
+        h_pad = run_adaptive_fd_backtrack_padded(
+            euler_step(ode.f), 1.0, (0.0, 2.0), **kw
+        )
+        # identical accept/backtrack semantics: same actions and totals
+        assert [r["action"] for r in h_pad] == [r["action"] for r in h_dyn]
+        np.testing.assert_allclose(
+            [r["total"] for r in h_pad], [r["total"] for r in h_dyn], rtol=1e-10
+        )
+        for rp, rd in zip(h_pad, h_dyn):
+            if "times" in rp and "times" in rd:
+                np.testing.assert_allclose(rp["times"], rd["times"], rtol=1e-12)
+        # compile-once: the whole padded loop used ONE jit entry
+        assert backtrack_iteration._cache_size() - before == 1
+
+    def test_backtrack_revert_blocks_interval(self):
+        """The undo path: feed a hand-made estimate sequence through the
+        insert/revert host logic via the padded primitives."""
+        from adjoint_ode_adaptivity_tpu.adapt import bisect_refine_padded_masked
+
+        times = jnp.asarray([0.0, 1.0, 2.0, 2.0, 2.0])
+        n_active = jnp.asarray(2)
+        blocked = jnp.zeros((4,), bool)
+        err = jnp.asarray([0.5, 0.3, 0.0, 0.0])
+        t1, n1, b1, interval = bisect_refine_padded_masked(
+            times, n_active, err, blocked
+        )
+        assert int(interval) == 0 and int(n1) == 3
+        # pretend the total went UP: revert + block interval 0
+        blocked = blocked.at[int(interval)].set(True)
+        # next refinement must pick interval 1 instead
+        _, _, _, interval2 = bisect_refine_padded_masked(
+            times, n_active, err, blocked
+        )
+        assert int(interval2) == 1
