@@ -1,6 +1,7 @@
 """Multi-device scale-out: meshes, sharded ensembles, element-sharded DG."""
 
 from adjoint_ode_adaptivity_tpu.parallel.dg_shard import (
+    advec_fwd_adj_estimate_sharded,
     advec_march_sharded,
     advec_rhs_local,
 )
@@ -24,4 +25,5 @@ __all__ = [
     "ensemble_refinement_signal",
     "advec_rhs_local",
     "advec_march_sharded",
+    "advec_fwd_adj_estimate_sharded",
 ]

@@ -125,3 +125,37 @@ class TestShardedTraining:
             jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s0.params)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+class TestShardedEstimate:
+    def test_sharded_pipeline_equals_single_device(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+            advec_fwd_adj_estimate,
+            terminal_integral_cotangent,
+        )
+        from adjoint_ode_adaptivity_tpu.march.advec import advec_operators
+        from adjoint_ode_adaptivity_tpu.ops import startup_1d
+        from adjoint_ode_adaptivity_tpu.parallel import (
+            advec_fwd_adj_estimate_sharded,
+            make_mesh,
+        )
+
+        mesh = make_mesh({"space": 8})
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = advec_operators(disc, a=2 * np.pi, dtype=jnp.float64)
+        u0 = jnp.asarray(np.sin(disc.x))
+        lam = terminal_integral_cotangent(disc, jnp.float64)
+        dt, n_steps, segment = 5e-4, 16, 4
+
+        uf, lam0, eta, j = advec_fwd_adj_estimate_sharded(
+            ops, mesh, u0, lam, dt, n_steps, segment=segment
+        )
+        ref = advec_fwd_adj_estimate(ops, disc, u0, dt, n_steps, segment=segment)
+        np.testing.assert_allclose(uf, ref.u_final, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(lam0, ref.lam0, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(eta, ref.eta, rtol=1e-10, atol=1e-16)
+        # j is a tiny near-cancelling integral; psum changes summation order
+        np.testing.assert_allclose(float(j), float(ref.j_value), atol=1e-13)
