@@ -46,6 +46,8 @@ __all__ = [
     "make_pallas_advec_march",
     "make_pallas_advec_adjoint",
     "make_pallas_fwd_adj_estimate",
+    "make_pallas_fwd_adj_estimate_grid",
+    "make_pallas_fwd_adj_estimate_grid_batched",
 ]
 
 
@@ -634,5 +636,267 @@ def make_pallas_fwd_adj_estimate_grid(
             interpret=interpret,
         )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), lam_end, ckpts)
         return u_final, lam0, eta[0]
+
+    return run
+
+
+# --------------------------- batched single-launch grid pipeline (8× VPU)
+#
+# The unbatched kernels operate on (1, K) row slices: every vector op uses 1
+# of the 8 sublanes in each VPU register — the chip runs ≥87% empty. Stacking
+# B=8 independent states as (Np, B, K) makes every slice u[ii] a full (8, K)
+# tile: the same instruction count processes 8 marches at once. This is the
+# reference's ensemble axis (Main_variable_params.py:234 vmaps 100k ICs)
+# applied to the DG benchmark.
+
+
+def _shift_m1_b(x, k):
+    """out[..., j] = x[..., j+1] (logical left shift along lanes)."""
+    return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+
+
+def _shift_p1_b(x, k):
+    """out[..., j] = x[..., j−1]."""
+    return jnp.concatenate([x[..., k - 1 :], x[..., : k - 1]], axis=-1)
+
+
+def _lsrk_step_b(cfg, dr, lift, rk_ref, first, last, u, t, dt):
+    """One LSRK step on a batched state u: (Np, B, K); slices are (B, K)
+    full-height tiles. Math identical to _lsrk_step_loop."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+
+    def stage(s, carry):
+        u, resu = carry
+        ts = t + rk_ref[10 + s] * dt
+        u_l = u[0]  # (B, K)
+        u_r = u[np_ - 1]
+        u_l_nbr = _shift_p1_b(u_r, k)
+        u_r_nbr = _shift_m1_b(u_l, k)
+        uin = -jnp.sin(a * ts)
+        du_l = jnp.where(first, (u_l - uin) * fac_l, (u_l - u_l_nbr) * fac_l)
+        du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
+        rows = []
+        for ii in range(np_):
+            acc = dr[ii, 0] * u[0]
+            for jj in range(1, np_):
+                acc = acc + dr[ii, jj] * u[jj]
+            acc = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+            rows.append(acc)
+        rhs = jnp.stack(rows, axis=0)
+        resu = rk_ref[s] * resu + dt * rhs
+        u = u + rk_ref[5 + s] * resu
+        return (u, resu)
+
+    u, _ = jax.lax.fori_loop(0, 5, stage, (u, jnp.zeros_like(u)))
+    return u
+
+
+def _lsrk_step_t_b(cfg, dr, lift, rk_ref, first, last, lu, dt):
+    """Transpose step on a batched cotangent (Np, B, K)."""
+    np_, k, a = cfg.np_, cfg.k, cfg.a
+    fac_l = -a / 2.0 * cfg.fscale
+    fac_r = a / 2.0 * cfg.fscale
+
+    def stage(i, carry):
+        lu, lr = carry
+        s = 4 - i
+        w = rk_ref[5 + s] * lu + lr
+        lr = rk_ref[s] * w
+        w0 = lift[0, 0] * w[0]
+        w1 = lift[0, 1] * w[0]
+        for ii in range(1, np_):
+            w0 = w0 + lift[ii, 0] * w[ii]
+            w1 = w1 + lift[ii, 1] * w[ii]
+        s0 = w0 * fac_l
+        s1 = jnp.where(last, 0.0, w1 * fac_r)
+        p0 = jnp.where(last, 0.0, _shift_m1_b(s0, k))
+        p1 = jnp.where(first, 0.0, _shift_p1_b(s1, k))
+        rows = []
+        for ii in range(np_):
+            acc = dr[0, ii] * w[0]
+            for jj in range(1, np_):
+                acc = acc + dr[jj, ii] * w[jj]
+            acc = (-a * cfg.rx) * acc
+            if ii == 0:
+                acc = acc + s0 - p1
+            if ii == np_ - 1:
+                acc = acc + s1 - p0
+            rows.append(acc)
+        lu = lu + dt * jnp.stack(rows, axis=0)
+        return (lu, lr)
+
+    lu, _ = jax.lax.fori_loop(0, 5, stage, (lu, jnp.zeros_like(lu)))
+    return lu
+
+
+def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, rk_ref, u0_ref,
+                            ckpt_out, ufinal_out, u_scr):
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = u0_ref[:]
+
+    ckpt_out[0] = u_scr[:]
+    t0 = t0_ref[0] + (i * seg) * dt
+
+    def body(n, u):
+        return _lsrk_step_b(cfg, dr, lift, rk_ref, first, last, u, t0 + n * dt, dt)
+
+    u_scr[:] = jax.lax.fori_loop(0, seg, body, u_scr[:])
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        ufinal_out[:] = u_scr[:]
+
+
+def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, rk_ref, lam_ref,
+                           ckpt_ref, lam0_out, eta_out, traj, lu_scr, eta_scr):
+    """Batched reverse sweep: recompute the segment's (Np, B, K) states into
+    traj (leading-axis slots, each (B, K) block is one full tile set), then
+    sweep backward with the fine (half-step-squared) transpose."""
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    np_ = cfg.np_
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+    seg_idx = n_seg - 1 - i
+    t0 = t0_ref[0] + (seg_idx * seg) * dt
+
+    @pl.when(i == 0)
+    def _():
+        lu_scr[:] = lam_ref[:]
+        eta_scr[:] = jnp.zeros_like(eta_scr)
+
+    def fwd_body(n, u):
+        traj[pl.ds(n * np_, np_)] = u
+        return _lsrk_step_b(cfg, dr, lift, rk_ref, first, last, u, t0 + n * dt, dt)
+
+    u_final = jax.lax.fori_loop(0, seg, fwd_body, ckpt_ref[0])
+    traj[pl.ds(seg * np_, np_)] = u_final
+
+    def bwd_body(j, carry):
+        lu, eta = carry
+        n = seg - 1 - j
+        t_n = t0 + n * dt
+        u_n = traj[pl.ds(n * np_, np_)]
+        u_np1 = traj[pl.ds((n + 1) * np_, np_)]
+        half = _lsrk_step_b(cfg, dr, lift, rk_ref, first, last, u_n, t_n, dt / 2)
+        half2 = _lsrk_step_b(
+            cfg, dr, lift, rk_ref, first, last, half, t_n + dt / 2, dt / 2
+        )
+        r = u_np1 - half2
+        acc = lu[0] * r[0]
+        for ii in range(1, np_):
+            acc = acc + lu[ii] * r[ii]
+        eta = eta + acc
+        # fine (half-step-squared) transpose — exact effectivity identity
+        lu = _lsrk_step_t_b(cfg, dr, lift, rk_ref, first, last, lu, dt / 2)
+        lu = _lsrk_step_t_b(cfg, dr, lift, rk_ref, first, last, lu, dt / 2)
+        return (lu, eta)
+
+    lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu_scr[:], eta_scr[:]))
+    lu_scr[:] = lu
+    eta_scr[:] = eta
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        lam0_out[:] = lu
+        eta_out[:] = eta
+
+
+def make_pallas_fwd_adj_estimate_grid_batched(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    segment: int = 4,
+    n_segments: int = 512,
+    batch: int = 8,
+    interpret: bool = False,
+):
+    """Batched single-launch fused pipeline: B independent initial states
+    march + adjoint-sweep + estimate together, stacked on the sublane axis
+    so every VPU op runs at full register height (8× the per-op work of the
+    unbatched kernel at the same instruction count).
+
+    Returns ``run(u0, t0, lam_end) -> (u_final, lam0, eta)`` with
+    ``u0/lam_end``: (Np, B, K), ``eta``: (B, K) — exactly ``batch``
+    independent copies of the unbatched pipeline (tested equal).
+    VMEM: traj scratch (segment+1)·Np·B·K·4B — use segment=4 at the
+    north-star size (4.8 MB; segment=8 blows Mosaic's 16 MB scoped-VMEM
+    stack once the reverse-body temporaries are added).
+    """
+    rx, fs = _check_uniform(disc)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=segment, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+    np_, k, b = cfg.np_, cfg.k, batch
+
+    def run(u0, t0, lam_end):
+        fwd_kern = functools.partial(
+            _fwd_ckpt_grid_kernel_b, cfg, dr_host, lift_host, n_segments
+        )
+        ckpts, u_final = pl.pallas_call(
+            fwd_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_segments, np_, b, k), u0.dtype),
+                jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, np_, b, k), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), u0)
+
+        adj_kern = functools.partial(
+            _adj_est_grid_kernel_b, cfg, dr_host, lift_host, n_segments
+        )
+        lam0, eta = pl.pallas_call(
+            adj_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+                jax.ShapeDtypeStruct((b, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, np_, b, k),
+                    lambda i: (n_segments - 1 - i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(((segment + 1) * np_, b, k), jnp.float32),
+                pltpu.VMEM((np_, b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), lam_end, ckpts)
+        return u_final, lam0, eta
 
     return run

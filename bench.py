@@ -21,8 +21,15 @@ and the reference's largest compute — the 100k-IC vmapped fwd+adj+indicator
 ensemble (Main_variable_params.py:234,330-341).
 """
 import json
+import os
 import sys
 import time
+
+# the batched reverse kernel's VMEM stack (~16.4 MB of (Np,8,K) temporaries)
+# needs more than Mosaic's default 16 MB scoped limit; the TPU backend
+# initializes lazily, so setting this before first device use is sufficient
+# (verified) even though sitecustomize imports jax at interpreter startup
+os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=32768")
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
@@ -98,13 +105,52 @@ def main():
 
     dof = (n_order + 1) * k_elems
     dof_steps = dof * (2 * n_steps)  # forward sweep + adjoint sweep
-    throughput = dof_steps / best
+    throughput_single = dof_steps / best
+
+    # ---- batched pipeline: B=8 independent states stacked on the sublane
+    # axis so every VPU op runs at full register height (the unbatched
+    # kernel uses 1 of 8 sublanes — ~87% idle). Same per-state outputs
+    # (tested); throughput counts all B marches.
+    batch = 8
+    throughput_batched = batch_elapsed = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_batched,
+        )
+
+        # segment=4: the batched reverse kernel's VMEM stack (traj + body
+        # temporaries) must stay under Mosaic's 16 MB scoped limit
+        pipeline_b = make_pallas_fwd_adj_estimate_grid_batched(
+            disc, a, dt, segment=4, n_segments=n_steps // 4, batch=batch
+        )
+        phases = np.linspace(0.0, 2 * np.pi, batch, endpoint=False)
+        u0b = jnp.asarray(
+            np.stack([np.sin(np.asarray(disc.x) + p) for p in phases], axis=1),
+            dtype,
+        )
+        lam_b = jnp.broadcast_to(
+            lam_end[:, None, :], (n_order + 1, batch, k_elems)
+        )
+        run_b = jax.jit(lambda u: pipeline_b(u, jnp.float32(0.0), lam_b))
+        res_b = run_b(u0b)
+        jax.block_until_ready(res_b)
+        batch_elapsed = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_b = run_b(u0b)
+            jax.block_until_ready(res_b)
+            batch_elapsed = min(batch_elapsed, time.perf_counter() - t0)
+        throughput_batched = batch * dof_steps / batch_elapsed
+
+    throughput = throughput_batched or throughput_single
     j_value, sum_eta = extract(res)
     # step-doubling accounting: each reverse step also recomputes 1 forward
     # step and runs 2 half steps + 2 half transpose steps — 5 extra
     # step-equivalents of real work per adjoint step, here credited in a
     # clearly-labelled second figure (the headline stays conservative)
-    throughput_credited = dof * (7 * n_steps) / best
+    cred_elapsed = batch_elapsed if throughput_batched else best
+    cred_batch = batch if throughput_batched else 1
+    throughput_credited = cred_batch * dof * (7 * n_steps) / cred_elapsed
 
     # baseline: NumPy element pipeline on the host CPU, pinned with a longer
     # run (best of 2×16 steps; the old 8-step sample wobbled 250-320×)
@@ -187,7 +233,10 @@ def main():
                 "value": throughput,
                 "unit": "DoF-steps/s",
                 "vs_baseline": throughput / baseline_dsps,
-                "elapsed_s": round(best, 4),
+                "elapsed_s": round(batch_elapsed or best, 4),
+                "batch": batch if throughput_batched else 1,
+                "dof_steps_per_sec_single_state": throughput_single,
+                "elapsed_s_single_state": round(best, 4),
                 "n_steps": n_steps,
                 "baseline_dof_steps_per_sec": baseline_dsps,
                 "backend": jax.default_backend(),

@@ -149,3 +149,38 @@ class TestPallasGridPipeline:
         np.testing.assert_allclose(uf, ref.u_final, rtol=2e-4, atol=1e-6)
         np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
         np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
+
+
+class TestPallasBatchedGrid:
+    def test_batched_matches_b_independent_runs(self):
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        dt = 5e-4
+        seg, nseg, b = 4, 4, 8
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_batched,
+        )
+
+        rng = np.random.default_rng(7)
+        # batch of distinct ICs (different phases) stacked as (Np, B, K)
+        u0s = np.stack(
+            [np.sin(np.asarray(disc.x) + ph) for ph in rng.uniform(0, 6, b)],
+            axis=1,
+        ).astype(np.float32)
+        lam = terminal_integral_cotangent(disc, jnp.float32)
+        lam_b = jnp.broadcast_to(lam[:, None, :], (disc.np_, b, disc.k))
+
+        run = make_pallas_fwd_adj_estimate_grid_batched(
+            disc, A, dt, segment=seg, n_segments=nseg, batch=b, interpret=True
+        )
+        uf, lam0, eta = run(jnp.asarray(u0s), jnp.float32(0.0), lam_b)
+        assert uf.shape == (disc.np_, b, disc.k)
+        assert eta.shape == (b, disc.k)
+
+        for j in range(b):
+            ref = advec_fwd_adj_estimate(
+                ops, disc, jnp.asarray(u0s[:, j]), dt, seg * nseg, segment=seg
+            )
+            np.testing.assert_allclose(uf[:, j], ref.u_final, rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(lam0[:, j], ref.lam0, rtol=2e-3, atol=2e-5)
+            np.testing.assert_allclose(eta[j], ref.eta, rtol=5e-3, atol=1e-7)
