@@ -258,6 +258,11 @@ def run_adaptive_fd_backtrack_padded(
             if bool(merged):
                 state = AdaptState(times=t_c, n_active=n_c, it=state.it)
                 blocked = b_c
+                # a backtrack may only revert the IMMEDIATELY preceding
+                # insert; past a merge there is nothing to revert to (the
+                # dynamic loop re-solves and refines within one iteration,
+                # so it can never revert across a merge either)
+                last_insert = None
                 it += 1
                 continue  # re-solve on the merged grid before refining
         n_act = int(state.n_active)

@@ -356,8 +356,9 @@ def grow_width_all_steps(
     is_last = jnp.arange(l_steps) == l_steps - 1
 
     def per_step(params_l, n_a, u_l, last):
-        srt = sort_neurons_padded(params_l, n_a)
-        knot = layer_knot_losses(u_l, srt["bias"][:, 0], n_a)
+        # knot losses are permutation-invariant over the active slots, so
+        # the unsorted bias works; grow_width_padded sorts internally
+        knot = layer_knot_losses(u_l, params_l["bias"][:, 0], n_a)
         losses = jnp.where(last, pred_losses, knot)
         return grow_width_padded(
             params_l, n_a, u_l, losses, tol=tol, new_weight=new_weight

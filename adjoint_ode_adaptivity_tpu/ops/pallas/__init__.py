@@ -6,6 +6,7 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     make_pallas_advec_march,
     make_pallas_fwd_adj_estimate,
     make_pallas_fwd_adj_estimate_grid,
+    make_pallas_fwd_adj_estimate_grid_batched,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "make_pallas_advec_adjoint",
     "make_pallas_fwd_adj_estimate",
     "make_pallas_fwd_adj_estimate_grid",
+    "make_pallas_fwd_adj_estimate_grid_batched",
 ]

@@ -185,14 +185,14 @@ def advec_fwd_adj_estimate_sharded(
 
             def recompute(u, i):
                 t = t0 + (seg_idx * segment + i) * dt_
-                return step(u, t), (u, t)
+                u_next = step(u, t)
+                return u_next, (u, u_next, t)
 
-            _, (us, ts) = lax.scan(recompute, u_in, jnp.arange(segment))
+            _, (us, u_nexts, ts) = lax.scan(recompute, u_in, jnp.arange(segment))
 
             def rev_body(carry, xs):
                 lam, eta = carry
-                u_n, t_n = xs
-                u_np1 = step(u_n, t_n)  # recompute (bit-identical)
+                u_n, u_np1, t_n = xs
                 half = _lsrk_step_local(ops_local, u_n, t_n, dt_ / 2, axis)
                 half2 = _lsrk_step_local(
                     ops_local, half, t_n + dt_ / 2, dt_ / 2, axis
@@ -203,7 +203,9 @@ def advec_fwd_adj_estimate_sharded(
                 (lam,) = half_t(lam)
                 return (lam, eta), None
 
-            (lam, eta), _ = lax.scan(rev_body, (lam, eta), (us, ts), reverse=True)
+            (lam, eta), _ = lax.scan(
+                rev_body, (lam, eta), (us, u_nexts, ts), reverse=True
+            )
             return (lam, eta), None
 
         # eta starts as constant zeros but becomes shard-varying: mark it

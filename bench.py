@@ -144,13 +144,14 @@ def main():
 
     throughput = throughput_batched or throughput_single
     j_value, sum_eta = extract(res)
-    # step-doubling accounting: each reverse step also recomputes 1 forward
-    # step and runs 2 half steps + 2 half transpose steps — 5 extra
-    # step-equivalents of real work per adjoint step, here credited in a
-    # clearly-labelled second figure (the headline stays conservative)
+    # step-doubling accounting: per time step the kernels execute 6
+    # full-cost LSRK step-equivalents — 1 forward + (reverse) 1 recompute +
+    # 2 half steps + 2 half-transpose steps (the half-transposes ARE the
+    # adjoint propagation). Credited in a clearly-labelled second figure;
+    # the headline counts only 2 (fwd + adjoint) and stays conservative.
     cred_elapsed = batch_elapsed if throughput_batched else best
     cred_batch = batch if throughput_batched else 1
-    throughput_credited = cred_batch * dof * (7 * n_steps) / cred_elapsed
+    throughput_credited = cred_batch * dof * (6 * n_steps) / cred_elapsed
 
     # baseline: NumPy element pipeline on the host CPU, pinned with a longer
     # run (best of 2×16 steps; the old 8-step sample wobbled 250-320×)
