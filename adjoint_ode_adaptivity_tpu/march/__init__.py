@@ -12,7 +12,9 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import (
     DGMarchResult,
     DGTimeOperators,
     dg_march,
+    dg_march_differentiable,
     dg_time_operators,
+    make_dg_slab_solver,
 )
 from adjoint_ode_adaptivity_tpu.march.burgers import (
     BurgersOperators,
@@ -39,6 +41,8 @@ __all__ = [
     "DGMarchResult",
     "dg_time_operators",
     "dg_march",
+    "dg_march_differentiable",
+    "make_dg_slab_solver",
     "AdvecOperators",
     "advec_operators",
     "advec_rhs",

@@ -39,7 +39,14 @@ from adjoint_ode_adaptivity_tpu.ops.operators import (
     dmatrix_1d,
 )
 
-__all__ = ["DGTimeOperators", "dg_time_operators", "dg_march", "DGMarchResult"]
+__all__ = [
+    "DGTimeOperators",
+    "dg_time_operators",
+    "dg_march",
+    "DGMarchResult",
+    "make_dg_slab_solver",
+    "dg_march_differentiable",
+]
 
 
 class DGTimeOperators(NamedTuple):
@@ -164,3 +171,125 @@ def dg_march(
         solve_element, jnp.asarray(y0, dtype), (t_left, hs)
     )
     return DGMarchResult(u=u, t=t, newton_iters=iters, newton_resnorm=resn)
+
+
+# ------------------------------------------------------- differentiable march
+#
+# jax.grad cannot flow through the Newton while_loop above. The right adjoint
+# of an implicit solve is the implicit function theorem, not differentiating
+# the iteration (SURVEY.md §7 hard part 3): at the solved slab R(u*) = 0,
+# du*/dθ = −J⁻¹ ∂R/∂θ, so the vjp is one linear solve with Jᵀ plus one VJP
+# of the residual — independent of how many Newton steps ran.
+
+
+def _slab_residual_p(ops, f, u, u_prev, h, t_left, params, dtype):
+    """R(U) with an explicit parameter pytree threaded to ``f(u, t, params)``
+    (e.g. neural-network right-hand sides trained through the solver)."""
+    s = jnp.asarray(ops.stiff, dtype)
+    phi = jnp.asarray(ops.phi, dtype)
+    wq = jnp.asarray(ops.wq, dtype)
+    a_mat = s.T + jnp.zeros((ops.np_, ops.np_), dtype).at[-1, -1].set(-1.0)
+    u_q = phi @ u
+    t_q = t_left + (1.0 + jnp.asarray(ops.rq, dtype)) * h / 2.0
+    m_tilde = h / 2.0 * (phi.T @ (wq * f(u_q, t_q, params)))
+    f_vec = jnp.zeros((ops.np_,), dtype).at[0].set(u_prev)
+    return a_mat @ u + m_tilde + f_vec
+
+
+def make_dg_slab_solver(
+    ops: DGTimeOperators,
+    f: Callable,
+    *,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+):
+    """Returns ``solve(u_prev, h, t_left, params) -> u`` — one DG time slab
+    solved by Newton, wrapped in ``jax.custom_vjp`` via the implicit function
+    theorem. ``jax.grad`` through it is exact w.r.t. ``u_prev``, ``h``,
+    ``t_left`` AND ``params``: the backward pass solves ``Jᵀ w = g`` at the
+    converged state and pulls ``−w`` back through one residual VJP.
+    """
+
+    def _newton(u_prev, h, t_left, params):
+        dtype = jnp.result_type(u_prev, h)
+
+        def cond(state):
+            u, du_norm, it = state
+            return (it <= newton_maxit) & (du_norm > newton_tol)
+
+        def body(state):
+            u, _, it = state
+            res = _slab_residual_p(ops, f, u, u_prev, h, t_left, params, dtype)
+            jac = jax.jacfwd(
+                lambda uu: _slab_residual_p(
+                    ops, f, uu, u_prev, h, t_left, params, dtype
+                )
+            )(u)
+            delta = jnp.linalg.solve(jac, res)
+            return (u - delta, jnp.linalg.norm(delta), it + 1)
+
+        u0_el = u_prev * jnp.ones((ops.np_,), dtype)
+        u, _, _ = lax.while_loop(cond, body, (u0_el, jnp.asarray(jnp.inf, dtype), 0))
+        return u
+
+    @jax.custom_vjp
+    def solve(u_prev, h, t_left, params):
+        return _newton(u_prev, h, t_left, params)
+
+    def fwd(u_prev, h, t_left, params):
+        u = _newton(u_prev, h, t_left, params)
+        return u, (u, u_prev, h, t_left, params)
+
+    def bwd(saved, g):
+        u, u_prev, h, t_left, params = saved
+        dtype = u.dtype
+        jac = jax.jacfwd(
+            lambda uu: _slab_residual_p(ops, f, uu, u_prev, h, t_left, params, dtype)
+        )(u)
+        w = jnp.linalg.solve(jac.T, g)
+        # cotangents of the remaining arguments: −wᵀ ∂R/∂(·)
+        _, vjp_rest = jax.vjp(
+            lambda up, hh, tl, p: _slab_residual_p(ops, f, u, up, hh, tl, p, dtype),
+            u_prev, h, t_left, params,
+        )
+        bars = vjp_rest(-w)
+        return bars
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def dg_march_differentiable(
+    ops: DGTimeOperators,
+    f: Callable,
+    times: jnp.ndarray,
+    y0,
+    params=None,
+    *,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+) -> jnp.ndarray:
+    """DG-in-time march that ``jax.grad`` can differentiate: a ``lax.scan``
+    of IFT-wrapped slab solves. ``f(u, t, params)`` takes the parameter
+    pytree explicitly (pass ``params=None`` and ignore it for plain ODEs).
+    Returns the (K, Np) nodal solution (same values as :func:`dg_march` to
+    Newton tolerance).
+
+    Gradients flow to ``y0``, ``times`` (through both the slab sizes and the
+    quadrature times) and ``params`` — this is how a neural right-hand side
+    trains *through* the implicit solver (the reference's Main_kk1d.py
+    intent) without unrolling Newton into the AD graph.
+    """
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    solve = make_dg_slab_solver(ops, f, newton_tol=newton_tol, newton_maxit=newton_maxit)
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+
+    def step(u_prev, slab):
+        tl, h = slab
+        u = solve(u_prev, h, tl, params)
+        return u[-1], u
+
+    _, u = lax.scan(step, jnp.asarray(y0, dtype), (t_left, hs))
+    return u

@@ -140,3 +140,83 @@ class TestDGAdjoint:
         total = float(jnp.sum(err))
         # continuous-adjoint estimate matches the true error closely
         assert abs(total - (j_exact - j_h)) < 0.05 * abs(j_exact - j_h)
+
+
+class TestDifferentiableDGMarch:
+    """IFT-vjp through the Newton slab solve (SURVEY §7 hard part 3):
+    jax.grad works through the implicit DG march without unrolling Newton."""
+
+    def _setup(self):
+        from adjoint_ode_adaptivity_tpu.march.dg_time import dg_time_operators
+
+        ops = dg_time_operators(2)
+        times = jnp.asarray([0.0, 0.4, 0.9, 1.3, 2.0])
+        return ops, times
+
+    def test_values_match_plain_march(self):
+        from adjoint_ode_adaptivity_tpu.march.dg_time import (
+            dg_march,
+            dg_march_differentiable,
+        )
+
+        ops, times = self._setup()
+        f_p = lambda u, t, p: jnp.sin(u)
+        f = lambda u, t: jnp.sin(u)
+        u_diff = dg_march_differentiable(ops, f_p, times, 1.0)
+        u_ref = dg_march(ops, f, times, 1.0).u
+        np.testing.assert_allclose(u_diff, u_ref, rtol=1e-9)
+
+    def test_grad_y0_matches_fd(self):
+        from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march_differentiable
+
+        ops, times = self._setup()
+        f_p = lambda u, t, p: jnp.sin(u)
+
+        def j_of_y0(y0):
+            u = dg_march_differentiable(ops, f_p, times, y0)
+            return u[-1, -1]  # terminal value
+
+        g = jax.grad(j_of_y0)(1.0)
+        eps = 1e-6
+        fd = (j_of_y0(1.0 + eps) - j_of_y0(1.0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+    def test_grad_params_matches_fd(self):
+        # parameterized RHS f = p0*sin(u) + p1*cos(t): train-through-solver
+        from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march_differentiable
+
+        ops, times = self._setup()
+        f_p = lambda u, t, p: p["a"] * jnp.sin(u) + p["b"] * jnp.cos(t)
+        params = {"a": jnp.asarray(1.0), "b": jnp.asarray(0.3)}
+
+        def j_of_p(p):
+            u = dg_march_differentiable(ops, f_p, times, 1.0, p)
+            return jnp.sum(u[-1] ** 2)
+
+        g = jax.grad(j_of_p)(params)
+        eps = 1e-6
+        for key in params:
+            pp = dict(params)
+            pp[key] = params[key] + eps
+            jp = float(j_of_p(pp))
+            pp[key] = params[key] - eps
+            jm = float(j_of_p(pp))
+            np.testing.assert_allclose(g[key], (jp - jm) / (2 * eps), rtol=1e-5)
+
+    def test_grad_times_matches_fd(self):
+        from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march_differentiable
+
+        ops, times = self._setup()
+        f_p = lambda u, t, p: jnp.sin(u) * (1 + 0.2 * t)
+
+        def j_of_times(ts):
+            u = dg_march_differentiable(ops, f_p, ts, 1.0)
+            return u[-1, -1]
+
+        g = jax.grad(j_of_times)(times)
+        eps = 1e-6
+        for i in (1, 2, 3):  # interior nodes
+            tp = times.at[i].add(eps)
+            tm = times.at[i].add(-eps)
+            fd = (float(j_of_times(tp)) - float(j_of_times(tm))) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-10)
