@@ -26,6 +26,13 @@ def main(argv=None):
     p.add_argument("--plot", action="store_true")
     p.add_argument("--animate", action="store_true")
     p.add_argument("--x64", action="store_true")
+    p.add_argument("--schedule", default="greedy", choices=["greedy", "backtrack"],
+                   help="greedy: always bisect the argmax; backtrack: undo+block "
+                        "inserts that increased the total estimate "
+                        "(main_backtrack_serial.sh's named-but-missing experiment)")
+    p.add_argument("--coarsen-tol", type=float, default=None,
+                   help="backtrack schedule only: merge adjacent step pairs whose "
+                        "combined contribution is below this")
     args = p.parse_args(argv)
 
     if args.x64:
@@ -91,6 +98,27 @@ def main(argv=None):
                 exact_adj=exact_adj,
                 bar_ylim=plot_state["bar_ylim"],
             )
+
+    if args.schedule == "backtrack":
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd_backtrack_padded
+
+        history = run_adaptive_fd_backtrack_padded(
+            step,
+            args.u0,
+            (args.t0, args.t1),
+            n_steps0=args.n_steps0,
+            functional_name=args.functional,
+            ref_factor=args.ref_factor,
+            tol=args.tol,
+            maxit=args.maxit,
+            coarsen_tol=args.coarsen_tol,
+        )
+        for r in history:
+            print(f"it {r['it']:3d}  steps {r['n_steps']:4d}  "
+                  f"sum(err)={r['total']:.6e}  {r['action']}")
+        print(f"finished after {len(history)} iterations; final Σerr = "
+              f"{history[-1]['total']:.6e}")
+        return history
 
     history = run_adaptive_fd(
         step,

@@ -149,3 +149,15 @@ class TestDetectMethod:
         ])
         out = capsys.readouterr().out
         assert "outer it 0" in out
+
+
+class TestFDBacktrackSchedule:
+    def test_backtrack_schedule_cli(self, capsys, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.fd_adaptive import main
+
+        history = main(["--schedule", "backtrack", "--maxit", "6", "--tol", "0",
+                        "--coarsen-tol", "1e-10"])
+        out = capsys.readouterr().out
+        assert "accept" in out
+        assert history[-1]["total"] < history[0]["total"]
