@@ -1,5 +1,8 @@
 """Pallas TPU kernels for the DG hot loops."""
 
+from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+    make_pallas_fd_ensemble,
+)
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     PallasAdvecConfig,
     make_pallas_advec_adjoint,
@@ -16,4 +19,5 @@ __all__ = [
     "make_pallas_fwd_adj_estimate",
     "make_pallas_fwd_adj_estimate_grid",
     "make_pallas_fwd_adj_estimate_grid_batched",
+    "make_pallas_fd_ensemble",
 ]

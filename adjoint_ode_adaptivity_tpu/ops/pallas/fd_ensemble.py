@@ -1,0 +1,114 @@
+"""Fused Pallas kernel for the FD ensemble refinement signal.
+
+The reference's largest compute is the refinement signal: forward march +
+adjoint + indicator vmapped over up to 100,000 initial conditions
+(python/Main_variable_params.py:234, 330-341). Every operation is
+elementwise over the IC axis, so the TPU-native layout puts ICs on the
+vector lanes — an (8, n_ics/8) tile carpet — and ONE kernel launch runs the
+whole pipeline with the coarse trajectory resident in VMEM:
+
+  coarse Euler march (n_steps) → linear interp to the rf-refined grid →
+  K = ∂J/∂U for J = ∫u² (k_j = 2 u_j dt_f) → reverse adjoint scan
+  v_j = k_j + (1 + f_u(u_j) dt_f) v_{j+1} → residual
+  r_j = u_j − (u_{j−1} + f(u_{j−1}) dt_f) → block indicator
+  |Σ_{j∈block i} r_j v_j|   (the "block" convention, Main_new_loss.py:123-135)
+
+Semantics match utils/benchmarks.ensemble_fd_pipeline's per-IC function
+exactly (tested in interpret mode). Fine-grid states are interpolated on
+the fly during the reverse sweep — only the (n_steps+1) coarse states are
+stored.
+
+Autonomous right-hand sides: ``f``/``f_u`` are traced as ``f(u)`` (the
+reference's ensemble problems are autonomous: sin(u), 10cos(u), gaussian
+mixture in u).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_pallas_fd_ensemble"]
+
+
+def _kernel(f, f_u, n_steps, rf, dt, u0_ref, err_out):
+    dtf = dt / rf
+    # ---- coarse march, trajectory in VMEM (list of (8, L) values)
+    u = u0_ref[:]
+    traj = [u]
+    for _ in range(n_steps):
+        u = u + f(u) * dt
+        traj.append(u)
+
+    # ---- reverse sweep over the fine grid, interpolating on the fly.
+    # fine node j = coarse i + q/rf, u_f[j] = traj[i] + (q/rf)(traj[i+1]-traj[i])
+    def u_fine(j):
+        i, q = divmod(j, rf)
+        if q == 0:
+            return traj[i]
+        w = q / rf
+        return traj[i] + w * (traj[i + 1] - traj[i])
+
+    n_fine = n_steps * rf
+    v = jnp.zeros_like(u)  # v_{n_fine} = k_{n_fine} = 0 (J sums u[:-1])
+    blocks = [None] * n_steps
+    for j in range(n_fine, 0, -1):
+        u_j = u_fine(j)
+        u_jm1 = u_fine(j - 1)
+        if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
+            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j) * dtf) * v
+        r = u_j - (u_jm1 + f(u_jm1) * dtf)
+        err = r * v
+        i = (j - 1) // rf  # block i covers fine nodes i·rf+1 .. (i+1)·rf
+        blocks[i] = err if blocks[i] is None else blocks[i] + err
+
+    for i in range(n_steps):
+        err_out[i] = jnp.abs(blocks[i])
+
+
+def make_pallas_fd_ensemble(
+    f: Callable,
+    f_u: Callable,
+    n_steps: int,
+    ref_factor: int,
+    dt: float,
+    interpret: bool = False,
+):
+    """Returns ``run(u0s) -> err_steps`` computing the per-IC block error
+    indicator (n_steps, n_ics) in one kernel launch; mean over axis 1 gives
+    the ensemble refinement signal. ``n_ics`` must be a multiple of 1024
+    (8 sublanes × 128 lanes); pad the ensemble."""
+
+    lane_block = 2560  # 20 lane tiles per grid block: amortizes per-op overhead, and
+    # IC blocks are independent → the grid is embarrassingly parallel
+
+    def run(u0s):
+        (n,) = u0s.shape
+        if n % (8 * lane_block):
+            raise ValueError(
+                f"n_ics={n} must be a multiple of {8 * lane_block} (pad)"
+            )
+        width = n // 8
+        n_blocks = width // lane_block
+        u0t = u0s.reshape(8, width)
+        kern = functools.partial(_kernel, f, f_u, n_steps, ref_factor, dt)
+        err = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            out_shape=jax.ShapeDtypeStruct((n_steps, 8, width), u0s.dtype),
+            in_specs=[
+                pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (n_steps, 8, lane_block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(u0t)
+        return err.reshape(n_steps, n)
+
+    return run

@@ -184,3 +184,69 @@ class TestPallasBatchedGrid:
             np.testing.assert_allclose(uf[:, j], ref.u_final, rtol=2e-4, atol=1e-6)
             np.testing.assert_allclose(lam0[:, j], ref.lam0, rtol=2e-3, atol=2e-5)
             np.testing.assert_allclose(eta[j], ref.eta, rtol=5e-3, atol=1e-7)
+
+
+class TestPallasFDEnsemble:
+    def test_matches_xla_ensemble_pipeline(self):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble,
+        )
+        from adjoint_ode_adaptivity_tpu.utils.benchmarks import ensemble_fd_pipeline
+
+        n_ics, n_steps, rf = 20480, 16, 4
+        fn, u0s = ensemble_fd_pipeline(n_ics, n_steps=n_steps, ref_factor=rf)
+        want_mean = fn(u0s)  # ensemble-mean indicator, (n_steps,)
+
+        f = lambda u: jnp.sin(u)
+        f_u = lambda u: jnp.cos(u)
+        run = make_pallas_fd_ensemble(
+            f, f_u, n_steps, rf, dt=2.0 / n_steps, interpret=True
+        )
+        err = run(jnp.asarray(u0s))
+        assert err.shape == (n_steps, n_ics)
+        got_mean = jnp.mean(err, axis=1)
+        np.testing.assert_allclose(got_mean, want_mean, rtol=2e-5, atol=1e-8)
+
+    def test_per_ic_matches_one(self):
+        # per-IC values, not just the mean
+        import jax as _jax
+
+        from adjoint_ode_adaptivity_tpu import functionals as fnl
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adjoint import (
+            adjoint_march,
+            coarse_indicator,
+            interp_to_fine,
+            refine_all,
+            residual,
+        )
+        from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble,
+        )
+
+        n_steps, rf = 8, 4
+        ode = odes.get_ode("du/dt=sin(u)")
+        functional = fnl.get_functional("J=int(u^2)")
+        step = euler_step(ode.f)
+        dt = jnp.full((n_steps,), 2.0 / n_steps, jnp.float32)
+        dt_fine = refine_all(dt, rf)
+
+        def one(u0):
+            u = forward_march(step, u0, dt)
+            u_f = interp_to_fine(u, dt, dt_fine)
+            k = _jax.grad(functional.value)(u_f, dt_fine)
+            v = adjoint_march(step, u_f, dt_fine, k)
+            res = residual(step, u_f, dt_fine)
+            return coarse_indicator(res * v, rf, "block")
+
+        u0s = jnp.asarray(
+            np.random.default_rng(1).uniform(-3, 3, 20480), jnp.float32
+        )
+        want = _jax.vmap(one)(u0s).T  # (n_steps, n_ics)
+        run = make_pallas_fd_ensemble(
+            lambda u: jnp.sin(u), lambda u: jnp.cos(u), n_steps, rf,
+            dt=2.0 / n_steps, interpret=True,
+        )
+        got = run(u0s)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
