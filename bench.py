@@ -94,14 +94,51 @@ def main():
         def extract(res):
             return float(res.j_value), float(jnp.sum(res.eta))
 
-    res = run(u0)
-    jax.block_until_ready(res)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # ---- timing methodology: this environment dispatches through a tunnel
+    # with ~25 ms fixed per-call overhead and a ~27 ms RPC floor on value
+    # fetches, and block_until_ready can return prematurely for some
+    # kernels. The honest device time chains K data-dependent pipeline
+    # calls (ALL outputs kept live) inside one jit and takes the
+    # (K_hi − K_lo) slope with a single fetch at the end.
+    def chained_slope(make_g, arg, k_hi=3):
+        gs = {k: make_g(k) for k in (1, k_hi)}
+        for g in gs.values():
+            float(jnp.sum(g(arg)))  # compile + warm
+        t = {}
+        for k, g in gs.items():
+            t_best = np.inf
+            for i in range(2):
+                a_in = arg + jnp.asarray(1e-6 * (i + 1), arg.dtype)
+                jax.block_until_ready(a_in)
+                t0 = time.perf_counter()
+                float(jnp.sum(g(a_in)))
+                t_best = min(t_best, time.perf_counter() - t0)
+            t[k] = t_best
+        return (t[k_hi] - t[1]) / (k_hi - 1), t[1]
+
+    if on_tpu:
+        def mk_single(k_calls):
+            @jax.jit
+            def g(u):
+                for _ in range(k_calls):
+                    uf, lam0, eta = pipeline(u, jnp.float32(0.0), lam_end)
+                    u = uf + 1e-20 * lam0 + 1e-20 * eta[None, :]
+                return u
+            return g
+
+        best, t1_single = chained_slope(mk_single, u0)
         res = run(u0)
         jax.block_until_ready(res)
-        best = min(best, time.perf_counter() - t0)
+    else:
+        res = run(u0)
+        jax.block_until_ready(res)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run(u0)
+            jax.block_until_ready(res)
+            best = min(best, time.perf_counter() - t0)
+        t1_single = best
 
     dof = (n_order + 1) * k_elems
     dof_steps = dof * (2 * n_steps)  # forward sweep + adjoint sweep
@@ -131,15 +168,16 @@ def main():
         lam_b = jnp.broadcast_to(
             lam_end[:, None, :], (n_order + 1, batch, k_elems)
         )
-        run_b = jax.jit(lambda u: pipeline_b(u, jnp.float32(0.0), lam_b))
-        res_b = run_b(u0b)
-        jax.block_until_ready(res_b)
-        batch_elapsed = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res_b = run_b(u0b)
-            jax.block_until_ready(res_b)
-            batch_elapsed = min(batch_elapsed, time.perf_counter() - t0)
+        def mk_batched(k_calls):
+            @jax.jit
+            def g(u):
+                for _ in range(k_calls):
+                    uf, lam0, eta = pipeline_b(u, jnp.float32(0.0), lam_b)
+                    u = uf + 1e-20 * lam0 + 1e-20 * eta[None, :, :]
+                return u
+            return g
+
+        batch_elapsed, t1_batched = chained_slope(mk_batched, u0b)
         throughput_batched = batch * dof_steps / batch_elapsed
 
     throughput = throughput_batched or throughput_single
@@ -280,6 +318,9 @@ def main():
                 "unit": "DoF-steps/s",
                 "vs_baseline": throughput / baseline_dsps,
                 "elapsed_s": round(batch_elapsed or best, 4),
+                "elapsed_s_incl_dispatch": round(
+                    (t1_batched if throughput_batched else t1_single), 4
+                ),
                 "batch": batch if throughput_batched else 1,
                 "dof_steps_per_sec_single_state": throughput_single,
                 "elapsed_s_single_state": round(best, 4),
