@@ -51,6 +51,10 @@ def main(argv=None):
     functional = get_functional(args.functional)
     step = euler_step(ode.f)
 
+    if args.schedule == "backtrack" and (args.plot or args.animate):
+        print("--plot/--animate are not supported with --schedule backtrack; "
+              "ignoring")
+        args.plot = args.animate = False
     plot_state = {"bar_ylim": None}
     case_dir = None
     if args.plot:

@@ -184,16 +184,13 @@ def dg_march(
 
 def _slab_residual_p(ops, f, u, u_prev, h, t_left, params, dtype):
     """R(U) with an explicit parameter pytree threaded to ``f(u, t, params)``
-    (e.g. neural-network right-hand sides trained through the solver)."""
-    s = jnp.asarray(ops.stiff, dtype)
-    phi = jnp.asarray(ops.phi, dtype)
-    wq = jnp.asarray(ops.wq, dtype)
-    a_mat = s.T + jnp.zeros((ops.np_, ops.np_), dtype).at[-1, -1].set(-1.0)
-    u_q = phi @ u
-    t_q = t_left + (1.0 + jnp.asarray(ops.rq, dtype)) * h / 2.0
-    m_tilde = h / 2.0 * (phi.T @ (wq * f(u_q, t_q, params)))
-    f_vec = jnp.zeros((ops.np_,), dtype).at[0].set(u_prev)
-    return a_mat @ u + m_tilde + f_vec
+    (e.g. neural-network right-hand sides trained through the solver).
+    Delegates to :func:`_slab_residual` so the weak form lives in one place;
+    ``params`` stays a traced value through the closure, which is fine for
+    the IFT vjp (the vjp traces the enclosing lambda, params included)."""
+    return _slab_residual(
+        ops, lambda uu, tt: f(uu, tt, params), u, u_prev, h, t_left, dtype
+    )
 
 
 def make_dg_slab_solver(

@@ -81,8 +81,14 @@ def make_pallas_fd_ensemble(
 ):
     """Returns ``run(u0s) -> err_steps`` computing the per-IC block error
     indicator (n_steps, n_ics) in one kernel launch; mean over axis 1 gives
-    the ensemble refinement signal. ``n_ics`` must be a multiple of 1024
-    (8 sublanes × 128 lanes); pad the ensemble."""
+    the ensemble refinement signal. ``n_ics`` must be a multiple of
+    8·lane_block = 20480 (sublanes × the per-grid-block lane width); pad
+    the ensemble.
+
+    The kernel fully unrolls the (n_steps+1)-state trajectory and n_steps
+    block accumulators in VMEM; a rough live-set estimate guards against
+    Mosaic's scoped-VMEM stack limit with a clear error for very deep
+    configurations (use several kernel calls over sub-windows instead)."""
 
     lane_block = 2560  # 20 lane tiles per grid block: amortizes per-op overhead, and
     # IC blocks are independent → the grid is embarrassingly parallel
@@ -95,6 +101,14 @@ def make_pallas_fd_ensemble(
             )
         width = n // 8
         n_blocks = width // lane_block
+        # live set ≈ traj (n_steps+1) + blocks (n_steps) + ~8 temporaries,
+        # each (8, lane_block) f32
+        approx_bytes = (2 * n_steps + 9) * 8 * lane_block * 4
+        if approx_bytes > 12 * 2**20:
+            raise ValueError(
+                f"n_steps={n_steps} would need ~{approx_bytes/2**20:.0f} MB of "
+                "scoped VMEM (limit ~16 MB); split the march into windows"
+            )
         u0t = u0s.reshape(8, width)
         kern = functools.partial(_kernel, f, f_u, n_steps, ref_factor, dt)
         err = pl.pallas_call(

@@ -100,21 +100,26 @@ def main():
     # kernels. The honest device time chains K data-dependent pipeline
     # calls (ALL outputs kept live) inside one jit and takes the
     # (K_hi − K_lo) slope with a single fetch at the end.
-    def chained_slope(make_g, arg, k_hi=3):
+    def chained_slope(make_g, arg, k_hi=3, reps=3):
         gs = {k: make_g(k) for k in (1, k_hi)}
         for g in gs.values():
             float(jnp.sum(g(arg)))  # compile + warm
         t = {}
         for k, g in gs.items():
             t_best = np.inf
-            for i in range(2):
+            for i in range(reps):
                 a_in = arg + jnp.asarray(1e-6 * (i + 1), arg.dtype)
                 jax.block_until_ready(a_in)
                 t0 = time.perf_counter()
                 float(jnp.sum(g(a_in)))
                 t_best = min(t_best, time.perf_counter() - t0)
             t[k] = t_best
-        return (t[k_hi] - t[1]) / (k_hi - 1), t[1]
+        slope = (t[k_hi] - t[1]) / (k_hi - 1)
+        if slope <= 0:
+            # timing noise swallowed the slope: fall back to the dispatch-
+            # inclusive single-call time (conservative, never absurd)
+            slope = t[1]
+        return slope, t[1]
 
     if on_tpu:
         def mk_single(k_calls):
@@ -277,18 +282,9 @@ def main():
         u0s = jnp.asarray(
             np.random.default_rng(0).uniform(-3, 3, n_ics), jnp.float32
         )
-        g1, g16 = _chain(1), _chain(16)
-        for g in (g1, g16):
-            float(jnp.sum(g(u0s)))  # compile + warm
-        t1 = t16 = np.inf
-        for i in range(3):
-            u_in = u0s + jnp.float32(1e-6 * (i + 1))
-            jax.block_until_ready(u_in)
-            t0 = time.perf_counter(); float(jnp.sum(g1(u_in)))
-            t1 = min(t1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(jnp.sum(g16(u_in)))
-            t16 = min(t16, time.perf_counter() - t0)
-        ens_best = max((t16 - t1) / 15, 1e-9)
+        # the kernel is ~0.1-0.3 ms/call: chain long enough (K=64) that the
+        # slope clears the ~ms dispatch jitter
+        ens_best, _ = chained_slope(_chain, u0s, k_hi=64)
         ens_kernel = "pallas-fused"
     else:
         from adjoint_ode_adaptivity_tpu.utils.benchmarks import ensemble_fd_pipeline
