@@ -663,7 +663,8 @@ def _shift_p1_b(x, k):
 def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
     """One LSRK step on a batched state held as a TUPLE of Np (B, K) rows —
     full-height register tiles, stages unrolled, no stack/concatenate in the
-    hot loop (measured ~40% faster than the stacked fori-stage form)."""
+    hot loop (measured ~2x the stacked fori-stage form: 7.75 -> 4.0 us
+    per batched step-equivalent)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
     fac_l = -a / 2.0 * cfg.fscale
     fac_r = a / 2.0 * cfg.fscale
@@ -723,7 +724,7 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt):
     return lu
 
 
-def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, rk_ref, u0_ref,
+def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
                             ckpt_out, ufinal_out, u_scr):
     i = pl.program_id(0)
     seg = cfg.steps_per_call
@@ -750,7 +751,7 @@ def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, rk_ref, u0_ref,
         ufinal_out[:] = u_scr[:]
 
 
-def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, rk_ref, lam_ref,
+def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
                            ckpt_ref, lam0_out, eta_out, traj, lu_scr, eta_scr):
     """Batched reverse sweep: recompute the segment's (Np, B, K) states into
     traj (leading-axis slots, each (B, K) block is one full tile set), then
@@ -851,7 +852,6 @@ def make_pallas_fwd_adj_estimate_grid_batched(
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -862,7 +862,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
             ),
             scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), u0)
+        )(jnp.reshape(t0, (1,)), u0)
 
         adj_kern = functools.partial(
             _adj_est_grid_kernel_b, cfg, dr_host, lift_host, n_segments
@@ -875,7 +875,6 @@ def make_pallas_fwd_adj_estimate_grid_batched(
                 jax.ShapeDtypeStruct((b, k), u0.dtype),
             ),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
@@ -894,7 +893,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
                 pltpu.VMEM((b, k), jnp.float32),
             ],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), lam_end, ckpts)
+        )(jnp.reshape(t0, (1,)), lam_end, ckpts)
         return u_final, lam0, eta
 
     return run

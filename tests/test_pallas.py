@@ -152,10 +152,11 @@ class TestPallasGridPipeline:
 
 
 class TestPallasBatchedGrid:
-    def test_batched_matches_b_independent_runs(self):
-        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+    @pytest.mark.parametrize("n_order,k_elems,dt", [(2, 64, 5e-4), (3, 48, 2e-4)])
+    def test_batched_matches_b_independent_runs(self, n_order, k_elems, dt):
+        # order-general: N=2 (the flagship) and N=3 (Np=4)
+        disc = startup_1d(n_order, 0.0, 2 * np.pi, k_elems)
         ops = advec_operators(disc, a=A, dtype=jnp.float32)
-        dt = 5e-4
         seg, nseg, b = 4, 4, 8
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
             make_pallas_fwd_adj_estimate_grid_batched,
@@ -185,32 +186,6 @@ class TestPallasBatchedGrid:
             np.testing.assert_allclose(lam0[:, j], ref.lam0, rtol=2e-3, atol=2e-5)
             np.testing.assert_allclose(eta[j], ref.eta, rtol=5e-3, atol=1e-7)
 
-    def test_batched_higher_order_np4(self):
-        # the kernels are order-general: N=3 (Np=4) against the XLA oracle
-        disc = startup_1d(3, 0.0, 2 * np.pi, 48)
-        ops = advec_operators(disc, a=A, dtype=jnp.float32)
-        dt = 2e-4
-        seg, nseg, b = 4, 4, 8
-        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
-            make_pallas_fwd_adj_estimate_grid_batched,
-        )
-
-        u0s = np.stack(
-            [np.sin(np.asarray(disc.x) + p) for p in np.linspace(0, 6, b)],
-            axis=1,
-        ).astype(np.float32)
-        lam = terminal_integral_cotangent(disc, jnp.float32)
-        lam_b = jnp.broadcast_to(lam[:, None, :], (disc.np_, b, disc.k))
-        run = make_pallas_fwd_adj_estimate_grid_batched(
-            disc, A, dt, segment=seg, n_segments=nseg, batch=b, interpret=True
-        )
-        uf, lam0, eta = run(jnp.asarray(u0s), jnp.float32(0.0), lam_b)
-        ref = advec_fwd_adj_estimate(
-            ops, disc, jnp.asarray(u0s[:, 3]), dt, seg * nseg, segment=seg
-        )
-        np.testing.assert_allclose(uf[:, 3], ref.u_final, rtol=2e-4, atol=1e-6)
-        np.testing.assert_allclose(lam0[:, 3], ref.lam0, rtol=2e-3, atol=2e-5)
-        np.testing.assert_allclose(eta[3], ref.eta, rtol=5e-3, atol=1e-7)
 
 
 class TestPallasFDEnsemble:
@@ -277,4 +252,3 @@ class TestPallasFDEnsemble:
         )
         got = run(u0s)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
-
