@@ -18,9 +18,13 @@ exactly (tested in interpret mode). Fine-grid states are interpolated on
 the fly during the reverse sweep — only the (n_steps+1) coarse states are
 stored.
 
-Autonomous right-hand sides: ``f``/``f_u`` are traced as ``f(u)`` (the
-reference's ensemble problems are autonomous: sin(u), 10cos(u), gaussian
-mixture in u).
+``f``/``f_u`` are traced as ``f(u, t)``; the grid is uniform so every fine
+node time is a static Python float at trace time — time-dependent right-hand
+sides (e.g. the gaussian-mixture ODE's modes in t,
+Main_no_matrix_detect_complex.py:37-52) cost nothing extra. Constants the
+closures capture must be Python/NumPy scalars (Pallas kernels cannot close
+over array constants — unroll small mode sums to scalars, as the gaussian
+mixture test does).
 """
 from __future__ import annotations
 
@@ -41,8 +45,8 @@ def _kernel(f, f_u, n_steps, rf, dt, u0_ref, err_out):
     # ---- coarse march, trajectory in VMEM (list of (8, L) values)
     u = u0_ref[:]
     traj = [u]
-    for _ in range(n_steps):
-        u = u + f(u) * dt
+    for n in range(n_steps):
+        u = u + f(u, n * dt) * dt
         traj.append(u)
 
     # ---- reverse sweep over the fine grid, interpolating on the fly.
@@ -60,9 +64,10 @@ def _kernel(f, f_u, n_steps, rf, dt, u0_ref, err_out):
     for j in range(n_fine, 0, -1):
         u_j = u_fine(j)
         u_jm1 = u_fine(j - 1)
+        t_j = j * dtf  # static at trace time (uniform grid)
         if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
-            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j) * dtf) * v
-        r = u_j - (u_jm1 + f(u_jm1) * dtf)
+            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_j) * dtf) * v
+        r = u_j - (u_jm1 + f(u_jm1, t_j - dtf) * dtf)
         err = r * v
         i = (j - 1) // rf  # block i covers fine nodes i·rf+1 .. (i+1)·rf
         blocks[i] = err if blocks[i] is None else blocks[i] + err

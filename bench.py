@@ -266,8 +266,8 @@ def main():
         )
 
         ens_run = make_pallas_fd_ensemble(
-            lambda u: jnp.sin(u), lambda u: jnp.cos(u), ens_steps, ref_factor,
-            dt=ens_dt,
+            lambda u, t: jnp.sin(u), lambda u, t: jnp.cos(u), ens_steps,
+            ref_factor, dt=ens_dt,
         )
 
         def _chain(k_calls):

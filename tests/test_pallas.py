@@ -199,8 +199,8 @@ class TestPallasFDEnsemble:
         fn, u0s = ensemble_fd_pipeline(n_ics, n_steps=n_steps, ref_factor=rf)
         want_mean = fn(u0s)  # ensemble-mean indicator, (n_steps,)
 
-        f = lambda u: jnp.sin(u)
-        f_u = lambda u: jnp.cos(u)
+        f = lambda u, t: jnp.sin(u)
+        f_u = lambda u, t: jnp.cos(u)
         run = make_pallas_fd_ensemble(
             f, f_u, n_steps, rf, dt=2.0 / n_steps, interpret=True
         )
@@ -247,8 +247,84 @@ class TestPallasFDEnsemble:
         )
         want = _jax.vmap(one)(u0s).T  # (n_steps, n_ics)
         run = make_pallas_fd_ensemble(
-            lambda u: jnp.sin(u), lambda u: jnp.cos(u), n_steps, rf,
+            lambda u, t: jnp.sin(u), lambda u, t: jnp.cos(u), n_steps, rf,
             dt=2.0 / n_steps, interpret=True,
         )
         got = run(u0s)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+    def test_time_dependent_rhs_gaussian_mixture(self):
+        # the reference's detect-driver ODE has modes in t
+        # (Main_no_matrix_detect_complex.py:37-52): fine-node times are
+        # static under the uniform grid, so f(u, t) costs nothing extra
+        import jax as _jax
+
+        from adjoint_ode_adaptivity_tpu import functionals as fnl
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adjoint import (
+            adjoint_march,
+            coarse_indicator,
+            interp_to_fine,
+            refine_all,
+            residual,
+        )
+        from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble,
+        )
+
+        ode = odes.gaussian_mixture_ode()
+        n_steps, rf = 8, 4
+        functional = fnl.get_functional("J=int(u^2)")
+        step = euler_step(ode.f)
+        # the gaussian-mixture constants are f64 under the x64 test config;
+        # run the comparison in f64 end to end
+        dt = jnp.full((n_steps,), 2.0 / n_steps)
+        dt_fine = refine_all(dt, rf)
+
+        def one(u0):
+            u = forward_march(step, u0, dt)
+            u_f = interp_to_fine(u, dt, dt_fine)
+            k = _jax.grad(functional.value)(u_f, dt_fine)
+            v = adjoint_march(step, u_f, dt_fine, k)
+            res = residual(step, u_f, dt_fine)
+            return coarse_indicator(res * v, rf, "block")
+
+        u0s = jnp.asarray(np.random.default_rng(3).uniform(-2, 2, 20480))
+        want = _jax.vmap(one)(u0s).T
+
+        # Pallas kernels cannot capture non-scalar constants: rebuild the
+        # mixture from the same PRNG draws with the modes unrolled to Python
+        # floats (bit-identical values, scalar closure)
+        import jax.random as jrand
+
+        n_u, n_t = 5, 3
+        u_m = np.asarray(jrand.normal(jrand.PRNGKey(1), (n_u,)))
+        u_s = np.abs(np.asarray(jrand.normal(jrand.PRNGKey(2), (n_u,))) / 3 + 1)
+        t_m = np.abs(np.asarray(jrand.normal(jrand.PRNGKey(1), (n_t,))) / 6 + 0.5)
+        t_s = np.abs(np.asarray(jrand.normal(jrand.PRNGKey(2), (n_t,))) / 3 + 1)
+        c = np.asarray(jrand.normal(jrand.PRNGKey(3), (n_u + n_t,)))
+
+        def f_np(u, t):
+            acc = float(np.sum(c[n_u:] * np.exp(-((t - t_m) ** 2) / (2 * t_s**2))
+                               / np.sqrt(2 * np.pi * t_s**2)))
+            for i in range(n_u):
+                norm = float(1.0 / np.sqrt(2 * np.pi * u_s[i] ** 2))
+                acc = acc + float(c[i]) * norm * jnp.exp(
+                    -((u - float(u_m[i])) ** 2) / float(2 * u_s[i] ** 2)
+                )
+            return acc
+
+        def f_u_np(u, t):
+            acc = jnp.zeros_like(u)
+            for i in range(n_u):
+                norm = float(1.0 / np.sqrt(2 * np.pi * u_s[i] ** 2))
+                g = norm * jnp.exp(-((u - float(u_m[i])) ** 2) / float(2 * u_s[i] ** 2))
+                acc = acc + float(c[i]) * g * (-(u - float(u_m[i])) / float(u_s[i] ** 2))
+            return acc
+
+        run = make_pallas_fd_ensemble(
+            f_np, f_u_np, n_steps, rf, dt=2.0 / n_steps, interpret=True
+        )
+        got = run(u0s)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
