@@ -1,5 +1,9 @@
 """Pallas TPU kernels for the DG hot loops."""
 
+from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+    make_pallas_burgers_march,
+)
+
 from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
     make_pallas_fd_ensemble,
 )
@@ -20,4 +24,5 @@ __all__ = [
     "make_pallas_fwd_adj_estimate_grid",
     "make_pallas_fwd_adj_estimate_grid_batched",
     "make_pallas_fd_ensemble",
+    "make_pallas_burgers_march",
 ]

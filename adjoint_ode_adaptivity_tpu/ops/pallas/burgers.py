@@ -1,0 +1,194 @@
+"""Fused Pallas kernel for the limited Burgers march.
+
+The nonlinear-conservation-law strand (march/burgers.py: u_t + (u²/2)_x = 0,
+local Lax–Friedrichs flux, ΠN minmod limiting after every LSRK stage)
+completes the reference's never-driven limiter toolkit; this kernel is its
+speed-of-light form: batched states on the sublane axis (tuple-of-rows,
+unrolled stages — the layout/form measured ~2× on the advection kernels),
+whole state resident in VMEM, limiter fused into each stage, one kernel
+launch for the whole march (grid over step chunks).
+
+Everything reduces to scalar-coefficient row combinations on the uniform
+mesh:
+- cell average: ``vk = Σ_j (V[0,0]·invV[0,j]) u_j``
+- limited-slope coefficient row: ``(Dr @ Π¹)[0,:]`` with
+  ``Π¹ = V[:, :2] @ invV[:2, :]`` (host-precomputed floats)
+- node offsets from the cell centre: fixed per-node floats ξ_i
+- minmod: elementwise sign-unanimity + min magnitude
+
+Limiter neighbour averages use copied endpoints (exactly
+ops/limiters.py::_neighbor_averages, i.e. utils/SlopeLimitN.m) while the
+flux is periodic — both faithfully reproduced; the kernel is pinned against
+march/burgers.py::burgers_march per batch column (tested).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
+from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
+
+__all__ = ["make_pallas_burgers_march"]
+
+
+def _shift_m1(x, k):
+    return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+
+
+def _shift_p1(x, k):
+    return jnp.concatenate([x[..., k - 1 :], x[..., : k - 1]], axis=-1)
+
+
+def _minmod3(a, b, c):
+    s = (jnp.sign(a) + jnp.sign(b) + jnp.sign(c)) / 3.0
+    unanimous = jnp.abs(s) == 1.0
+    mag = jnp.minimum(jnp.abs(a), jnp.minimum(jnp.abs(b), jnp.abs(c)))
+    return jnp.where(unanimous, s * mag, 0.0)
+
+
+def _kernel(np_, k, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
+            n_chunks, steps, dt, u0_ref, u_out, u_scr):
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    first, last = lane == 0, lane == k - 1
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = u0_ref[:]
+
+    def limit(u):
+        if limiter == "none":
+            return u
+        vk = c_avg[0] * u[0]
+        for jj in range(1, np_):
+            vk = vk + c_avg[jj] * u[jj]
+        # copied-endpoint neighbour averages (utils/SlopeLimitN.m)
+        vkm1 = jnp.where(first, vk, _shift_p1(vk, k))
+        vkp1 = jnp.where(last, vk, _shift_m1(vk, k))
+        dm, dp = vk - vkm1, vkp1 - vk
+        # ux = (2/h)·(Dr @ Π¹ u)[0] — one precomputed coefficient row
+        ux = dr_ux[0] * u[0]
+        for jj in range(1, np_):
+            ux = ux + dr_ux[jj] * u[jj]
+        ux = (2.0 / h) * ux
+        slope = _minmod3(ux, dp / h, dm / h)
+        if limiter == "n":
+            ve1 = vk - _minmod3(vk - u[0], dm, dp)
+            ve2 = vk + _minmod3(u[np_ - 1] - vk, dm, dp)
+            troubled = (jnp.abs(ve1 - u[0]) > 1e-8) | (
+                jnp.abs(ve2 - u[np_ - 1]) > 1e-8
+            )
+            return tuple(
+                jnp.where(troubled, vk + xi[ii] * slope, u[ii])
+                for ii in range(np_)
+            )
+        # "1": project + limit everywhere
+        return tuple(vk + xi[ii] * slope for ii in range(np_))
+
+    def rhs(u):
+        f = tuple(0.5 * r * r for r in u)
+        u_l, u_r = u[0], u[np_ - 1]
+        u_l_ext = _shift_p1(u_r, k)  # periodic flux
+        u_r_ext = _shift_m1(u_l, k)
+        c_l = jnp.maximum(jnp.abs(u_l), jnp.abs(u_l_ext))
+        c_r = jnp.maximum(jnp.abs(u_r), jnp.abs(u_r_ext))
+        fstar_l = 0.5 * (0.5 * u_l**2 + 0.5 * u_l_ext**2) + 0.5 * c_l * (u_l_ext - u_l)
+        fstar_r = 0.5 * (0.5 * u_r**2 + 0.5 * u_r_ext**2) - 0.5 * c_r * (u_r_ext - u_r)
+        df_l = -(0.5 * u_l**2) + fstar_l
+        df_r = (0.5 * u_r**2) - fstar_r
+        out = []
+        for ii in range(np_):
+            acc = dr_full[ii][0] * f[0]
+            for jj in range(1, np_):
+                acc = acc + dr_full[ii][jj] * f[jj]
+            out.append(
+                -rx * acc + fscale * (lift[ii][0] * df_l + lift[ii][1] * df_r)
+            )
+        return tuple(out)
+
+    def one_step(n, u):
+        resu = tuple(jnp.zeros_like(r) for r in u)
+        for s in range(5):
+            r = rhs(u)
+            resu = tuple(
+                float(RK4A[s]) * resu[ii] + dt * r[ii] for ii in range(np_)
+            )
+            u = tuple(u[ii] + float(RK4B[s]) * resu[ii] for ii in range(np_))
+            u = limit(u)
+        return u
+
+    rows = tuple(u_scr[ii] for ii in range(np_))
+    rows = jax.lax.fori_loop(0, steps, one_step, rows)
+    u_scr[:] = jnp.stack(rows, axis=0)
+
+    @pl.when(i == n_chunks - 1)
+    def _():
+        u_out[:] = u_scr[:]
+
+
+def make_pallas_burgers_march(
+    disc: Discretization1D,
+    dt: float,
+    n_steps: int,
+    batch: int = 8,
+    steps_per_chunk: int = 64,
+    limiter: str = "n",
+    interpret: bool = False,
+):
+    """Returns ``run(u0) -> u_final`` for batched states (Np, B, K):
+    ``n_steps`` fused LSRK4(5) Burgers steps with the ΠN (or Π¹) limiter
+    applied after every stage, single kernel launch (grid over chunks)."""
+    if n_steps % steps_per_chunk:
+        raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
+    if limiter not in ("n", "1", "none"):
+        raise ValueError(limiter)
+    rx = float(disc.rx[0, 0])
+    if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
+        raise ValueError("pallas burgers kernel requires a uniform mesh")
+    np_, k = disc.np_, disc.k
+    v = np.asarray(disc.v)
+    inv_v = np.asarray(disc.inv_v)
+    n_lin = min(2, np_)
+    p_lin = v[:, :n_lin] @ inv_v[:n_lin, :]
+    c_avg = tuple(float(v[0, 0] * inv_v[0, jj]) for jj in range(np_))
+    x = np.asarray(disc.x)
+    h = float(x[-1, 0] - x[0, 0])
+    x0 = float(x[0, 0] + h / 2)
+    xi = tuple(float(x[ii, 0] - x0) for ii in range(np_))
+    dr = np.asarray(disc.dr)
+    dr_full = tuple(
+        tuple(float(dr[ii, jj]) for jj in range(np_)) for ii in range(np_)
+    )
+    dr_ux = tuple(float(dd) for dd in (dr[0, :] @ p_lin))
+    lift = tuple(
+        (float(disc.lift[ii, 0]), float(disc.lift[ii, 1])) for ii in range(np_)
+    )
+    n_chunks = n_steps // steps_per_chunk
+
+    kern = functools.partial(
+        _kernel, np_, k, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
+        n_chunks, steps_per_chunk, dt,
+    )
+
+    def run(u0):
+        return pl.pallas_call(
+            kern,
+            grid=(n_chunks,),
+            out_shape=jax.ShapeDtypeStruct((np_, batch, k), u0.dtype),
+            in_specs=[
+                pl.BlockSpec((np_, batch, k), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((np_, batch, k), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((np_, batch, k), u0.dtype)],
+            interpret=interpret,
+        )(u0)
+
+    return run

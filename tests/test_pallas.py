@@ -328,3 +328,41 @@ class TestPallasFDEnsemble:
         )
         got = run(u0s)
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+
+
+class TestPallasBurgers:
+    @pytest.mark.parametrize("limiter", ["n", "1", "none"])
+    def test_matches_xla_burgers_march(self, limiter):
+        from adjoint_ode_adaptivity_tpu.march.burgers import (
+            burgers_march,
+            burgers_operators,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march,
+        )
+
+        # f64 comparison: the limiter's sign comparisons make any two f32
+        # implementations diverge chaotically at shocks; at f64 the kernel
+        # matches the XLA march to roundoff
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = burgers_operators(disc, dtype=jnp.float64)
+        b, n_steps = 8, 32
+        dt = 2e-4
+        rng = np.random.default_rng(5)
+        u0b = np.stack(
+            [
+                (0.5 + 0.4 * ph) * np.sin(np.asarray(disc.x)) + 0.1 * ph
+                for ph in rng.uniform(0, 1, b)
+            ],
+            axis=1,
+        )
+        run = make_pallas_burgers_march(
+            disc, dt, n_steps, batch=b, steps_per_chunk=8, limiter=limiter,
+            interpret=True,
+        )
+        got = run(jnp.asarray(u0b))
+        for j in range(0, b, 3):
+            want = burgers_march(
+                ops, jnp.asarray(u0b[:, j]), dt, n_steps, limiter=limiter
+            )
+            np.testing.assert_allclose(got[:, j], want, rtol=1e-12, atol=1e-13)
