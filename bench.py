@@ -251,6 +251,38 @@ def main():
     except Exception:
         pass
 
+    # ---- nonlinear strand: fused batched Burgers march with the ΠN minmod
+    # limiter applied after every LSRK stage (the reference's limiter
+    # toolkit driven at scale; kernel pinned to the XLA march at f64)
+    burgers_throughput = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march,
+        )
+
+        b_dt = 0.3 * xmin
+        burgers_run = make_pallas_burgers_march(
+            disc, b_dt, n_steps, batch=batch, steps_per_chunk=64, limiter="n"
+        )
+        u0_burg = jnp.asarray(
+            np.stack(
+                [(0.5 + 0.05 * j) * np.sin(np.asarray(disc.x)) for j in range(batch)],
+                axis=1,
+            ),
+            dtype,
+        )
+
+        def mk_burgers(k_calls):
+            @jax.jit
+            def g(u):
+                for _ in range(k_calls):
+                    u = burgers_run(u)
+                return u
+            return g
+
+        burgers_elapsed, _ = chained_slope(mk_burgers, u0_burg)
+        burgers_throughput = batch * dof * n_steps / burgers_elapsed
+
     # ---- ensemble benchmark: fwd+adj+indicator over ~100k ICs — the
     # reference's largest compute (Main_variable_params.py:234,330-341).
     # On TPU: the fused Pallas kernel (ops/pallas/fd_ensemble.py), ICs on
@@ -334,6 +366,7 @@ def main():
                 "ensemble_dof_steps_per_sec": ens_throughput,
                 "ensemble_n_ics": n_ics,
                 "ensemble_kernel": ens_kernel,
+                "burgers_limited_dof_steps_per_sec": burgers_throughput,
             }
         )
     )
