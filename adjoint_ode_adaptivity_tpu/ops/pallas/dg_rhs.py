@@ -85,10 +85,10 @@ def _masks(k):
 
 
 def _lsrk_step(cfg, dr, lift, first, last, u, t, dt):
-    """One full LSRK step at step-size ``dt`` (traced, may be dt/2)."""
+    """One full LSRK step at step-size ``dt`` (a Python float at every call
+    site, including the dt/2 half steps — constants fold at trace time)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
     resu = jnp.zeros_like(u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
@@ -101,24 +101,24 @@ def _lsrk_step(cfg, dr, lift, first, last, u, t, dt):
         du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
         rows = []
         for ii in range(np_):
-            acc = dr[ii, 0] * u[0:1, :]
+            acc = drc[ii, 0] * u[0:1, :]
             for jj in range(1, np_):
-                acc = acc + dr[ii, jj] * u[jj : jj + 1, :]
-            acc = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+                acc = acc + drc[ii, jj] * u[jj : jj + 1, :]
+            acc = acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
             rows.append(acc)
         rhs = jnp.concatenate(rows, axis=0)
-        resu = float(RK4A[s]) * resu + dt * rhs
+        resu = float(RK4A[s]) * resu + rhs
         u = u + float(RK4B[s]) * resu
     return u
 
 
 def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
-    """Exact transpose of the homogeneous LSRK step (stages reversed)."""
+    """Exact transpose of the homogeneous LSRK step (stages reversed);
+    dt and the volume factor pre-folded into the tables (_dt_tables)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
 
-    def at_t(lam):
+    def at_t_dt(lam):
         w0 = lift[0, 0] * lam[0:1, :]
         w1 = lift[0, 1] * lam[0:1, :]
         for ii in range(1, np_):
@@ -130,10 +130,9 @@ def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
         p1 = jnp.where(first, 0.0, _shift_p1(s1, k))
         rows = []
         for ii in range(np_):
-            acc = dr[0, ii] * lam[0:1, :]
+            acc = drc[0, ii] * lam[0:1, :]
             for jj in range(1, np_):
-                acc = acc + dr[jj, ii] * lam[jj : jj + 1, :]
-            acc = (-a * cfg.rx) * acc
+                acc = acc + drc[jj, ii] * lam[jj : jj + 1, :]
             if ii == 0:
                 acc = acc + s0 - p1
             if ii == np_ - 1:
@@ -145,7 +144,7 @@ def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
     for s in (4, 3, 2, 1, 0):
         w = float(RK4B[s]) * lu + lr
         lr = float(RK4A[s]) * w
-        lu = lu + dt * at_t(w)
+        lu = lu + at_t_dt(w)
     return lu
 
 
@@ -155,8 +154,7 @@ def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
     the unrolled variant blows Mosaic's scoped-VMEM stack in large kernels).
     ``rk_ref`` is an SMEM ref holding [a0..a4, b0..b4, c0..c4]."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
 
     def stage(s, carry):
         u, resu = carry
@@ -170,13 +168,13 @@ def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
         du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
         rows = []
         for ii in range(np_):
-            acc = dr[ii, 0] * u[0:1, :]
+            acc = drc[ii, 0] * u[0:1, :]
             for jj in range(1, np_):
-                acc = acc + dr[ii, jj] * u[jj : jj + 1, :]
-            acc = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+                acc = acc + drc[ii, jj] * u[jj : jj + 1, :]
+            acc = acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
             rows.append(acc)
         rhs = jnp.concatenate(rows, axis=0)
-        resu = rk_ref[s] * resu + dt * rhs
+        resu = rk_ref[s] * resu + rhs
         u = u + rk_ref[5 + s] * resu
         return (u, resu)
 
@@ -187,15 +185,14 @@ def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
 def _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt):
     """Transpose step with the 5 reversed stages as a fori_loop."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
 
     def stage(i, carry):
         lu, lr = carry
         s = 4 - i
         w = rk_ref[5 + s] * lu + lr
         lr = rk_ref[s] * w
-        # A^T w
+        # dt·(A^T w), dt pre-folded into the tables
         w0 = lift[0, 0] * w[0:1, :]
         w1 = lift[0, 1] * w[0:1, :]
         for ii in range(1, np_):
@@ -207,16 +204,15 @@ def _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt):
         p1 = jnp.where(first, 0.0, _shift_p1(s1, k))
         rows = []
         for ii in range(np_):
-            acc = dr[0, ii] * w[0:1, :]
+            acc = drc[0, ii] * w[0:1, :]
             for jj in range(1, np_):
-                acc = acc + dr[jj, ii] * w[jj : jj + 1, :]
-            acc = (-a * cfg.rx) * acc
+                acc = acc + drc[jj, ii] * w[jj : jj + 1, :]
             if ii == 0:
                 acc = acc + s0 - p1
             if ii == np_ - 1:
                 acc = acc + s1 - p0
             rows.append(acc)
-        lu = lu + dt * jnp.concatenate(rows, axis=0)
+        lu = lu + jnp.concatenate(rows, axis=0)
         return (lu, lr)
 
     lu, _ = jax.lax.fori_loop(0, 5, stage, (lu, jnp.zeros_like(lu)))
@@ -660,14 +656,27 @@ def _shift_p1_b(x, k):
     return jnp.concatenate([x[..., k - 1 :], x[..., : k - 1]], axis=-1)
 
 
+def _dt_tables(cfg, dr, dt):
+    """Fold the volume factor (−a·rx) and the step size dt into the
+    coefficient tables at TRACE time (dr is a host numpy array and dt a
+    Python float in every kernel call, including the dt/2 half steps).
+    With rhs′ = dt·rhs the low-storage update ``resu = aₛ·resu + rhs′``
+    is a single FMA and the per-row volume term needs no post-scale —
+    2 fewer vector ops per row per stage."""
+    drc = np.asarray(-cfg.a * cfg.rx * dt * np.asarray(dr), dtype=np.float32)
+    fac_l = float(-cfg.a / 2.0 * cfg.fscale * dt)
+    fac_r = float(cfg.a / 2.0 * cfg.fscale * dt)
+    return drc, fac_l, fac_r
+
+
 def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
     """One LSRK step on a batched state held as a TUPLE of Np (B, K) rows —
     full-height register tiles, stages unrolled, no stack/concatenate in the
     hot loop (measured ~2x the stacked fori-stage form: 7.75 -> 4.0 us
-    per batched step-equivalent)."""
+    per batched step-equivalent). Constant factors and dt are pre-folded
+    into the coefficient tables (see _dt_tables)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
     resu = tuple(jnp.zeros_like(r) for r in u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
@@ -679,11 +688,11 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
         du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
         new_u, new_r = [], []
         for ii in range(np_):
-            acc = dr[ii, 0] * u[0]
+            acc = drc[ii, 0] * u[0]
             for jj in range(1, np_):
-                acc = acc + dr[ii, jj] * u[jj]
-            rhs = (-a * cfg.rx) * acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
-            r_ii = float(RK4A[s]) * resu[ii] + dt * rhs
+                acc = acc + drc[ii, jj] * u[jj]
+            rhs = acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+            r_ii = float(RK4A[s]) * resu[ii] + rhs
             new_r.append(r_ii)
             new_u.append(u[ii] + float(RK4B[s]) * r_ii)
         u, resu = tuple(new_u), tuple(new_r)
@@ -692,10 +701,11 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
 
 def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt):
     """Transpose step on a batched cotangent held as a tuple of Np (B, K)
-    rows (stages reversed, unrolled, stack-free)."""
+    rows (stages reversed, unrolled, stack-free). dt and the volume factor
+    are pre-folded into the tables (see _dt_tables) so the cotangent update
+    ``lu += dt·AᵀW`` needs no per-row post-scale."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    fac_l = -a / 2.0 * cfg.fscale
-    fac_r = a / 2.0 * cfg.fscale
+    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
     lr = tuple(jnp.zeros_like(r) for r in lu)
     for s in (4, 3, 2, 1, 0):
         w = tuple(float(RK4B[s]) * lu[ii] + lr[ii] for ii in range(np_))
@@ -711,15 +721,14 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt):
         p1 = jnp.where(first, 0.0, _shift_p1_b(s1, k))
         new_lu = []
         for ii in range(np_):
-            acc = dr[0, ii] * w[0]
+            acc = drc[0, ii] * w[0]
             for jj in range(1, np_):
-                acc = acc + dr[jj, ii] * w[jj]
-            acc = (-a * cfg.rx) * acc
+                acc = acc + drc[jj, ii] * w[jj]
             if ii == 0:
                 acc = acc + s0 - p1
             if ii == np_ - 1:
                 acc = acc + s1 - p0
-            new_lu.append(lu[ii] + dt * acc)
+            new_lu.append(lu[ii] + acc)
         lu = tuple(new_lu)
     return lu
 
@@ -809,6 +818,104 @@ def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
         eta_out[:] = eta
 
 
+def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
+                            traj_out, ufinal_out, u_scr):
+    """Forward phase that stores EVERY coarse state to HBM (block = this
+    segment's ``seg`` states): the reverse kernel then reads instead of
+    recomputing, cutting the pipeline from 6 to 5 LSRK step-equivalents per
+    time step. HBM traffic (~state·n_steps each way) sits far below the
+    VPU-bound kernel time at the north-star size and is pipelined by the
+    BlockSpec index maps."""
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    np_ = cfg.np_
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = u0_ref[:]
+
+    t0 = t0_ref[0] + (i * seg) * dt
+
+    def body(n, u):
+        for ii in range(np_):
+            traj_out[n, ii] = u[ii]
+        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+
+    rows = tuple(u_scr[ii] for ii in range(np_))
+    rows = jax.lax.fori_loop(0, seg, body, rows)
+    u_scr[:] = jnp.stack(rows, axis=0)
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        ufinal_out[:] = u_scr[:]
+
+
+def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, t0_ref, lam_ref,
+                                  ufinal_ref, traj_ref, lam0_out, eta_out,
+                                  lu_scr, eta_scr, bound_scr):
+    """Batched reverse sweep over a STORED trajectory: grid step i processes
+    segment n_seg−1−i whose ``seg`` coarse states arrive as the input block;
+    the segment-boundary state u_{(s+1)·seg} is carried across grid steps in
+    ``bound_scr`` (seeded with u_final). No forward recompute — per time
+    step the kernel runs exactly 2 half steps (the step-doubling residual)
+    plus 2 half-transpose steps (the fine adjoint)."""
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    np_ = cfg.np_
+    first, last = _masks(cfg.k)
+    dt = cfg.dt
+    seg_idx = n_seg - 1 - i
+    t0 = t0_ref[0] + (seg_idx * seg) * dt
+
+    @pl.when(i == 0)
+    def _():
+        lu_scr[:] = lam_ref[:]
+        eta_scr[:] = jnp.zeros_like(eta_scr)
+        bound_scr[:] = ufinal_ref[:]
+
+    def bwd_body(j, carry):
+        lu, eta = carry
+        n = seg - 1 - j
+        t_n = t0 + n * dt
+        blk_n = traj_ref[n]
+        u_n = tuple(blk_n[ii] for ii in range(np_))
+        # u_{n+1}: within-block read, except the segment's last step which
+        # uses the boundary state carried from the previously-processed
+        # (later-in-time) segment
+        blk_np1 = traj_ref[jnp.minimum(n + 1, seg - 1)]
+        is_last = n == seg - 1
+        u_np1 = tuple(
+            jnp.where(is_last, bound_scr[ii], blk_np1[ii]) for ii in range(np_)
+        )
+        half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2)
+        half2 = _lsrk_step_b(
+            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2
+        )
+        acc = lu[0] * (u_np1[0] - half2[0])
+        for ii in range(1, np_):
+            acc = acc + lu[ii] * (u_np1[ii] - half2[ii])
+        eta = eta + acc
+        # fine (half-step-squared) transpose — exact effectivity identity
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
+        return (lu, eta)
+
+    lu0 = tuple(lu_scr[ii] for ii in range(np_))
+    lu, eta = jax.lax.fori_loop(0, seg, bwd_body, (lu0, eta_scr[:]))
+    # boundary for the next (earlier) segment: this segment's first state
+    bound_scr[:] = traj_ref[0]
+    lu_stacked = jnp.stack(lu, axis=0)
+    lu_scr[:] = lu_stacked
+    eta_scr[:] = eta
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        lam0_out[:] = lu_stacked
+        eta_out[:] = eta
+
+
 def make_pallas_fwd_adj_estimate_grid_batched(
     disc: Discretization1D,
     a: float,
@@ -817,6 +924,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
     n_segments: int = 512,
     batch: int = 8,
     interpret: bool = False,
+    store_trajectory: bool = False,
 ):
     """Batched single-launch fused pipeline: B independent initial states
     march + adjoint-sweep + estimate together, stacked on the sublane axis
@@ -829,6 +937,13 @@ def make_pallas_fwd_adj_estimate_grid_batched(
     VMEM: traj scratch (segment+1)·Np·B·K·4B — use segment=4 at the
     north-star size (4.8 MB; segment=8 blows Mosaic's 16 MB scoped-VMEM
     stack once the reverse-body temporaries are added).
+
+    ``store_trajectory=True`` switches to the stored-trajectory variant:
+    the forward phase writes every coarse state to HBM
+    ((n_steps, Np, B, K) ≈ 2 GB at the north-star size) and the reverse
+    phase streams it back instead of recomputing — 5 instead of 6 LSRK
+    step-equivalents per time step (~17% less work; the extra HBM traffic
+    is pipelined and far below the chip's bandwidth at this size).
     """
     rx, fs = _check_uniform(disc)
     cfg = PallasAdvecConfig(
@@ -838,6 +953,81 @@ def make_pallas_fwd_adj_estimate_grid_batched(
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
     np_, k, b = cfg.np_, cfg.k, batch
+
+    if store_trajectory:
+        n_steps = segment * n_segments
+
+        def run(u0, t0, lam_end):
+            fwd_kern = functools.partial(
+                _fwd_traj_grid_kernel_b, cfg, dr_host, lift_host, n_segments
+            )
+            traj, u_final = pl.pallas_call(
+                fwd_kern,
+                grid=(n_segments,),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_steps, np_, b, k), u0.dtype),
+                    jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+                ),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (segment, np_, b, k),
+                        lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                ),
+                scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
+                interpret=interpret,
+            )(jnp.reshape(t0, (1,)), u0)
+
+            adj_kern = functools.partial(
+                _adj_est_grid_kernel_b_stored, cfg, dr_host, lift_host, n_segments
+            )
+            lam0, eta = pl.pallas_call(
+                adj_kern,
+                grid=(n_segments,),
+                out_shape=(
+                    jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+                    jax.ShapeDtypeStruct((b, k), u0.dtype),
+                ),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (segment, np_, b, k),
+                        lambda i: (n_segments - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((np_, b, k), jnp.float32),
+                    pltpu.VMEM((b, k), jnp.float32),
+                    pltpu.VMEM((np_, b, k), jnp.float32),
+                ],
+                interpret=interpret,
+            )(jnp.reshape(t0, (1,)), lam_end, u_final, traj)
+            return u_final, lam0, eta
+
+        return run
 
     def run(u0, t0, lam_end):
         fwd_kern = functools.partial(

@@ -152,9 +152,13 @@ class TestPallasGridPipeline:
 
 
 class TestPallasBatchedGrid:
-    @pytest.mark.parametrize("n_order,k_elems,dt", [(2, 64, 5e-4), (3, 48, 2e-4)])
-    def test_batched_matches_b_independent_runs(self, n_order, k_elems, dt):
-        # order-general: N=2 (the flagship) and N=3 (Np=4)
+    @pytest.mark.parametrize(
+        "n_order,k_elems,dt,store",
+        [(2, 64, 5e-4, False), (3, 48, 2e-4, False), (2, 64, 5e-4, True)],
+    )
+    def test_batched_matches_b_independent_runs(self, n_order, k_elems, dt, store):
+        # order-general: N=2 (the flagship) and N=3 (Np=4); store=True
+        # exercises the stored-trajectory (no-recompute) reverse sweep
         disc = startup_1d(n_order, 0.0, 2 * np.pi, k_elems)
         ops = advec_operators(disc, a=A, dtype=jnp.float32)
         seg, nseg, b = 4, 4, 8
@@ -172,7 +176,8 @@ class TestPallasBatchedGrid:
         lam_b = jnp.broadcast_to(lam[:, None, :], (disc.np_, b, disc.k))
 
         run = make_pallas_fwd_adj_estimate_grid_batched(
-            disc, A, dt, segment=seg, n_segments=nseg, batch=b, interpret=True
+            disc, A, dt, segment=seg, n_segments=nseg, batch=b, interpret=True,
+            store_trajectory=store,
         )
         uf, lam0, eta = run(jnp.asarray(u0s), jnp.float32(0.0), lam_b)
         assert uf.shape == (disc.np_, b, disc.k)
