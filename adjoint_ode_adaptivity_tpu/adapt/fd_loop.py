@@ -211,7 +211,13 @@ def run_adaptive_fd_backtrack_padded(
     at ``max_nodes``; the host only runs the accept/backtrack control flow.
     Semantics match :func:`run_adaptive_fd_backtrack` — refine at the masked
     argmax; if the total estimate increased, undo the insert and permanently
-    block that interval (the blocked mask shifts with inserts/merges).
+    block that interval (the blocked mask shifts with inserts/merges); a
+    coarsen merge re-solves on the merged grid within the same iteration
+    (no extra history entry) before refining. One documented deviation:
+    blocked intervals are tracked positionally (the mask shifts with
+    inserts/merges) while the dynamic loop keys them by (t_l, t_r) — after a
+    merge the two bookkeepings can block different descendants (see
+    policy.coarsen_merge_padded).
     """
     from adjoint_ode_adaptivity_tpu.adapt.policy import coarsen_merge_padded
 
@@ -256,18 +262,24 @@ def run_adaptive_fd_backtrack_padded(
                 state.times, state.n_active, err_steps, blocked, coarsen_tol
             )
             if bool(merged):
+                # re-solve on the merged grid within the SAME iteration (no
+                # history entry) before refining — exactly the dynamic
+                # loop's post-merge re-solve (run_adaptive_fd_backtrack).
+                # prev_total keeps the pre-merge value, as there.
                 state = AdaptState(times=t_c, n_active=n_c, it=state.it)
                 blocked = b_c
-                # a backtrack may only revert the IMMEDIATELY preceding
-                # insert; past a merge there is nothing to revert to (the
-                # dynamic loop re-solves and refines within one iteration,
-                # so it can never revert across a merge either)
-                last_insert = None
-                it += 1
-                continue  # re-solve on the merged grid before refining
+                err_steps, _, t_new, n_new, b_new, interval = backtrack_iteration(
+                    state, blocked, u0, step_fn, functional_name, ref_factor,
+                    convention,
+                )
         n_act = int(state.n_active)
         if bool(jnp.all(blocked[:n_act])):
             break  # every active interval blocked: no legal refinement left
+        if int(n_new) == n_act:
+            # guarded no-op insert: the padded grid is full (max_nodes)
+            history.append({"it": it, "n_steps": n_act, "total": total,
+                            "action": "capacity"})
+            break
         # remember the pre-insert state with the chosen interval blocked, so
         # a backtrack reverts AND blocks in one assignment
         last_insert = (

@@ -21,6 +21,7 @@ loop.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -72,7 +73,9 @@ def bisect_refine_padded(
     The insert shifts ``times[ref_idx:]`` right by one and writes the
     midpoint, all via index arithmetic at fixed shape. The final active node
     overwrites the first padding slot; remaining padding still repeats the
-    final time, preserving the padding invariant.
+    final time, preserving the padding invariant. A full grid
+    (``n_active + 2 > max_nodes`` after insert) is a guarded no-op — the
+    shift would otherwise push the final-time node off the array.
     """
     max_nodes = times.shape[0]
     ref_idx = jnp.argmax(err_steps) + 1
@@ -80,7 +83,9 @@ def bisect_refine_padded(
     idx = jnp.arange(max_nodes)
     shifted = times[jnp.maximum(idx - 1, 0)]
     times_new = jnp.where(idx < ref_idx, times, jnp.where(idx == ref_idx, mid, shifted))
-    return times_new, n_active + 1
+    do = n_active + 2 <= max_nodes
+    times_new = jnp.where(do, times_new, times)
+    return times_new, n_active + do.astype(n_active.dtype)
 
 
 def bisect_refine_masked(
@@ -109,7 +114,9 @@ def bisect_refine_padded_masked(
     active, unblocked intervals; the blocked mask shifts with the insert
     (both children of the bisected interval start unblocked).
 
-    Returns (times_new, n_active_new, blocked_new, interval).
+    Returns (times_new, n_active_new, blocked_new, interval). A full grid
+    (insert would exceed ``max_nodes``) is a guarded no-op, like
+    :func:`bisect_refine_padded`.
     """
     max_nodes = times.shape[0]
     step_idx = jnp.arange(max_nodes - 1)
@@ -126,9 +133,13 @@ def bisect_refine_padded_masked(
     shifted_b = blocked[jnp.maximum(step_idx - 1, 0)]
     blocked_new = jnp.where(step_idx <= interval, blocked, shifted_b)
     blocked_new = jnp.where(step_idx == interval + 1, False, blocked_new)
-    return times_new, n_active + 1, blocked_new, interval
+    do = n_active + 2 <= max_nodes
+    times_new = jnp.where(do, times_new, times)
+    blocked_new = jnp.where(do, blocked_new, blocked)
+    return times_new, n_active + do.astype(n_active.dtype), blocked_new, interval
 
 
+@jax.jit
 def coarsen_merge_padded(
     times: jnp.ndarray,
     n_active: jnp.ndarray,
@@ -141,6 +152,7 @@ def coarsen_merge_padded(
     everything after the dropped node left by one; padding still repeats the
     final time). The merged interval starts unblocked — a deliberate
     deviation from the dynamic variant's persistent (t_l, t_r) block keys.
+    Jitted: one dispatch per host-loop call instead of ~15 eager ops.
 
     Returns (times_new, n_active_new, blocked_new, merged?).
     """

@@ -93,6 +93,11 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--ref-tol", type=float, default=5e-5, help="plateau tolerance")
     p.add_argument("--width-tol", type=float, default=5e-5, help="bin-loss tolerance")
+    p.add_argument("--depth-rel-tol", type=float, default=0.1,
+                   help="width-vs-depth plateau tolerance (Main_width_ref.py"
+                        ":487-500): refine depth when the relative loss "
+                        "improvement over the epoch window falls below this; "
+                        "0 forces width growth")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -151,7 +156,13 @@ def main(argv=None):
         # shapes (and the compiled train step) never change
         capacity = args.width_capacity or (args.width + args.maxit + 4)
         net = models.ResBlockSimpleMasked(capacity)
-        p1 = net.init(rng, jnp.ones(1), 0.0, 0.1, jnp.asarray(args.width))["params"]
+        # active prefix = the width-`width` ResBlockSimple init bit-for-bit
+        # (direct masked init would sort knots across the full capacity and
+        # hand the active prefix only the lowest tail)
+        p_simple = models.ResBlockSimple(args.width).init(
+            rng, jnp.ones(1), 0.0, 0.1
+        )["params"]
+        p1 = models.masked_params_from_simple(p_simple, capacity)
         n_active = jnp.full((n_steps,), args.width, jnp.int32)
     else:
         capacity = args.width
@@ -326,7 +337,7 @@ def main(argv=None):
         # --- adapt
         grow_depth = True
         if args.method == "width":
-            grow_depth = bool(should_refine_depth(loss_hist))
+            grow_depth = bool(should_refine_depth(loss_hist, args.depth_rel_tol))
         if grow_depth:
             t_new = jnp.zeros((len(t) + 1,))
             t_new = t_new.at[:idx].set(t[:idx])

@@ -34,6 +34,7 @@ __all__ = [
     "SingleNeuronLayers",
     "ResBlockSimple",
     "ResBlockSimpleMasked",
+    "masked_params_from_simple",
     "ResBlock",
     "ResNetBlock",
     "ResNetODE",
@@ -129,6 +130,29 @@ class ResBlockSimpleMasked(nn.Module):
         f = jnp.einsum("df,fd->d", w2, f)
         out = u + f * dt_n
         return out.reshape(u_in.shape)
+
+
+def masked_params_from_simple(simple_params: dict, capacity: int) -> dict:
+    """Embed ``ResBlockSimple(width)`` parameters into a
+    ``ResBlockSimpleMasked(capacity)`` parameter dict.
+
+    The active prefix is the simple net's parameters bit-for-bit, so a
+    masked net at ``n_active = width`` reproduces the reference-faithful
+    width-``width`` initialization exactly (initializing the masked module
+    directly sorts lecun-normal draws across the FULL capacity, handing the
+    active prefix only the lowest-tail knots). Padding slots are zero —
+    inert by construction (exactly-zero gradients through the mask) and
+    overwritten by surgery.insert_neuron_padded on growth.
+    """
+    f, d = simple_params["bias"].shape
+    pad = capacity - f
+    if pad < 0:
+        raise ValueError(f"capacity={capacity} < width={f}")
+    return {
+        "bias": jnp.pad(simple_params["bias"], ((0, pad), (0, 0))),
+        "weights1": jnp.pad(simple_params["weights1"], ((0, pad), (0, 0))),
+        "weights2": jnp.pad(simple_params["weights2"], ((0, 0), (0, pad))),
+    }
 
 
 class ResBlock(nn.Module):

@@ -245,7 +245,7 @@ def bin_losses_padded(
     d = jnp.square(u_samples[:, None] - bias[None, :])
     d = jnp.where(active[None, :], d, _BIG)
     i = jnp.argmin(d, axis=1)
-    sgn = jnp.sign(u_samples - bias[i, 0] if bias.ndim == 2 else u_samples - bias[i])
+    sgn = jnp.sign(u_samples - bias[i])  # bias is the 1-d knot vector (F,)
     k = i + jnp.where(sgn > 0, 0, -1) + 1
     n_bins = f + 1
     counts = jax.ops.segment_sum(jnp.ones_like(u_samples), k, n_bins)

@@ -33,16 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
 from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+    _check_uniform,
+    _shift_m1_b as _shift_m1,
+    _shift_p1_b as _shift_p1,
+)
 
 __all__ = ["make_pallas_burgers_march"]
-
-
-def _shift_m1(x, k):
-    return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
-
-
-def _shift_p1(x, k):
-    return jnp.concatenate([x[..., k - 1 :], x[..., : k - 1]], axis=-1)
 
 
 def _minmod3(a, b, c):
@@ -159,9 +156,7 @@ def make_pallas_burgers_march(
         raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
     if limiter not in ("n", "1", "none"):
         raise ValueError(limiter)
-    rx = float(disc.rx[0, 0])
-    if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
-        raise ValueError("pallas burgers kernel requires a uniform mesh")
+    rx, _ = _check_uniform(disc)
     np_, k = disc.np_, disc.k
     v = np.asarray(disc.v)
     inv_v = np.asarray(disc.inv_v)

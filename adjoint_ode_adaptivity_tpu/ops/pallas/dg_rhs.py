@@ -65,7 +65,7 @@ class PallasAdvecConfig(NamedTuple):
 def _check_uniform(disc: Discretization1D) -> tuple[float, float]:
     rx = float(disc.rx[0, 0])
     if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
-        raise ValueError("pallas advection kernel requires a uniform mesh")
+        raise ValueError("pallas DG kernels require a uniform mesh")
     return rx, rx
 
 

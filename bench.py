@@ -28,8 +28,13 @@ import time
 # the batched reverse kernel's VMEM stack (~16.4 MB of (Np,8,K) temporaries)
 # needs more than Mosaic's default 16 MB scoped limit; the TPU backend
 # initializes lazily, so setting this before first device use is sufficient
-# (verified) even though sitecustomize imports jax at interpreter startup
-os.environ.setdefault("LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=32768")
+# (verified) even though sitecustomize imports jax at interpreter startup.
+# APPEND to any pre-existing LIBTPU_INIT_ARGS — setdefault would silently
+# drop the flag and the batched kernels would fail Mosaic's VMEM check.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+_cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+if "xla_tpu_scoped_vmem_limit_kib" not in _cur:
+    os.environ["LIBTPU_INIT_ARGS"] = (_cur + " " + _VMEM_FLAG).strip()
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 

@@ -119,7 +119,8 @@ class TestWidthMethod:
         args = [
             "--method", "width", "--epochs", "6", "--maxit", "0",
             "--n-train", "16", "--n-test", "4", "--width", "4",
-            "--width-tol", "0", "--lr", "1e-2", "--seed", "1", "--quiet",
+            "--width-tol", "0", "--depth-rel-tol", "0",  # pin policy: width
+            "--lr", "1e-2", "--seed", "1", "--quiet",
             "--checkpoint-dir", ckpt,
         ]
         main(args)

@@ -597,6 +597,34 @@ class TestBacktrackPadded:
         # compile-once: the whole padded loop used ONE jit entry
         assert backtrack_iteration._cache_size() - before == 1
 
+    @pytest.mark.parametrize("ctol", [0.01, 0.03])
+    def test_padded_backtrack_merge_parity(self, ctol):
+        """Coarsening actually fires (calibrated: ctol=0.01 merges once,
+        0.03 merges repeatedly) and the padded loop still reproduces the
+        dynamic loop exactly: merge -> re-solve within the same iteration
+        (no extra history entry) -> refine."""
+        from adjoint_ode_adaptivity_tpu.adapt import (
+            run_adaptive_fd_backtrack,
+            run_adaptive_fd_backtrack_padded,
+        )
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        kw = dict(n_steps0=6, maxit=8, tol=1e-12, coarsen_tol=ctol)
+        h_dyn = run_adaptive_fd_backtrack(euler_step(ode.f), 1.0, (0.0, 2.0), **kw)
+        h_pad = run_adaptive_fd_backtrack_padded(
+            euler_step(ode.f), 1.0, (0.0, 2.0), **kw
+        )
+        # the coarsening path is exercised: grid size is non-monotone
+        sizes = [len(r["times"]) for r in h_dyn if "err_steps" in r]
+        assert any(b <= a for a, b in zip(sizes, sizes[1:])), sizes
+        assert [r["action"] for r in h_pad] == [r["action"] for r in h_dyn]
+        np.testing.assert_allclose(
+            [r["total"] for r in h_pad], [r["total"] for r in h_dyn], rtol=1e-10
+        )
+        for rp, rd in zip(h_pad, h_dyn):
+            if "times" in rp and "times" in rd:
+                np.testing.assert_allclose(rp["times"], rd["times"], rtol=1e-12)
+
     def test_backtrack_revert_blocks_interval(self):
         """The undo path: feed a hand-made estimate sequence through the
         insert/revert host logic via the padded primitives."""

@@ -139,6 +139,29 @@ class TestMaskedBlock:
         # params are f32, conftest inputs f64 — compare at single precision
         np.testing.assert_allclose(out_m, out_u, rtol=1e-6)
 
+    def test_masked_init_helper_matches_simple_at_capacity_gt_width(self):
+        """masked_params_from_simple: the active prefix of a capacity>width
+        masked net is the width-w ResBlockSimple init bit-for-bit (direct
+        masked init would sort knots across the full capacity, handing the
+        active prefix only the lowest tail)."""
+        w, cap = 6, 11
+        simple = models.ResBlockSimple(w)
+        p = simple.init(jax.random.PRNGKey(3), jnp.ones(1), 0.0, 0.1)["params"]
+        pm = models.masked_params_from_simple(p, cap)
+        masked = models.ResBlockSimpleMasked(cap)
+        for u in (-1.7, 0.3, 2.2):
+            a = simple.apply({"params": p}, jnp.asarray(u), 0.0, 0.05)
+            b = masked.apply(
+                {"params": pm}, jnp.asarray(u), 0.0, 0.05, jnp.asarray(w)
+            )
+            # params are f32; the capacity-length contraction rounds
+            # differently than the width-length one — single precision
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # the active knot range spans the simple init's full range, not a tail
+        np.testing.assert_array_equal(pm["bias"][:w], p["bias"])
+        # padding is inert fill
+        np.testing.assert_array_equal(pm["bias"][w:], 0.0)
+
     def test_inactive_slots_inert_and_zero_grad(self):
         cap, f = 8, 3
         net = models.ResBlockSimpleMasked(cap)
