@@ -154,11 +154,16 @@ class TestPallasGridPipeline:
 class TestPallasBatchedGrid:
     @pytest.mark.parametrize(
         "n_order,k_elems,dt,store",
-        [(2, 64, 5e-4, False), (3, 48, 2e-4, False), (2, 64, 5e-4, True)],
+        [
+            (2, 64, 5e-4, False),
+            (3, 48, 2e-4, False),
+            (2, 64, 5e-4, True),
+            (7, 24, 5e-5, True),  # Np=8: full-sublane-height nodes
+        ],
     )
     def test_batched_matches_b_independent_runs(self, n_order, k_elems, dt, store):
-        # order-general: N=2 (the flagship) and N=3 (Np=4); store=True
-        # exercises the stored-trajectory (no-recompute) reverse sweep
+        # order-general: N=2 (the flagship), N=3 (Np=4), N=7 (Np=8);
+        # store=True exercises the stored-trajectory (no-recompute) sweep
         disc = startup_1d(n_order, 0.0, 2 * np.pi, k_elems)
         ops = advec_operators(disc, a=A, dtype=jnp.float32)
         seg, nseg, b = 4, 4, 8
