@@ -48,6 +48,7 @@ __all__ = [
     "make_pallas_fwd_adj_estimate",
     "make_pallas_fwd_adj_estimate_grid",
     "make_pallas_fwd_adj_estimate_grid_batched",
+    "make_pallas_fwd_adj_estimate_grid_single_blocked",
 ]
 
 
@@ -656,6 +657,39 @@ def _shift_p1_b(x, k):
     return jnp.concatenate([x[..., k - 1 :], x[..., : k - 1]], axis=-1)
 
 
+# --- blocked-single layout: ONE state's K elements tiled over the 8
+# sublanes as contiguous blocks, element k = s·M + j with M = K/8. The
+# element shifts are the same ±1 circular permutations as the lane-only
+# layout, with the block boundary (lane 0 / lane M−1) patched from the
+# neighbouring sublane — 2 extra vector ops per shift buys full register
+# height for a SINGLE state (the row layout uses 1 of 8 sublanes).
+
+
+def _shift_m1_blk(x, m):
+    """Element k+1 source: out[s,j] = x[s,j+1]; out[s,M−1] = x[s+1,0]
+    (wrapping to x[0,0] at s=7 — masked off by ``last`` downstream)."""
+    y = jnp.concatenate([x[:, 1:], x[:, :1]], axis=-1)
+    c = jnp.concatenate([x[1:, 0:1], x[0:1, 0:1]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == m - 1, c, y)
+
+
+def _shift_p1_blk(x, m):
+    """Element k−1 source: out[s,j] = x[s,j−1]; out[s,0] = x[s−1,M−1]
+    (wrapping to x[7,M−1] at s=0 — masked off by ``first`` downstream)."""
+    y = jnp.concatenate([x[:, m - 1 :], x[:, : m - 1]], axis=-1)
+    c = jnp.concatenate([x[-1:, m - 1 : m], x[:-1, m - 1 : m]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, c, y)
+
+
+def _masks_blk(m):
+    """first/last element masks in the blocked-single (8, M) layout."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (8, m), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (8, m), 1)
+    return (s == 0) & (j == 0), (s == 7) & (j == m - 1)
+
+
 def _dt_tables(cfg, dr, dt):
     """Fold the volume factor (−a·rx) and the step size dt into the
     coefficient tables at TRACE time (dr is a host numpy array and dt a
@@ -669,20 +703,24 @@ def _dt_tables(cfg, dr, dt):
     return drc, fac_l, fac_r
 
 
-def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
+def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
+                 shift_p1=None, shift_m1=None):
     """One LSRK step on a batched state held as a TUPLE of Np (B, K) rows —
     full-height register tiles, stages unrolled, no stack/concatenate in the
     hot loop (measured ~2x the stacked fori-stage form: 7.75 -> 4.0 us
     per batched step-equivalent). Constant factors and dt are pre-folded
-    into the coefficient tables (see _dt_tables)."""
+    into the coefficient tables (see _dt_tables). ``shift_p1/shift_m1``
+    override the element-neighbour shifts (blocked-single layout)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
+    shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
+    shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
     drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
     resu = tuple(jnp.zeros_like(r) for r in u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
         u_l, u_r = u[0], u[np_ - 1]
-        u_l_nbr = _shift_p1_b(u_r, k)
-        u_r_nbr = _shift_m1_b(u_l, k)
+        u_l_nbr = shift_p1(u_r)
+        u_r_nbr = shift_m1(u_l)
         uin = -jnp.sin(a * ts)
         du_l = jnp.where(first, (u_l - uin) * fac_l, (u_l - u_l_nbr) * fac_l)
         du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
@@ -699,12 +737,18 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt):
     return u
 
 
-def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt):
+def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
+                   shift_p1=None, shift_m1=None):
     """Transpose step on a batched cotangent held as a tuple of Np (B, K)
     rows (stages reversed, unrolled, stack-free). dt and the volume factor
     are pre-folded into the tables (see _dt_tables) so the cotangent update
-    ``lu += dt·AᵀW`` needs no per-row post-scale."""
+    ``lu += dt·AᵀW`` needs no per-row post-scale. ``shift_p1/shift_m1``
+    override the element shifts (blocked-single layout); the transpose of a
+    circular ±1 element shift is the ∓1 shift in ANY element indexing, so
+    the same overrides serve both directions."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
+    shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
+    shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
     drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
     lr = tuple(jnp.zeros_like(r) for r in lu)
     for s in (4, 3, 2, 1, 0):
@@ -717,8 +761,8 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt):
             w1 = w1 + lift[ii, 1] * w[ii]
         s0 = w0 * fac_l
         s1 = jnp.where(last, 0.0, w1 * fac_r)
-        p0 = jnp.where(last, 0.0, _shift_m1_b(s0, k))
-        p1 = jnp.where(first, 0.0, _shift_p1_b(s1, k))
+        p0 = jnp.where(last, 0.0, shift_m1(s0))
+        p1 = jnp.where(first, 0.0, shift_p1(s1))
         new_lu = []
         for ii in range(np_):
             acc = drc[0, ii] * w[0]
@@ -818,7 +862,19 @@ def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
         eta_out[:] = eta
 
 
-def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
+def _layout_fns(cfg, blocked):
+    """(first, last, shift_p1, shift_m1) for the batched lane layout or the
+    blocked-single layout (cfg.k is the LANE count — K/8 when blocked)."""
+    if blocked:
+        first, last = _masks_blk(cfg.k)
+        return (first, last,
+                lambda x: _shift_p1_blk(x, cfg.k),
+                lambda x: _shift_m1_blk(x, cfg.k))
+    first, last = _masks(cfg.k)
+    return first, last, None, None
+
+
+def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
                             traj_out, ufinal_out, u_scr):
     """Forward phase that stores EVERY coarse state to HBM (block = this
     segment's ``seg`` states): the reverse kernel then reads instead of
@@ -829,7 +885,7 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
-    first, last = _masks(cfg.k)
+    first, last, sp1, sm1 = _layout_fns(cfg, blocked)
     dt = cfg.dt
 
     @pl.when(i == 0)
@@ -841,7 +897,8 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
     def body(n, u):
         for ii in range(np_):
             traj_out[n, ii] = u[ii]
-        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt,
+                            sp1, sm1)
 
     rows = tuple(u_scr[ii] for ii in range(np_))
     rows = jax.lax.fori_loop(0, seg, body, rows)
@@ -852,9 +909,9 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
         ufinal_out[:] = u_scr[:]
 
 
-def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, t0_ref, lam_ref,
-                                  ufinal_ref, traj_ref, lam0_out, eta_out,
-                                  lu_scr, eta_scr, bound_scr):
+def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,
+                                  lam_ref, ufinal_ref, traj_ref, lam0_out,
+                                  eta_out, lu_scr, eta_scr, bound_scr):
     """Batched reverse sweep over a STORED trajectory: grid step i processes
     segment n_seg−1−i whose ``seg`` coarse states arrive as the input block;
     the segment-boundary state u_{(s+1)·seg} is carried across grid steps in
@@ -864,7 +921,7 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, t0_ref, lam_ref,
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
-    first, last = _masks(cfg.k)
+    first, last, sp1, sm1 = _layout_fns(cfg, blocked)
     dt = cfg.dt
     seg_idx = n_seg - 1 - i
     t0 = t0_ref[0] + (seg_idx * seg) * dt
@@ -889,17 +946,18 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, t0_ref, lam_ref,
         u_np1 = tuple(
             jnp.where(is_last, bound_scr[ii], blk_np1[ii]) for ii in range(np_)
         )
-        half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2)
+        half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2,
+                            sp1, sm1)
         half2 = _lsrk_step_b(
-            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2
+            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2, sp1, sm1
         )
         acc = lu[0] * (u_np1[0] - half2[0])
         for ii in range(1, np_):
             acc = acc + lu[ii] * (u_np1[ii] - half2[ii])
         eta = eta + acc
         # fine (half-step-squared) transpose — exact effectivity identity
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1)
         return (lu, eta)
 
     lu0 = tuple(lu_scr[ii] for ii in range(np_))
@@ -914,6 +972,134 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, t0_ref, lam_ref,
     def _():
         lam0_out[:] = lu_stacked
         eta_out[:] = eta
+
+
+def _make_stored_run(cfg, dr_host, lift_host, segment, n_segments, np_, b, k,
+                     blocked, interpret):
+    """run(u0, t0, lam_end) for the stored-trajectory pipeline on (Np, b, k)
+    states — shared by the batched (b independent states on sublanes) and
+    blocked-single (one state's elements tiled over sublanes) layouts."""
+    n_steps = segment * n_segments
+
+    def run(u0, t0, lam_end):
+        fwd_kern = functools.partial(
+            _fwd_traj_grid_kernel_b, cfg, dr_host, lift_host, n_segments,
+            blocked,
+        )
+        traj, u_final = pl.pallas_call(
+            fwd_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_steps, np_, b, k), u0.dtype),
+                jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (segment, np_, b, k),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), u0)
+
+        adj_kern = functools.partial(
+            _adj_est_grid_kernel_b_stored, cfg, dr_host, lift_host,
+            n_segments, blocked,
+        )
+        lam0, eta = pl.pallas_call(
+            adj_kern,
+            grid=(n_segments,),
+            out_shape=(
+                jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
+                jax.ShapeDtypeStruct((b, k), u0.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (segment, np_, b, k),
+                    lambda i: (n_segments - 1 - i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((np_, b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((np_, b, k), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), lam_end, u_final, traj)
+        return u_final, lam0, eta
+
+    return run
+
+
+def make_pallas_fwd_adj_estimate_grid_single_blocked(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    segment: int = 4,
+    n_segments: int = 512,
+    interpret: bool = False,
+):
+    """Stored-trajectory fused pipeline for a SINGLE state at full VPU
+    register height: the K elements are tiled over the 8 sublanes as
+    contiguous blocks ((Np, 8, K/8) layout, element k = s·(K/8) + j), so
+    every vector op does 8× the work of the row layout. Element-neighbour
+    flux shifts patch the block boundary from the adjacent sublane (2 extra
+    ops per shift — see _shift_m1_blk/_shift_p1_blk); first/last masks are
+    the true global element masks, so BCs land on elements 0 and K−1
+    exactly as in the row layout.
+
+    Returns ``run(u0, t0, lam_end) -> (u_final, lam0, eta)`` with
+    ``u0/lam_end``: (Np, K) and ``eta``: (K,) — the same contract as
+    ``make_pallas_fwd_adj_estimate_grid`` (tested equal).
+    """
+    rx, fs = _check_uniform(disc)
+    if disc.k % 8:
+        raise ValueError(f"K={disc.k} must be a multiple of 8 (blocked layout)")
+    m = disc.k // 8
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=m, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=segment, interpret=interpret,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+    np_ = disc.np_
+    inner = _make_stored_run(
+        cfg, dr_host, lift_host, segment, n_segments, np_, 8, m,
+        blocked=True, interpret=interpret,
+    )
+
+    def run(u0, t0, lam_end):
+        uf, lam0, eta = inner(
+            u0.reshape(np_, 8, m), t0, lam_end.reshape(np_, 8, m)
+        )
+        return uf.reshape(np_, disc.k), lam0.reshape(np_, disc.k), eta.reshape(disc.k)
+
+    return run
 
 
 def make_pallas_fwd_adj_estimate_grid_batched(
@@ -955,79 +1141,10 @@ def make_pallas_fwd_adj_estimate_grid_batched(
     np_, k, b = cfg.np_, cfg.k, batch
 
     if store_trajectory:
-        n_steps = segment * n_segments
-
-        def run(u0, t0, lam_end):
-            fwd_kern = functools.partial(
-                _fwd_traj_grid_kernel_b, cfg, dr_host, lift_host, n_segments
-            )
-            traj, u_final = pl.pallas_call(
-                fwd_kern,
-                grid=(n_segments,),
-                out_shape=(
-                    jax.ShapeDtypeStruct((n_steps, np_, b, k), u0.dtype),
-                    jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
-                ),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(
-                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                ],
-                out_specs=(
-                    pl.BlockSpec(
-                        (segment, np_, b, k),
-                        lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                ),
-                scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
-                interpret=interpret,
-            )(jnp.reshape(t0, (1,)), u0)
-
-            adj_kern = functools.partial(
-                _adj_est_grid_kernel_b_stored, cfg, dr_host, lift_host, n_segments
-            )
-            lam0, eta = pl.pallas_call(
-                adj_kern,
-                grid=(n_segments,),
-                out_shape=(
-                    jax.ShapeDtypeStruct((np_, b, k), u0.dtype),
-                    jax.ShapeDtypeStruct((b, k), u0.dtype),
-                ),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(
-                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec(
-                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec(
-                        (segment, np_, b, k),
-                        lambda i: (n_segments - 1 - i, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=(
-                    pl.BlockSpec(
-                        (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                ),
-                scratch_shapes=[
-                    pltpu.VMEM((np_, b, k), jnp.float32),
-                    pltpu.VMEM((b, k), jnp.float32),
-                    pltpu.VMEM((np_, b, k), jnp.float32),
-                ],
-                interpret=interpret,
-            )(jnp.reshape(t0, (1,)), lam_end, u_final, traj)
-            return u_final, lam0, eta
-
-        return run
+        return _make_stored_run(
+            cfg, dr_host, lift_host, segment, n_segments, np_, b, k,
+            blocked=False, interpret=interpret,
+        )
 
     def run(u0, t0, lam_end):
         fwd_kern = functools.partial(

@@ -56,7 +56,7 @@ def main():
     from adjoint_ode_adaptivity_tpu.march.advec import advec_operators
     from adjoint_ode_adaptivity_tpu.ops import startup_1d
     from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
-        make_pallas_fwd_adj_estimate_grid,
+        make_pallas_fwd_adj_estimate_grid_single_blocked,
     )
     from adjoint_ode_adaptivity_tpu.utils.benchmarks import (
         numpy_advec_fwd_adj_baseline,
@@ -81,8 +81,11 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     if on_tpu:
-        pipeline = make_pallas_fwd_adj_estimate_grid(
-            disc, a, dt, segment=segment, n_segments=n_segments, unroll=True
+        # blocked-single layout: the K elements tile the 8 sublanes as
+        # contiguous blocks, so ONE state runs at full register height
+        # (38.7 -> 6.5 ms vs the row-layout grid pipeline)
+        pipeline = make_pallas_fwd_adj_estimate_grid_single_blocked(
+            disc, a, dt, segment=4, n_segments=n_steps // 4
         )
         run = jax.jit(lambda u: pipeline(u, jnp.float32(0.0), lam_end))
 

@@ -198,6 +198,31 @@ class TestPallasBatchedGrid:
 
 
 
+class TestPallasSingleBlocked:
+    @pytest.mark.parametrize("n_order,k_elems,dt", [(2, 64, 5e-4), (3, 48, 2e-4)])
+    def test_single_blocked_matches_oracle(self, n_order, k_elems, dt):
+        """The blocked-single layout (K elements tiled over sublanes as 8
+        contiguous blocks) reproduces the XLA fwd+adj+estimate pipeline —
+        the block-boundary flux/transpose patching is exact."""
+        disc = startup_1d(n_order, 0.0, 2 * np.pi, k_elems)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+        seg, nseg = 4, 4
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_single_blocked,
+        )
+
+        run = make_pallas_fwd_adj_estimate_grid_single_blocked(
+            disc, A, dt, segment=seg, n_segments=nseg, interpret=True
+        )
+        lam = terminal_integral_cotangent(disc, jnp.float32)
+        uf, lam0, eta = run(u0, jnp.float32(0.0), lam)
+        ref = advec_fwd_adj_estimate(ops, disc, u0, dt, seg * nseg, segment=seg)
+        np.testing.assert_allclose(uf, ref.u_final, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
+
+
 class TestPallasFDEnsemble:
     def test_matches_xla_ensemble_pipeline(self):
         from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
