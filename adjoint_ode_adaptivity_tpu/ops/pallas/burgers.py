@@ -35,11 +35,14 @@ from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
 from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     _check_uniform,
+    _masks_blk,
     _shift_m1_b as _shift_m1,
+    _shift_m1_blk,
     _shift_p1_b as _shift_p1,
+    _shift_p1_blk,
 )
 
-__all__ = ["make_pallas_burgers_march"]
+__all__ = ["make_pallas_burgers_march", "make_pallas_burgers_march_single_blocked"]
 
 
 def _minmod3(a, b, c):
@@ -49,11 +52,23 @@ def _minmod3(a, b, c):
     return jnp.where(unanimous, s * mag, 0.0)
 
 
-def _kernel(np_, k, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
-            n_chunks, steps, dt, u0_ref, u_out, u_scr):
+def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
+            limiter, n_chunks, steps, dt, u0_ref, u_out, u_scr):
     i = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    first, last = lane == 0, lane == k - 1
+    if blocked:
+        # blocked-single layout: k is the LANE count K/8, element K-1 sits
+        # at (sublane 7, lane k-1). The blocked shifts wrap across the
+        # sublane axis, which IS the periodic element neighbouring the
+        # flux needs; the first/last masks give the limiter its
+        # copied-endpoint neighbour averages.
+        first, last = _masks_blk(k)
+        sp1 = lambda x: _shift_p1_blk(x, k)
+        sm1 = lambda x: _shift_m1_blk(x, k)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        first, last = lane == 0, lane == k - 1
+        sp1 = lambda x: _shift_p1(x, k)
+        sm1 = lambda x: _shift_m1(x, k)
 
     @pl.when(i == 0)
     def _():
@@ -66,8 +81,8 @@ def _kernel(np_, k, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
         for jj in range(1, np_):
             vk = vk + c_avg[jj] * u[jj]
         # copied-endpoint neighbour averages (utils/SlopeLimitN.m)
-        vkm1 = jnp.where(first, vk, _shift_p1(vk, k))
-        vkp1 = jnp.where(last, vk, _shift_m1(vk, k))
+        vkm1 = jnp.where(first, vk, sp1(vk))
+        vkp1 = jnp.where(last, vk, sm1(vk))
         dm, dp = vk - vkm1, vkp1 - vk
         # ux = (2/h)·(Dr @ Π¹ u)[0] — one precomputed coefficient row
         ux = dr_ux[0] * u[0]
@@ -104,8 +119,8 @@ def _kernel(np_, k, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
     def rhs_dt(u):
         f = tuple(0.5 * r * r for r in u)
         u_l, u_r = u[0], u[np_ - 1]
-        u_l_ext = _shift_p1(u_r, k)  # periodic flux
-        u_r_ext = _shift_m1(u_l, k)
+        u_l_ext = sp1(u_r)  # periodic flux
+        u_r_ext = sm1(u_l)
         c_l = jnp.maximum(jnp.abs(u_l), jnp.abs(u_l_ext))
         c_r = jnp.maximum(jnp.abs(u_r), jnp.abs(u_r_ext))
         fstar_l = 0.5 * (0.5 * u_l**2 + 0.5 * u_l_ext**2) + 0.5 * c_l * (u_l_ext - u_l)
@@ -140,24 +155,13 @@ def _kernel(np_, k, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
         u_out[:] = u_scr[:]
 
 
-def make_pallas_burgers_march(
-    disc: Discretization1D,
-    dt: float,
-    n_steps: int,
-    batch: int = 8,
-    steps_per_chunk: int = 64,
-    limiter: str = "n",
-    interpret: bool = False,
-):
-    """Returns ``run(u0) -> u_final`` for batched states (Np, B, K):
-    ``n_steps`` fused LSRK4(5) Burgers steps with the ΠN (or Π¹) limiter
-    applied after every stage, single kernel launch (grid over chunks)."""
-    if n_steps % steps_per_chunk:
-        raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
+def _host_tables(disc: Discretization1D, limiter: str):
+    """Precompute the scalar coefficient tables (host floats) shared by the
+    batched and blocked-single Burgers kernels."""
     if limiter not in ("n", "1", "none"):
         raise ValueError(limiter)
     rx, _ = _check_uniform(disc)
-    np_, k = disc.np_, disc.k
+    np_ = disc.np_
     v = np.asarray(disc.v)
     inv_v = np.asarray(disc.inv_v)
     n_lin = min(2, np_)
@@ -175,11 +179,30 @@ def make_pallas_burgers_march(
     lift = tuple(
         (float(disc.lift[ii, 0]), float(disc.lift[ii, 1])) for ii in range(np_)
     )
+    return rx, h, dr_full, dr_ux, lift, c_avg, xi
+
+
+def make_pallas_burgers_march(
+    disc: Discretization1D,
+    dt: float,
+    n_steps: int,
+    batch: int = 8,
+    steps_per_chunk: int = 64,
+    limiter: str = "n",
+    interpret: bool = False,
+):
+    """Returns ``run(u0) -> u_final`` for batched states (Np, B, K):
+    ``n_steps`` fused LSRK4(5) Burgers steps with the ΠN (or Π¹) limiter
+    applied after every stage, single kernel launch (grid over chunks)."""
+    if n_steps % steps_per_chunk:
+        raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
+    rx, h, dr_full, dr_ux, lift, c_avg, xi = _host_tables(disc, limiter)
+    np_, k = disc.np_, disc.k
     n_chunks = n_steps // steps_per_chunk
 
     kern = functools.partial(
-        _kernel, np_, k, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi, limiter,
-        n_chunks, steps_per_chunk, dt,
+        _kernel, np_, k, False, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi,
+        limiter, n_chunks, steps_per_chunk, dt,
     )
 
     def run(u0):
@@ -196,5 +219,55 @@ def make_pallas_burgers_march(
             scratch_shapes=[pltpu.VMEM((np_, batch, k), u0.dtype)],
             interpret=interpret,
         )(u0)
+
+    return run
+
+
+def make_pallas_burgers_march_single_blocked(
+    disc: Discretization1D,
+    dt: float,
+    n_steps: int,
+    steps_per_chunk: int = 64,
+    limiter: str = "n",
+    interpret: bool = False,
+):
+    """Limited Burgers march for a SINGLE state at full VPU register
+    height: the K elements tile the 8 sublanes as contiguous blocks
+    ((Np, 8, K/8) layout, element k = s·(K/8) + j — the same layout as
+    dg_rhs.make_pallas_fwd_adj_estimate_grid_single_blocked). The blocked
+    ±1 shifts wrap across the sublane axis, which is exactly the periodic
+    element neighbouring the Lax–Friedrichs flux needs; the limiter's
+    copied-endpoint neighbour averages come from the true global
+    first/last element masks. Returns ``run(u0) -> u_final`` on (Np, K)
+    states — same contract as march/burgers.py::burgers_march (tested).
+    """
+    if n_steps % steps_per_chunk:
+        raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
+    if disc.k % 8:
+        raise ValueError(f"K={disc.k} must be a multiple of 8 (blocked layout)")
+    rx, h, dr_full, dr_ux, lift, c_avg, xi = _host_tables(disc, limiter)
+    np_, m = disc.np_, disc.k // 8
+    n_chunks = n_steps // steps_per_chunk
+
+    kern = functools.partial(
+        _kernel, np_, m, True, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi,
+        limiter, n_chunks, steps_per_chunk, dt,
+    )
+
+    def run(u0):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_chunks,),
+            out_shape=jax.ShapeDtypeStruct((np_, 8, m), u0.dtype),
+            in_specs=[
+                pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((np_, 8, m), u0.dtype)],
+            interpret=interpret,
+        )(u0.reshape(np_, 8, m))
+        return out.reshape(np_, disc.k)
 
     return run

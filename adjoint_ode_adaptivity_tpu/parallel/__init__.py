@@ -15,6 +15,7 @@ from adjoint_ode_adaptivity_tpu.parallel.mesh import (
     replicate,
     shard_along,
 )
+from adjoint_ode_adaptivity_tpu.parallel.pipeline import pipeline_march
 
 __all__ = [
     "make_mesh",
@@ -26,4 +27,5 @@ __all__ = [
     "advec_rhs_local",
     "advec_march_sharded",
     "advec_fwd_adj_estimate_sharded",
+    "pipeline_march",
 ]

@@ -268,7 +268,7 @@ def main():
     # ---- nonlinear strand: fused batched Burgers march with the ΠN minmod
     # limiter applied after every LSRK stage (the reference's limiter
     # toolkit driven at scale; kernel pinned to the XLA march at f64)
-    burgers_throughput = None
+    burgers_throughput = burgers_throughput_1 = None
     if on_tpu:
         from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
             make_pallas_burgers_march,
@@ -296,6 +296,28 @@ def main():
 
         burgers_elapsed, _ = chained_slope(mk_burgers, u0_burg)
         burgers_throughput = batch * dof * n_steps / burgers_elapsed
+
+        # single-state latency via the blocked-sublane layout (one state's
+        # K elements tile the 8 sublanes; the sublane-wrapping shifts ARE
+        # the periodic flux)
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march_single_blocked,
+        )
+
+        burgers_run_1 = make_pallas_burgers_march_single_blocked(
+            disc, b_dt, n_steps, steps_per_chunk=64, limiter="n"
+        )
+
+        def mk_burgers_1(k_calls):
+            @jax.jit
+            def g(u):
+                for _ in range(k_calls):
+                    u = burgers_run_1(u)
+                return u
+            return g
+
+        burgers_1_elapsed, _ = chained_slope(mk_burgers_1, u0_burg[:, 0])
+        burgers_throughput_1 = dof * n_steps / burgers_1_elapsed
 
     # ---- ensemble benchmark: fwd+adj+indicator over ~100k ICs — the
     # reference's largest compute (Main_variable_params.py:234,330-341).
@@ -381,6 +403,7 @@ def main():
                 "ensemble_n_ics": n_ics,
                 "ensemble_kernel": ens_kernel,
                 "burgers_limited_dof_steps_per_sec": burgers_throughput,
+                "burgers_limited_single_state_dof_steps_per_sec": burgers_throughput_1,
             }
         )
     )

@@ -401,3 +401,28 @@ class TestPallasBurgers:
                 ops, jnp.asarray(u0b[:, j]), dt, n_steps, limiter=limiter
             )
             np.testing.assert_allclose(got[:, j], want, rtol=1e-12, atol=1e-13)
+
+    @pytest.mark.parametrize("limiter", ["n", "1"])
+    def test_single_blocked_matches_xla_burgers_march(self, limiter):
+        """Blocked-single layout (one state's K elements tiled over the 8
+        sublanes): the sublane-wrapping shifts reproduce the periodic flux
+        and the masked limiter neighbour averages exactly."""
+        from adjoint_ode_adaptivity_tpu.march.burgers import (
+            burgers_march,
+            burgers_operators,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march_single_blocked,
+        )
+
+        disc = startup_1d(2, 0.0, 2 * np.pi, 64)
+        ops = burgers_operators(disc, dtype=jnp.float64)
+        n_steps, dt = 32, 2e-4
+        u0 = 0.7 * np.sin(np.asarray(disc.x)) + 0.1
+        run = make_pallas_burgers_march_single_blocked(
+            disc, dt, n_steps, steps_per_chunk=8, limiter=limiter,
+            interpret=True,
+        )
+        got = run(jnp.asarray(u0))
+        want = burgers_march(ops, jnp.asarray(u0), dt, n_steps, limiter=limiter)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)

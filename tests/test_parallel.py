@@ -159,3 +159,118 @@ class TestShardedEstimate:
         np.testing.assert_allclose(eta, ref.eta, rtol=1e-10, atol=1e-16)
         # j is a tiny near-cancelling integral; psum changes summation order
         np.testing.assert_allclose(float(j), float(ref.j_value), atol=1e-13)
+
+
+class TestPipelineParallel:
+    def test_pipeline_march_matches_sequential(self):
+        """GPipe-style march over a 4-device 'pipe' axis: microbatches flow
+        through ppermute; finals equal the single-device per-step march."""
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.parallel import make_mesh, pipeline_march
+
+        def step(u, t, dt, p):
+            return u + dt * (jnp.sin(p["w"] * u) + 0.1 * t + p["b"])
+
+        s, m, mb = 8, 4, 5
+        rng = np.random.default_rng(0)
+        params = {
+            "w": jnp.asarray(rng.uniform(0.5, 1.5, s)),
+            "b": jnp.asarray(rng.uniform(-0.1, 0.1, s)),
+        }
+        dt = jnp.asarray(rng.uniform(0.05, 0.15, s))
+        u0s = jnp.asarray(rng.uniform(-2, 2, (m, mb)))
+
+        mesh = make_mesh({"pipe": 4})
+        fn = jax.jit(pipeline_march(step, mesh, axis="pipe"))
+        finals = fn(params, dt, u0s, t0=0.25)
+
+        step_mb = jax.vmap(step, in_axes=(0, None, None, None))
+        for j in range(m):
+            want = forward_march_per_step(step_mb, u0s[j], dt, params, t0=0.25)[-1]
+            np.testing.assert_allclose(np.asarray(finals[j]), np.asarray(want),
+                                       rtol=1e-12, atol=1e-14)
+
+    def test_pipeline_march_gradients_match(self):
+        """jax.grad through the pipeline (transposed ppermutes = the reverse
+        schedule) equals the single-device march's parameter gradients."""
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.parallel import make_mesh, pipeline_march
+
+        def step(u, t, dt, p):
+            return u + dt * jnp.tanh(p["w"] * u + p["b"])
+
+        s, m, mb = 8, 3, 4
+        rng = np.random.default_rng(1)
+        params = {
+            "w": jnp.asarray(rng.uniform(0.5, 1.5, s)),
+            "b": jnp.asarray(rng.uniform(-0.3, 0.3, s)),
+        }
+        dt = jnp.full((s,), 0.1)
+        u0s = jnp.asarray(rng.uniform(-1, 1, (m, mb)))
+
+        mesh = make_mesh({"pipe": 4})
+        pipe = pipeline_march(step, mesh, axis="pipe")
+
+        def loss_pipe(p):
+            return jnp.sum(pipe(p, dt, u0s) ** 2)
+
+        step_mb = jax.vmap(step, in_axes=(0, None, None, None))
+
+        def loss_seq(p):
+            finals = jnp.stack(
+                [forward_march_per_step(step_mb, u0s[j], dt, p)[-1]
+                 for j in range(m)]
+            )
+            return jnp.sum(finals ** 2)
+
+        g_pipe = jax.jit(jax.grad(loss_pipe))(params)
+        g_seq = jax.grad(loss_seq)(params)
+        np.testing.assert_allclose(float(loss_pipe(params)),
+                                   float(loss_seq(params)), rtol=1e-12)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g_pipe[k]),
+                                       np.asarray(g_seq[k]),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_pipeline_march_resnet_ode(self):
+        """The per-step-params ResBlockSimple net marches identically through
+        the pipeline and the single-device scan."""
+        from adjoint_ode_adaptivity_tpu import models
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.parallel import make_mesh, pipeline_march
+
+        n_steps, width, m, mb = 8, 6, 3, 4
+        net = models.ResBlockSimple(width)
+        p1 = net.init(jrand.PRNGKey(0), jnp.ones(1), 0.0, 0.1)["params"]
+        keys = jrand.split(jrand.PRNGKey(2), n_steps)
+        stacked = jax.tree_util.tree_map(
+            lambda l: jnp.stack(
+                [l * (1 + 0.01 * i) for i in range(n_steps)]
+            ),
+            p1,
+        )
+        del keys
+
+        def step(u, t, dt, p):
+            return net.apply({"params": p}, u, t, dt)
+
+        step_mb = jax.vmap(step, in_axes=(0, None, None, None))
+        dt = jnp.full((n_steps,), 1.0 / n_steps)
+        u0s = jrand.uniform(jrand.PRNGKey(3), (m, mb), minval=-2, maxval=2)
+
+        mesh = make_mesh({"pipe": 4})
+        finals = jax.jit(pipeline_march(step_mb, mesh, axis="pipe"))(
+            stacked, dt, u0s
+        )
+        for j in range(m):
+            want = forward_march_per_step(step_mb, u0s[j], dt, stacked)[-1]
+            np.testing.assert_allclose(np.asarray(finals[j]), np.asarray(want),
+                                       rtol=1e-12, atol=1e-14)
+
+    def test_pipeline_step_count_mismatch_raises(self):
+        from adjoint_ode_adaptivity_tpu.parallel import make_mesh, pipeline_march
+
+        mesh = make_mesh({"pipe": 4})
+        fn = pipeline_march(lambda u, t, dt, p: u, mesh, axis="pipe")
+        with pytest.raises(ValueError):
+            fn({"w": jnp.zeros(6)}, jnp.ones(6), jnp.zeros((2, 3)))
