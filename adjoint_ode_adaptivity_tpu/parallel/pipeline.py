@@ -38,6 +38,7 @@ def pipeline_march(
     step_fn: Callable,
     mesh: Mesh,
     axis: str = "pipe",
+    data_axis: str | None = None,
 ) -> Callable:
     """Build a pipeline-parallel march over ``mesh`` axis ``axis``.
 
@@ -53,6 +54,11 @@ def pipeline_march(
     to marching each microbatch through ``forward_march_per_step``
     (tested to roundoff, gradients included). S must divide evenly by the
     axis size; pick M ≥ a few × D to amortize the (D−1)-tick bubble.
+
+    With ``data_axis`` set (a second mesh axis), each microbatch's member
+    dimension (``u0s`` dim 1) is additionally sharded over that axis — the
+    dp × pp composition: pipeline transfers ride ``axis`` while each stage
+    processes only its ``data_axis`` slice of the members.
     """
     d_size = mesh.shape[axis]
 
@@ -106,11 +112,12 @@ def pipeline_march(
             raise ValueError(
                 f"n_steps={n_steps} not divisible by pipe axis size {d_size}"
             )
+        u_spec = P(None, data_axis) if data_axis else P()
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()),
-            out_specs=P(),
+            in_specs=(P(axis), P(axis), P(axis), u_spec),
+            out_specs=u_spec,
         )(params_stacked, t_starts, dt, jnp.asarray(u0s))
 
     return fn

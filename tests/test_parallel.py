@@ -274,3 +274,33 @@ class TestPipelineParallel:
         fn = pipeline_march(lambda u, t, dt, p: u, mesh, axis="pipe")
         with pytest.raises(ValueError):
             fn({"w": jnp.zeros(6)}, jnp.ones(6), jnp.zeros((2, 3)))
+
+    def test_pipeline_composes_with_data_axis(self):
+        """2-D data×pipe mesh: microbatch members sharded over 'data' while
+        stages pipeline over 'pipe' — the ppermute rides only the pipe axis,
+        so the same pipeline_march works unchanged on the bigger mesh."""
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.parallel import (
+            make_mesh,
+            pipeline_march,
+            shard_along,
+        )
+
+        def step(u, t, dt, p):
+            return u + dt * jnp.tanh(p["w"] * u)
+
+        s, m, mb = 4, 3, 6
+        rng = np.random.default_rng(2)
+        params = {"w": jnp.asarray(rng.uniform(0.5, 1.5, s))}
+        dt = jnp.full((s,), 0.1)
+        u0s = jnp.asarray(rng.uniform(-1, 1, (m, mb)))
+
+        mesh = make_mesh({"data": 2, "pipe": 4})
+        fn = jax.jit(pipeline_march(step, mesh, axis="pipe", data_axis="data"))
+        finals = fn(params, dt, shard_along(u0s, mesh, "data", dim=1))
+
+        step_mb = jax.vmap(step, in_axes=(0, None, None, None))
+        for j in range(m):
+            want = forward_march_per_step(step_mb, u0s[j], dt, params)[-1]
+            np.testing.assert_allclose(np.asarray(finals[j]), np.asarray(want),
+                                       rtol=1e-12, atol=1e-14)
