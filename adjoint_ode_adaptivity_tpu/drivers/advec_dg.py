@@ -24,7 +24,15 @@ def main(argv=None):
     p.add_argument("--limiter", choices=["none", "n", "1"], default="none")
     p.add_argument("--estimate", action="store_true", help="run fwd+adjoint AWR")
     p.add_argument("--x64", action="store_true")
+    p.add_argument(
+        "--kernel", choices=["xla", "pallas"], default="xla",
+        help="pallas = fused f32 kernels (march; blocked-sublane estimate "
+        "when K is a multiple of 8); needs --limiter none, interpret mode "
+        "off-TPU",
+    )
     args = p.parse_args(argv)
+    if args.kernel == "pallas" and (args.limiter != "none" or args.x64):
+        p.error("--kernel pallas requires --limiter none and f32 (no --x64)")
 
     import jax
 
@@ -59,22 +67,52 @@ def main(argv=None):
         lim = slope_limit_n if args.limiter == "n" else slope_limit_1
         post = lambda u: lim(u, xj, vj, ivj, drj)
 
-    u = advec_march(ops, u0, dt, n_steps, post_stage=post)
+    interpret = jax.default_backend() != "tpu"
+    if args.kernel == "pallas":
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_advec_march,
+        )
+
+        spc = next(c for c in (64, 32, 16, 8, 4, 2, 1) if n_steps % c == 0)
+        march = make_pallas_advec_march(
+            disc, args.a, dt, steps_per_call=spc, interpret=interpret
+        )
+        u = march(u0, jnp.asarray(0.0, dtype), n_steps // spc)
+    else:
+        u = advec_march(ops, u0, dt, n_steps, post_stage=post)
     jax.block_until_ready(u)
     exact = np.sin(np.asarray(disc.x) - args.a * args.final_time)
     err = float(jnp.max(jnp.abs(u - exact)))
     print(f"max |u - exact| at T={args.final_time}: {err:.6e}")
 
     if args.estimate:
-        from adjoint_ode_adaptivity_tpu.adjoint.advec import advec_fwd_adj_estimate
+        from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+            advec_fwd_adj_estimate,
+            terminal_integral_cotangent,
+        )
 
         n8 = max(8, (n_steps // 8) * 8)
-        res = advec_fwd_adj_estimate(
-            ops, disc, u0, args.final_time / n8, n8, segment=max(n8 // 8, 1)
-        )
-        print(
-            f"J = {float(res.j_value):+.10e}  Σeta = {float(jnp.sum(res.eta)):+.6e}"
-        )
+        if args.kernel == "pallas" and disc.k % 8 == 0:
+            from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+                make_pallas_fwd_adj_estimate_grid_single_blocked,
+            )
+
+            seg = next(c for c in (32, 16, 8, 4, 2, 1) if n8 % c == 0)
+            pipe = make_pallas_fwd_adj_estimate_grid_single_blocked(
+                disc, args.a, args.final_time / n8, segment=seg,
+                n_segments=n8 // seg, interpret=interpret,
+            )
+            lam = terminal_integral_cotangent(disc, dtype)
+            uf, lam0, eta = pipe(u0, jnp.asarray(0.0, dtype), lam)
+            j_value = jnp.sum(lam * uf)
+            sum_eta = jnp.sum(eta)
+        else:
+            res = advec_fwd_adj_estimate(
+                ops, disc, u0, args.final_time / n8, n8,
+                segment=max(n8 // 8, 1),
+            )
+            j_value, sum_eta = res.j_value, jnp.sum(res.eta)
+        print(f"J = {float(j_value):+.10e}  Σeta = {float(sum_eta):+.6e}")
     return err
 
 

@@ -23,11 +23,16 @@ def main(argv=None):
     p.add_argument("--limiter", choices=["n", "1", "none"], default="n")
     p.add_argument("--x64", action="store_true", default=True)
     p.add_argument("--plot", action="store_true")
+    p.add_argument(
+        "--kernel", choices=["xla", "pallas"], default="xla",
+        help="pallas = fused blocked-sublane f32 kernel (K must be a "
+        "multiple of 8; interpret mode off-TPU)",
+    )
     args = p.parse_args(argv)
 
     import jax
 
-    if args.x64:
+    if args.x64 and args.kernel == "xla":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -38,10 +43,24 @@ def main(argv=None):
     from adjoint_ode_adaptivity_tpu.ops import startup_1d
 
     disc = startup_1d(args.order, 0.0, 2 * np.pi, args.k)
-    ops = burgers_operators(disc, jnp.float64 if args.x64 else jnp.float32)
+    use_x64 = args.x64 and args.kernel == "xla"
+    ops = burgers_operators(disc, jnp.float64 if use_x64 else jnp.float32)
     u0 = jnp.asarray(0.5 + np.sin(disc.x), ops.x.dtype)
     n_steps = int(round(args.final_time / args.dt))
-    u = burgers_march(ops, u0, args.dt, n_steps, limiter=args.limiter)
+    if args.kernel == "pallas":
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march_single_blocked,
+        )
+
+        spc = next(c for c in (64, 32, 16, 8, 4, 2, 1) if n_steps % c == 0)
+        run = make_pallas_burgers_march_single_blocked(
+            disc, args.dt, n_steps, steps_per_chunk=spc,
+            limiter=args.limiter,
+            interpret=jax.default_backend() != "tpu",
+        )
+        u = run(u0)
+    else:
+        u = burgers_march(ops, u0, args.dt, n_steps, limiter=args.limiter)
     jax.block_until_ready(u)
     finite = bool(np.isfinite(np.asarray(u)).all())
     print(

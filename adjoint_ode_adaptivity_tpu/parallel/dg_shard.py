@@ -209,7 +209,7 @@ def advec_fwd_adj_estimate_sharded(
             return (lam, eta), None
 
         # eta starts as constant zeros but becomes shard-varying: mark it
-        eta0 = lax.pvary(jnp.zeros((u0_l.shape[1],), u0_l.dtype), (axis,))
+        eta0 = lax.pcast(jnp.zeros((u0_l.shape[1],), u0_l.dtype), (axis,), to="varying")
         (lam0, eta), _ = lax.scan(adj_segment, (lam_l, eta0), jnp.arange(n_seg))
         return u_final, lam0, eta, j_value
 

@@ -83,9 +83,10 @@ def main():
     if on_tpu:
         # blocked-single layout: the K elements tile the 8 sublanes as
         # contiguous blocks, so ONE state runs at full register height
-        # (38.7 -> 6.5 ms vs the row-layout grid pipeline)
+        # (38.7 -> ~6 ms vs the row-layout grid pipeline); segment=32 was
+        # the best of a measured sweep {2..128} (5.9 vs 6.3-6.7 ms)
         pipeline = make_pallas_fwd_adj_estimate_grid_single_blocked(
-            disc, a, dt, segment=4, n_segments=n_steps // 4
+            disc, a, dt, segment=32, n_segments=n_steps // 32
         )
         run = jax.jit(lambda u: pipeline(u, jnp.float32(0.0), lam_end))
 

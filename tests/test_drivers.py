@@ -51,6 +51,47 @@ class TestAdvecDriver:
                     "--limiter", "n", "--x64"])
         assert np.isfinite(err)
 
+    def test_pallas_kernel_path(self, capsys):
+        """--kernel pallas (interpret mode off-TPU) reproduces the XLA
+        march error and prints the fused-pipeline estimate."""
+        from adjoint_ode_adaptivity_tpu.drivers.advec_dg import main
+
+        common = ["--k", "16", "--order", "2", "--final-time", "0.1",
+                  "--estimate"]
+        err_p = main(common + ["--kernel", "pallas"])
+        out = capsys.readouterr().out
+        assert "Σeta" in out
+        err_x = main(common)
+        assert abs(err_p - err_x) < 1e-5
+
+    def test_pallas_rejects_limiter(self):
+        from adjoint_ode_adaptivity_tpu.drivers.advec_dg import main
+
+        with pytest.raises(SystemExit):
+            main(["--k", "16", "--kernel", "pallas", "--limiter", "n"])
+
+
+class TestBurgersDriverKernel:
+    def test_pallas_kernel_matches_xla_f32(self, capsys):
+        from adjoint_ode_adaptivity_tpu.drivers.burgers_dg import main
+
+        # parity on the unlimited march (the ΠN troubled-cell threshold is
+        # below f32 epsilon, so f32-vs-f64 limited marches diverge by
+        # design — the kernel itself is pinned at f64 in test_pallas.py)
+        common = ["--k", "16", "--order", "2", "--final-time", "0.01",
+                  "--dt", "1e-3", "--limiter", "none"]
+        u_p = main(common + ["--kernel", "pallas"])
+        u_x = main(common)
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_pallas_limited_path_finite(self, capsys):
+        from adjoint_ode_adaptivity_tpu.drivers.burgers_dg import main
+
+        main(["--k", "16", "--order", "2", "--final-time", "0.01",
+              "--dt", "1e-3", "--limiter", "n", "--kernel", "pallas"])
+        assert "finite=True" in capsys.readouterr().out
+
 
 class TestTrainDriver:
     @pytest.mark.parametrize("method", ["variable_params", "recurrent"])
