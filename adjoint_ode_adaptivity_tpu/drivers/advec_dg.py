@@ -69,11 +69,17 @@ def main(argv=None):
 
     interpret = jax.default_backend() != "tpu"
     if args.kernel == "pallas":
+        from adjoint_ode_adaptivity_tpu.ops.pallas import (
+            ensure_scoped_vmem,
+            pick_chunk,
+        )
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
             make_pallas_advec_march,
         )
 
-        spc = next(c for c in (64, 32, 16, 8, 4, 2, 1) if n_steps % c == 0)
+        if not interpret:
+            ensure_scoped_vmem()
+        spc = pick_chunk(n_steps)
         march = make_pallas_advec_march(
             disc, args.a, dt, steps_per_call=spc, interpret=interpret
         )
@@ -97,7 +103,9 @@ def main(argv=None):
                 make_pallas_fwd_adj_estimate_grid_single_blocked,
             )
 
-            seg = next(c for c in (32, 16, 8, 4, 2, 1) if n8 % c == 0)
+            from adjoint_ode_adaptivity_tpu.ops.pallas import pick_chunk
+
+            seg = pick_chunk(n8, (32, 16, 8, 4, 2, 1))
             pipe = make_pallas_fwd_adj_estimate_grid_single_blocked(
                 disc, args.a, args.final_time / n8, segment=seg,
                 n_segments=n8 // seg, interpret=interpret,

@@ -21,7 +21,10 @@ def main(argv=None):
     p.add_argument("--final-time", type=float, default=1.5)
     p.add_argument("--dt", type=float, default=2e-4)
     p.add_argument("--limiter", choices=["n", "1", "none"], default="n")
-    p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument(
+        "--x64", action="store_true", default=None,
+        help="force f64 (default for --kernel xla; an error with pallas)",
+    )
     p.add_argument("--plot", action="store_true")
     p.add_argument(
         "--kernel", choices=["xla", "pallas"], default="xla",
@@ -29,10 +32,13 @@ def main(argv=None):
         "multiple of 8; interpret mode off-TPU)",
     )
     args = p.parse_args(argv)
+    if args.kernel == "pallas" and args.x64:
+        p.error("--kernel pallas is f32-only (drop --x64)")
 
     import jax
 
-    if args.x64 and args.kernel == "xla":
+    use_x64 = args.kernel == "xla" and args.x64 is not False
+    if use_x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -43,20 +49,22 @@ def main(argv=None):
     from adjoint_ode_adaptivity_tpu.ops import startup_1d
 
     disc = startup_1d(args.order, 0.0, 2 * np.pi, args.k)
-    use_x64 = args.x64 and args.kernel == "xla"
     ops = burgers_operators(disc, jnp.float64 if use_x64 else jnp.float32)
     u0 = jnp.asarray(0.5 + np.sin(disc.x), ops.x.dtype)
     n_steps = int(round(args.final_time / args.dt))
     if args.kernel == "pallas":
-        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+        from adjoint_ode_adaptivity_tpu.ops.pallas import (
+            ensure_scoped_vmem,
             make_pallas_burgers_march_single_blocked,
+            pick_chunk,
         )
 
-        spc = next(c for c in (64, 32, 16, 8, 4, 2, 1) if n_steps % c == 0)
+        interpret = jax.default_backend() != "tpu"
+        if not interpret:
+            ensure_scoped_vmem()
         run = make_pallas_burgers_march_single_blocked(
-            disc, args.dt, n_steps, steps_per_chunk=spc,
-            limiter=args.limiter,
-            interpret=jax.default_backend() != "tpu",
+            disc, args.dt, n_steps, steps_per_chunk=pick_chunk(n_steps),
+            limiter=args.limiter, interpret=interpret,
         )
         u = run(u0)
     else:

@@ -1,7 +1,10 @@
 """Pallas TPU kernels for the DG hot loops."""
 
+import os
+
 from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
     make_pallas_burgers_march,
+    make_pallas_burgers_march_single_blocked,
 )
 
 from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
@@ -14,15 +17,39 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     make_pallas_fwd_adj_estimate,
     make_pallas_fwd_adj_estimate_grid,
     make_pallas_fwd_adj_estimate_grid_batched,
+    make_pallas_fwd_adj_estimate_grid_single_blocked,
 )
 
 __all__ = [
     "PallasAdvecConfig",
+    "ensure_scoped_vmem",
+    "pick_chunk",
     "make_pallas_advec_march",
     "make_pallas_advec_adjoint",
     "make_pallas_fwd_adj_estimate",
     "make_pallas_fwd_adj_estimate_grid",
     "make_pallas_fwd_adj_estimate_grid_batched",
+    "make_pallas_fwd_adj_estimate_grid_single_blocked",
     "make_pallas_fd_ensemble",
     "make_pallas_burgers_march",
+    "make_pallas_burgers_march_single_blocked",
 ]
+
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+
+
+def ensure_scoped_vmem() -> None:
+    """Raise Mosaic's scoped-VMEM limit to 32 MB for the unrolled-stage
+    kernels (their 5-stage tuple-of-rows bodies overflow the default 16 MB
+    stack at large K). Appends to ``LIBTPU_INIT_ARGS``; effective as long
+    as it runs before the TPU backend's first device use (the backend
+    initializes lazily — importing jax is fine). Call this before building
+    any batched/blocked kernel outside bench.py."""
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + _VMEM_FLAG).strip()
+
+
+def pick_chunk(n_steps: int, candidates=(64, 32, 16, 8, 4, 2, 1)) -> int:
+    """Largest candidate chunk/segment size that divides ``n_steps``."""
+    return next(c for c in candidates if n_steps % c == 0)

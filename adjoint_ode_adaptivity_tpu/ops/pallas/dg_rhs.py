@@ -974,11 +974,15 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,
         eta_out[:] = eta
 
 
-def _make_stored_run(cfg, dr_host, lift_host, segment, n_segments, np_, b, k,
-                     blocked, interpret):
+def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
     """run(u0, t0, lam_end) for the stored-trajectory pipeline on (Np, b, k)
     states — shared by the batched (b independent states on sublanes) and
-    blocked-single (one state's elements tiled over sublanes) layouts."""
+    blocked-single (one state's elements tiled over sublanes) layouts.
+    Segment length, Np, lane count, and interpret mode come from ``cfg``
+    (the kernels index trajectory blocks with cfg.steps_per_call — a
+    separately-passed segment could silently misalign them)."""
+    segment, np_, k = cfg.steps_per_call, cfg.np_, cfg.k
+    interpret = cfg.interpret
     n_steps = segment * n_segments
 
     def run(u0, t0, lam_end):
@@ -1088,10 +1092,7 @@ def make_pallas_fwd_adj_estimate_grid_single_blocked(
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
     np_ = disc.np_
-    inner = _make_stored_run(
-        cfg, dr_host, lift_host, segment, n_segments, np_, 8, m,
-        blocked=True, interpret=interpret,
-    )
+    inner = _make_stored_run(cfg, dr_host, lift_host, n_segments, 8, blocked=True)
 
     def run(u0, t0, lam_end):
         uf, lam0, eta = inner(
@@ -1142,8 +1143,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
 
     if store_trajectory:
         return _make_stored_run(
-            cfg, dr_host, lift_host, segment, n_segments, np_, b, k,
-            blocked=False, interpret=interpret,
+            cfg, dr_host, lift_host, n_segments, b, blocked=False
         )
 
     def run(u0, t0, lam_end):

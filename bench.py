@@ -72,7 +72,8 @@ def main():
     xmin = float(np.min(np.abs(disc.x[0, :] - disc.x[1, :])))
     dt = 0.5 * (0.75 / a) * xmin
 
-    segment = 8  # best measured config: single-launch grid, unrolled stages
+    segment = 8  # off-TPU XLA fallback segmentation (and n_steps derivation);
+    # the TPU paths pick their own segments below
     n_segments = 256
     n_steps = segment * n_segments  # 2048
 
