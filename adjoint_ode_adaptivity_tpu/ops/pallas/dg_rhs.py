@@ -18,8 +18,12 @@ Precision note: all contractions here are exact f32 FMAs. XLA's default
 TPU matmul precision is lower (bf16 passes); the XLA oracle must be run
 under ``jax.default_matmul_precision('float32')`` when comparing.
 
-Assumptions (checked): uniform mesh, upwind flux (alpha=1), inflow BC
-``uin = −sin(a·t)`` (frozen to 0 in the adjoint — it is state-independent).
+Assumptions (checked): upwind flux (alpha=1), inflow BC ``uin = −sin(a·t)``
+(frozen to 0 in the adjoint — it is state-independent). The unbatched
+kernels require a uniform mesh (factors folded into the tables); the
+batched and blocked-single pipelines also take non-uniform/graded meshes —
+per-element rx/fscale ride as trace-time vector tables with one extra
+volume post-scale per row per stage (see _dt_tables/_geom_or_uniform).
 
 Error estimate: per-element adjoint-weighted step-doubling residual,
 ``η_k = Σ_n Σ_nodes λ_{n+1} ⊙ (u_{n+1} − Φ_{dt/2}²(u_n))`` — the fused
@@ -56,11 +60,15 @@ class PallasAdvecConfig(NamedTuple):
     np_: int
     k: int
     a: float
-    rx: float  # 2/h (uniform)
-    fscale: float  # 2/h (uniform)
+    rx: float  # 2/h (uniform; 0.0 when geom carries per-element vectors)
+    fscale: float  # 2/h (uniform; 0.0 when geom is set)
     dt: float
     steps_per_call: int
     interpret: bool = False
+    # non-uniform meshes: (rx, fscale_left, fscale_right) as host numpy
+    # arrays already reshaped to the layout's row shape ((1, K) for the
+    # batched lane layout, (8, K/8) for blocked-single); None = uniform
+    geom: tuple = None
 
 
 def _check_uniform(disc: Discretization1D) -> tuple[float, float]:
@@ -68,6 +76,22 @@ def _check_uniform(disc: Discretization1D) -> tuple[float, float]:
     if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
         raise ValueError("pallas DG kernels require a uniform mesh")
     return rx, rx
+
+
+def _geom_or_uniform(disc: Discretization1D, m: int | None = None):
+    """(rx, fscale, geom) for PallasAdvecConfig: scalars + None on a
+    uniform mesh (factors fold into the coefficient tables); zeros + the
+    per-element vector tables otherwise (non-uniform/graded meshes from
+    ``startup_1d(vx=...)``). ``m``: lane count of the blocked-single
+    layout (K/8); None = the batched lane layout ((1, K) rows)."""
+    rx0 = float(disc.rx[0, 0])
+    if np.allclose(disc.rx, rx0) and np.allclose(disc.fscale, rx0):
+        return rx0, rx0, None
+    shape = (1, disc.k) if m is None else (8, m)
+    rxv = np.ascontiguousarray(disc.rx[0, :], dtype=np.float32)
+    fsl = np.ascontiguousarray(disc.fscale[0, :], dtype=np.float32)
+    fsr = np.ascontiguousarray(disc.fscale[1, :], dtype=np.float32)
+    return 0.0, 0.0, tuple(v.reshape(shape) for v in (rxv, fsl, fsr))
 
 
 def _shift_m1(x, k):
@@ -89,7 +113,7 @@ def _lsrk_step(cfg, dr, lift, first, last, u, t, dt):
     """One full LSRK step at step-size ``dt`` (a Python float at every call
     site, including the dt/2 half steps — constants fold at trace time)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, _ = _dt_tables(cfg, dr, dt)
     resu = jnp.zeros_like(u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
@@ -117,7 +141,7 @@ def _lsrk_step_t(cfg, dr, lift, first, last, lu, dt):
     """Exact transpose of the homogeneous LSRK step (stages reversed);
     dt and the volume factor pre-folded into the tables (_dt_tables)."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, _ = _dt_tables(cfg, dr, dt)
 
     def at_t_dt(lam):
         w0 = lift[0, 0] * lam[0:1, :]
@@ -155,7 +179,7 @@ def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
     the unrolled variant blows Mosaic's scoped-VMEM stack in large kernels).
     ``rk_ref`` is an SMEM ref holding [a0..a4, b0..b4, c0..c4]."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, _ = _dt_tables(cfg, dr, dt)
 
     def stage(s, carry):
         u, resu = carry
@@ -186,7 +210,7 @@ def _lsrk_step_loop(cfg, dr, lift, rk_ref, first, last, u, t, dt):
 def _lsrk_step_t_loop(cfg, dr, lift, rk_ref, first, last, lu, dt):
     """Transpose step with the 5 reversed stages as a fori_loop."""
     np_, k, a = cfg.np_, cfg.k, cfg.a
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, _ = _dt_tables(cfg, dr, dt)
 
     def stage(i, carry):
         lu, lr = carry
@@ -690,21 +714,34 @@ def _masks_blk(m):
     return (s == 0) & (j == 0), (s == 7) & (j == m - 1)
 
 
-def _dt_tables(cfg, dr, dt):
+def _dt_tables(cfg, dr, dt, geom=None):
     """Fold the volume factor (−a·rx) and the step size dt into the
     coefficient tables at TRACE time (dr is a host numpy array and dt a
     Python float in every kernel call, including the dt/2 half steps).
     With rhs′ = dt·rhs the low-storage update ``resu = aₛ·resu + rhs′``
     is a single FMA and the per-row volume term needs no post-scale —
-    2 fewer vector ops per row per stage."""
-    drc = np.asarray(-cfg.a * cfg.rx * dt * np.asarray(dr), dtype=np.float32)
-    fac_l = float(-cfg.a / 2.0 * cfg.fscale * dt)
-    fac_r = float(cfg.a / 2.0 * cfg.fscale * dt)
-    return drc, fac_l, fac_r
+    2 fewer vector ops per row per stage.
+
+    Non-uniform meshes (``geom`` = the (rx, fscale_l, fscale_r) row
+    arrays read from the kernel's geom refs): rx cannot fold into the
+    scalar table — the volume term gets a per-element vector post-scale
+    ``rxv`` (4th return, None when uniform) and the surface factors become
+    per-element vectors (affine 1D elements have equal left/right face
+    Jacobians, but both rows are carried for generality)."""
+    if geom is None:
+        drc = np.asarray(-cfg.a * cfg.rx * dt * np.asarray(dr), dtype=np.float32)
+        fac_l = float(-cfg.a / 2.0 * cfg.fscale * dt)
+        fac_r = float(cfg.a / 2.0 * cfg.fscale * dt)
+        return drc, fac_l, fac_r, None
+    rxv, fsl, fsr = geom
+    drc = np.asarray(-cfg.a * dt * np.asarray(dr), dtype=np.float32)
+    fac_l = (-cfg.a / 2.0 * dt) * fsl
+    fac_r = (cfg.a / 2.0 * dt) * fsr
+    return drc, fac_l, fac_r, rxv
 
 
 def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
-                 shift_p1=None, shift_m1=None):
+                 shift_p1=None, shift_m1=None, geom=None):
     """One LSRK step on a batched state held as a TUPLE of Np (B, K) rows —
     full-height register tiles, stages unrolled, no stack/concatenate in the
     hot loop (measured ~2x the stacked fori-stage form: 7.75 -> 4.0 us
@@ -714,7 +751,7 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
     np_, k, a = cfg.np_, cfg.k, cfg.a
     shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
     shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, rxv = _dt_tables(cfg, dr, dt, geom)
     resu = tuple(jnp.zeros_like(r) for r in u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
@@ -729,6 +766,8 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
             acc = drc[ii, 0] * u[0]
             for jj in range(1, np_):
                 acc = acc + drc[ii, jj] * u[jj]
+            if rxv is not None:
+                acc = acc * rxv
             rhs = acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
             r_ii = float(RK4A[s]) * resu[ii] + rhs
             new_r.append(r_ii)
@@ -738,7 +777,7 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
 
 
 def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
-                   shift_p1=None, shift_m1=None):
+                   shift_p1=None, shift_m1=None, geom=None):
     """Transpose step on a batched cotangent held as a tuple of Np (B, K)
     rows (stages reversed, unrolled, stack-free). dt and the volume factor
     are pre-folded into the tables (see _dt_tables) so the cotangent update
@@ -749,7 +788,7 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
     np_, k, a = cfg.np_, cfg.k, cfg.a
     shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
     shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
-    drc, fac_l, fac_r = _dt_tables(cfg, dr, dt)
+    drc, fac_l, fac_r, rxv = _dt_tables(cfg, dr, dt, geom)
     lr = tuple(jnp.zeros_like(r) for r in lu)
     for s in (4, 3, 2, 1, 0):
         w = tuple(float(RK4B[s]) * lu[ii] + lr[ii] for ii in range(np_))
@@ -768,6 +807,11 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
             acc = drc[0, ii] * w[0]
             for jj in range(1, np_):
                 acc = acc + drc[jj, ii] * w[jj]
+            if rxv is not None:
+                # diag(rx) acts per element, commuting with the in-element
+                # Dr contraction — scale the volume part only; the surface
+                # terms below carry their own per-element fscale already
+                acc = acc * rxv
             if ii == 0:
                 acc = acc + s0 - p1
             if ii == np_ - 1:
@@ -777,8 +821,13 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
     return lu
 
 
-def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
-                            ckpt_out, ufinal_out, u_scr):
+def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref, *rest):
+    if cfg.geom is not None:
+        rx_ref, fsl_ref, fsr_ref, ckpt_out, ufinal_out, u_scr = rest
+        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
+    else:
+        ckpt_out, ufinal_out, u_scr = rest
+        geom = None
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     first, last = _masks(cfg.k)
@@ -793,7 +842,8 @@ def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
     np_ = cfg.np_
 
     def body(n, u):
-        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt,
+                            geom=geom)
 
     rows = tuple(u_scr[ii] for ii in range(np_))
     rows = jax.lax.fori_loop(0, seg, body, rows)
@@ -805,10 +855,16 @@ def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref,
 
 
 def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
-                           ckpt_ref, lam0_out, eta_out, traj, lu_scr, eta_scr):
+                           ckpt_ref, *rest):
     """Batched reverse sweep: recompute the segment's (Np, B, K) states into
     traj (leading-axis slots, each (B, K) block is one full tile set), then
     sweep backward with the fine (half-step-squared) transpose."""
+    if cfg.geom is not None:
+        rx_ref, fsl_ref, fsr_ref, lam0_out, eta_out, traj, lu_scr, eta_scr = rest
+        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
+    else:
+        lam0_out, eta_out, traj, lu_scr, eta_scr = rest
+        geom = None
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -824,7 +880,8 @@ def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
 
     def fwd_body(n, u):
         traj[pl.ds(n * np_, np_)] = jnp.stack(u, axis=0)
-        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt)
+        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt,
+                            geom=geom)
 
     rows0 = tuple(ckpt_ref[0, ii] for ii in range(np_))
     u_final = jax.lax.fori_loop(0, seg, fwd_body, rows0)
@@ -837,17 +894,18 @@ def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
         blk_n = traj[pl.ds(n * np_, np_)]
         blk_np1 = traj[pl.ds((n + 1) * np_, np_)]
         u_n = tuple(blk_n[ii] for ii in range(np_))
-        half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2)
+        half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2,
+                            geom=geom)
         half2 = _lsrk_step_b(
-            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2
+            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2, geom=geom
         )
         acc = lu[0] * (blk_np1[0] - half2[0])
         for ii in range(1, np_):
             acc = acc + lu[ii] * (blk_np1[ii] - half2[ii])
         eta = eta + acc
         # fine (half-step-squared) transpose — exact effectivity identity
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, geom=geom)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, geom=geom)
         return (lu, eta)
 
     lu0 = tuple(lu_scr[ii] for ii in range(np_))
@@ -875,13 +933,19 @@ def _layout_fns(cfg, blocked):
 
 
 def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
-                            traj_out, ufinal_out, u_scr):
+                            *rest):
     """Forward phase that stores EVERY coarse state to HBM (block = this
     segment's ``seg`` states): the reverse kernel then reads instead of
     recomputing, cutting the pipeline from 6 to 5 LSRK step-equivalents per
     time step. HBM traffic (~state·n_steps each way) sits far below the
     VPU-bound kernel time at the north-star size and is pipelined by the
     BlockSpec index maps."""
+    if cfg.geom is not None:
+        rx_ref, fsl_ref, fsr_ref, traj_out, ufinal_out, u_scr = rest
+        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
+    else:
+        traj_out, ufinal_out, u_scr = rest
+        geom = None
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -898,7 +962,7 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
         for ii in range(np_):
             traj_out[n, ii] = u[ii]
         return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt,
-                            sp1, sm1)
+                            sp1, sm1, geom)
 
     rows = tuple(u_scr[ii] for ii in range(np_))
     rows = jax.lax.fori_loop(0, seg, body, rows)
@@ -910,14 +974,20 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
 
 
 def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,
-                                  lam_ref, ufinal_ref, traj_ref, lam0_out,
-                                  eta_out, lu_scr, eta_scr, bound_scr):
+                                  lam_ref, ufinal_ref, traj_ref, *rest):
     """Batched reverse sweep over a STORED trajectory: grid step i processes
     segment n_seg−1−i whose ``seg`` coarse states arrive as the input block;
     the segment-boundary state u_{(s+1)·seg} is carried across grid steps in
     ``bound_scr`` (seeded with u_final). No forward recompute — per time
     step the kernel runs exactly 2 half steps (the step-doubling residual)
     plus 2 half-transpose steps (the fine adjoint)."""
+    if cfg.geom is not None:
+        (rx_ref, fsl_ref, fsr_ref, lam0_out, eta_out,
+         lu_scr, eta_scr, bound_scr) = rest
+        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
+    else:
+        lam0_out, eta_out, lu_scr, eta_scr, bound_scr = rest
+        geom = None
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -947,17 +1017,20 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,
             jnp.where(is_last, bound_scr[ii], blk_np1[ii]) for ii in range(np_)
         )
         half = _lsrk_step_b(cfg, dr, lift, first, last, u_n, t_n, dt / 2,
-                            sp1, sm1)
+                            sp1, sm1, geom)
         half2 = _lsrk_step_b(
-            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2, sp1, sm1
+            cfg, dr, lift, first, last, half, t_n + dt / 2, dt / 2, sp1, sm1,
+            geom,
         )
         acc = lu[0] * (u_np1[0] - half2[0])
         for ii in range(1, np_):
             acc = acc + lu[ii] * (u_np1[ii] - half2[ii])
         eta = eta + acc
         # fine (half-step-squared) transpose — exact effectivity identity
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1)
-        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1,
+                            geom)
+        lu = _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt / 2, sp1, sm1,
+                            geom)
         return (lu, eta)
 
     lu0 = tuple(lu_scr[ii] for ii in range(np_))
@@ -984,6 +1057,14 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
     segment, np_, k = cfg.steps_per_call, cfg.np_, cfg.k
     interpret = cfg.interpret
     n_steps = segment * n_segments
+    if cfg.geom is None:
+        geom_arrays, geom_specs = (), []
+    else:
+        geom_arrays = tuple(jnp.asarray(g, jnp.float32) for g in cfg.geom)
+        gshape = cfg.geom[0].shape
+        geom_specs = [
+            pl.BlockSpec(gshape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * 3
 
     def run(u0, t0, lam_end):
         fwd_kern = functools.partial(
@@ -1002,6 +1083,7 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
                 pl.BlockSpec(
                     (np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
                 ),
+                *geom_specs,
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -1015,7 +1097,7 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
             ),
             scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), u0)
+        )(jnp.reshape(t0, (1,)), u0, *geom_arrays)
 
         adj_kern = functools.partial(
             _adj_est_grid_kernel_b_stored, cfg, dr_host, lift_host,
@@ -1041,6 +1123,7 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
                     lambda i: (n_segments - 1 - i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                *geom_specs,
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -1054,7 +1137,7 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
                 pltpu.VMEM((np_, b, k), jnp.float32),
             ],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), lam_end, u_final, traj)
+        )(jnp.reshape(t0, (1,)), lam_end, u_final, traj, *geom_arrays)
         return u_final, lam0, eta
 
     return run
@@ -1081,13 +1164,13 @@ def make_pallas_fwd_adj_estimate_grid_single_blocked(
     ``u0/lam_end``: (Np, K) and ``eta``: (K,) — the same contract as
     ``make_pallas_fwd_adj_estimate_grid`` (tested equal).
     """
-    rx, fs = _check_uniform(disc)
     if disc.k % 8:
         raise ValueError(f"K={disc.k} must be a multiple of 8 (blocked layout)")
     m = disc.k // 8
+    rx, fs, geom = _geom_or_uniform(disc, m)
     cfg = PallasAdvecConfig(
         np_=disc.np_, k=m, a=a, rx=rx, fscale=fs, dt=dt,
-        steps_per_call=segment, interpret=interpret,
+        steps_per_call=segment, interpret=interpret, geom=geom,
     )
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
@@ -1132,10 +1215,10 @@ def make_pallas_fwd_adj_estimate_grid_batched(
     step-equivalents per time step (~17% less work; the extra HBM traffic
     is pipelined and far below the chip's bandwidth at this size).
     """
-    rx, fs = _check_uniform(disc)
+    rx, fs, geom = _geom_or_uniform(disc)
     cfg = PallasAdvecConfig(
         np_=disc.np_, k=disc.k, a=a, rx=rx, fscale=fs, dt=dt,
-        steps_per_call=segment, interpret=interpret,
+        steps_per_call=segment, interpret=interpret, geom=geom,
     )
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)

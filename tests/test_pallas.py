@@ -426,3 +426,70 @@ class TestPallasBurgers:
         got = run(jnp.asarray(u0))
         want = burgers_march(ops, jnp.asarray(u0), dt, n_steps, limiter=limiter)
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+class TestPallasNonUniform:
+    def _graded_disc(self, n_order, k_elems):
+        """Smoothly graded mesh (elements shrink by ~3x across the domain)."""
+        r = np.linspace(0.0, 1.0, k_elems + 1) ** 1.6
+        vx = 2 * np.pi * r
+        return startup_1d(n_order, 0.0, 2 * np.pi, k_elems, vx=vx)
+
+    def test_batched_matches_oracle_on_graded_mesh(self):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_batched,
+        )
+
+        disc = self._graded_disc(2, 24)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        dt = 1e-4
+        b, seg, nseg = 8, 4, 4
+        run = make_pallas_fwd_adj_estimate_grid_batched(
+            disc, A, dt, segment=seg, n_segments=nseg, batch=b,
+            store_trajectory=True, interpret=True,
+        )
+        rng = np.random.default_rng(3)
+        u0b = jnp.asarray(
+            np.stack([np.sin(np.asarray(disc.x) + p)
+                      for p in rng.uniform(0, 2 * np.pi, b)], axis=1),
+            jnp.float32,
+        )
+        lam = terminal_integral_cotangent(disc, jnp.float32)
+        lam_b = jnp.broadcast_to(lam[:, None, :], (disc.np_, b, disc.k))
+        uf, lam0, eta = run(u0b, jnp.float32(0.0), lam_b)
+        for j in range(0, b, 3):
+            ref = advec_fwd_adj_estimate(
+                ops, disc, u0b[:, j], dt, seg * nseg, segment=seg
+            )
+            np.testing.assert_allclose(uf[:, j], ref.u_final, rtol=2e-4, atol=1e-6)
+            np.testing.assert_allclose(lam0[:, j], ref.lam0, rtol=2e-3, atol=2e-5)
+            np.testing.assert_allclose(eta[j], ref.eta, rtol=5e-3, atol=1e-7)
+
+    def test_single_blocked_matches_oracle_on_graded_mesh(self):
+        disc = self._graded_disc(2, 32)
+        ops = advec_operators(disc, a=A, dtype=jnp.float32)
+        dt = 1e-4
+        seg, nseg = 4, 4
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_single_blocked,
+        )
+
+        run = make_pallas_fwd_adj_estimate_grid_single_blocked(
+            disc, A, dt, segment=seg, n_segments=nseg, interpret=True
+        )
+        u0 = jnp.asarray(np.sin(disc.x), jnp.float32)
+        lam = terminal_integral_cotangent(disc, jnp.float32)
+        uf, lam0, eta = run(u0, jnp.float32(0.0), lam)
+        ref = advec_fwd_adj_estimate(ops, disc, u0, dt, seg * nseg, segment=seg)
+        np.testing.assert_allclose(uf, ref.u_final, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(lam0, ref.lam0, rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
+
+    def test_unbatched_kernels_still_require_uniform(self):
+        disc = self._graded_disc(2, 16)
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_advec_march,
+        )
+
+        with pytest.raises(ValueError, match="uniform"):
+            make_pallas_advec_march(disc, A, 1e-4)
