@@ -19,7 +19,9 @@ mesh:
 Limiter neighbour averages use copied endpoints (exactly
 ops/limiters.py::_neighbor_averages, i.e. utils/SlopeLimitN.m) while the
 flux is periodic — both faithfully reproduced; the kernel is pinned against
-march/burgers.py::burgers_march per batch column (tested).
+march/burgers.py::burgers_march per batch column (tested). Non-uniform
+meshes ride a per-element geometry operand (rx, fscale, 1/h, node
+offsets — see _host_tables); uniform meshes keep the folded-scalar path.
 """
 from __future__ import annotations
 
@@ -34,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
 from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
-    _check_uniform,
     _masks_blk,
     _shift_m1_b as _shift_m1,
     _shift_m1_blk,
@@ -52,8 +53,18 @@ def _minmod3(a, b, c):
     return jnp.where(unanimous, s * mag, 0.0)
 
 
-def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
-            limiter, n_chunks, steps, dt, u0_ref, u_out, u_scr):
+def _kernel(np_, k, blocked, nonuni, rx, fscale, h, dr_full, dr_ux, lift,
+            c_avg, xi, limiter, n_chunks, steps, dt, *refs):
+    if nonuni:
+        # geom rows: [rx, fscale_l, fscale_r, 1/h, xi_0 .. xi_{Np-1}] — the
+        # per-element geometric factors a graded mesh needs (the uniform
+        # path folds them into the scalar tables instead)
+        geom_ref, u0_ref, u_out, u_scr = refs
+        rxv, fslv, fsrv, ihv = (geom_ref[j] for j in range(4))
+        xiv = tuple(geom_ref[4 + ii] for ii in range(np_))
+    else:
+        u0_ref, u_out, u_scr = refs
+        rxv = fslv = fsrv = ihv = xiv = None
     i = pl.program_id(0)
     if blocked:
         # blocked-single layout: k is the LANE count K/8, element K-1 sits
@@ -88,8 +99,12 @@ def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
         ux = dr_ux[0] * u[0]
         for jj in range(1, np_):
             ux = ux + dr_ux[jj] * u[jj]
-        ux = (2.0 / h) * ux
-        slope = _minmod3(ux, dp / h, dm / h)
+        if nonuni:
+            ux = 2.0 * ux * ihv
+            slope = _minmod3(ux, dp * ihv, dm * ihv)
+        else:
+            ux = (2.0 / h) * ux
+            slope = _minmod3(ux, dp / h, dm / h)
         if limiter == "n":
             ve1 = vk - _minmod3(vk - u[0], dm, dp)
             ve2 = vk + _minmod3(u[np_ - 1] - vk, dm, dp)
@@ -97,22 +112,30 @@ def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
                 jnp.abs(ve2 - u[np_ - 1]) > 1e-8
             )
             return tuple(
-                jnp.where(troubled, vk + xi[ii] * slope, u[ii])
+                jnp.where(
+                    troubled,
+                    vk + (xiv[ii] if nonuni else xi[ii]) * slope,
+                    u[ii],
+                )
                 for ii in range(np_)
             )
         # "1": project + limit everywhere
-        return tuple(vk + xi[ii] * slope for ii in range(np_))
+        return tuple(
+            vk + (xiv[ii] if nonuni else xi[ii]) * slope for ii in range(np_)
+        )
 
     # volume factor (−rx), surface factor (fscale) and dt are folded into
     # the coefficient tables at trace time (dt is fixed for this kernel):
     # rhs′ = dt·rhs comes out of pure FMA chains and the low-storage update
     # is a single FMA per row per stage
+    rxc = 1.0 if nonuni else rx
+    fsc = 1.0 if nonuni else fscale
     drc = tuple(
-        tuple(-rx * dt * dr_full[ii][jj] for jj in range(np_))
+        tuple(-rxc * dt * dr_full[ii][jj] for jj in range(np_))
         for ii in range(np_)
     )
     liftc = tuple(
-        (fscale * dt * lift[ii][0], fscale * dt * lift[ii][1])
+        (fsc * dt * lift[ii][0], fsc * dt * lift[ii][1])
         for ii in range(np_)
     )
 
@@ -127,11 +150,16 @@ def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
         fstar_r = 0.5 * (0.5 * u_r**2 + 0.5 * u_r_ext**2) - 0.5 * c_r * (u_r_ext - u_r)
         df_l = -(0.5 * u_l**2) + fstar_l
         df_r = (0.5 * u_r**2) - fstar_r
+        if nonuni:
+            df_l = df_l * fslv
+            df_r = df_r * fsrv
         out = []
         for ii in range(np_):
             acc = drc[ii][0] * f[0]
             for jj in range(1, np_):
                 acc = acc + drc[ii][jj] * f[jj]
+            if nonuni:
+                acc = acc * rxv
             out.append(acc + liftc[ii][0] * df_l + liftc[ii][1] * df_r)
         return tuple(out)
 
@@ -157,10 +185,13 @@ def _kernel(np_, k, blocked, rx, fscale, h, dr_full, dr_ux, lift, c_avg, xi,
 
 def _host_tables(disc: Discretization1D, limiter: str):
     """Precompute the scalar coefficient tables (host floats) shared by the
-    batched and blocked-single Burgers kernels."""
+    batched and blocked-single Burgers kernels. The last return is the
+    per-element geometry table for NON-UNIFORM meshes — a host float64
+    array of rows [rx, fscale_l, fscale_r, 1/h, xi_0..xi_{Np-1}] shaped
+    (4+Np, K), or None on a uniform mesh (factors fold into the scalars
+    instead)."""
     if limiter not in ("n", "1", "none"):
         raise ValueError(limiter)
-    rx, _ = _check_uniform(disc)
     np_ = disc.np_
     v = np.asarray(disc.v)
     inv_v = np.asarray(disc.inv_v)
@@ -168,9 +199,6 @@ def _host_tables(disc: Discretization1D, limiter: str):
     p_lin = v[:, :n_lin] @ inv_v[:n_lin, :]
     c_avg = tuple(float(v[0, 0] * inv_v[0, jj]) for jj in range(np_))
     x = np.asarray(disc.x)
-    h = float(x[-1, 0] - x[0, 0])
-    x0 = float(x[0, 0] + h / 2)
-    xi = tuple(float(x[ii, 0] - x0) for ii in range(np_))
     dr = np.asarray(disc.dr)
     dr_full = tuple(
         tuple(float(dr[ii, jj]) for jj in range(np_)) for ii in range(np_)
@@ -179,7 +207,25 @@ def _host_tables(disc: Discretization1D, limiter: str):
     lift = tuple(
         (float(disc.lift[ii, 0]), float(disc.lift[ii, 1])) for ii in range(np_)
     )
-    return rx, h, dr_full, dr_ux, lift, c_avg, xi
+    rx0 = float(disc.rx[0, 0])
+    if np.allclose(disc.rx, rx0) and np.allclose(disc.fscale, rx0):
+        h = float(x[-1, 0] - x[0, 0])
+        x0 = float(x[0, 0] + h / 2)
+        xi = tuple(float(x[ii, 0] - x0) for ii in range(np_))
+        return rx0, h, dr_full, dr_ux, lift, c_avg, xi, None
+    hv = x[-1, :] - x[0, :]
+    xc = x[0, :] + hv / 2
+    geom = np.concatenate(
+        [
+            np.asarray(disc.rx[0, :])[None],
+            np.asarray(disc.fscale[0, :])[None],
+            np.asarray(disc.fscale[1, :])[None],
+            (1.0 / hv)[None],
+            x - xc[None, :],
+        ],
+        axis=0,
+    )
+    return 0.0, 1.0, dr_full, dr_ux, lift, c_avg, (0.0,) * np_, geom
 
 
 def make_pallas_burgers_march(
@@ -196,29 +242,40 @@ def make_pallas_burgers_march(
     applied after every stage, single kernel launch (grid over chunks)."""
     if n_steps % steps_per_chunk:
         raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
-    rx, h, dr_full, dr_ux, lift, c_avg, xi = _host_tables(disc, limiter)
+    rx, h, dr_full, dr_ux, lift, c_avg, xi, geom = _host_tables(disc, limiter)
     np_, k = disc.np_, disc.k
     n_chunks = n_steps // steps_per_chunk
+    nonuni = geom is not None
+    if nonuni:
+        geom = geom[:, None, :]  # (4+Np, 1, K) — broadcasts over the batch
 
     kern = functools.partial(
-        _kernel, np_, k, False, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi,
-        limiter, n_chunks, steps_per_chunk, dt,
+        _kernel, np_, k, False, nonuni, rx, rx, h, dr_full, dr_ux, lift,
+        c_avg, xi, limiter, n_chunks, steps_per_chunk, dt,
     )
 
     def run(u0):
+        geom_in, geom_specs = (), []
+        if nonuni:
+            geom_in = (jnp.asarray(geom, u0.dtype),)
+            geom_specs = [
+                pl.BlockSpec(geom.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ]
         return pl.pallas_call(
             kern,
             grid=(n_chunks,),
             out_shape=jax.ShapeDtypeStruct((np_, batch, k), u0.dtype),
             in_specs=[
+                *geom_specs,
                 pl.BlockSpec((np_, batch, k), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((np_, batch, k), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((np_, batch, k), u0.dtype)],
             interpret=interpret,
-        )(u0)
+        )(*geom_in, u0)
 
     return run
 
@@ -245,29 +302,40 @@ def make_pallas_burgers_march_single_blocked(
         raise ValueError(f"n_steps={n_steps} not a multiple of {steps_per_chunk}")
     if disc.k % 8:
         raise ValueError(f"K={disc.k} must be a multiple of 8 (blocked layout)")
-    rx, h, dr_full, dr_ux, lift, c_avg, xi = _host_tables(disc, limiter)
+    rx, h, dr_full, dr_ux, lift, c_avg, xi, geom = _host_tables(disc, limiter)
     np_, m = disc.np_, disc.k // 8
     n_chunks = n_steps // steps_per_chunk
+    nonuni = geom is not None
+    if nonuni:
+        geom = geom.reshape(geom.shape[0], 8, m)
 
     kern = functools.partial(
-        _kernel, np_, m, True, rx, rx, h, dr_full, dr_ux, lift, c_avg, xi,
-        limiter, n_chunks, steps_per_chunk, dt,
+        _kernel, np_, m, True, nonuni, rx, rx, h, dr_full, dr_ux, lift,
+        c_avg, xi, limiter, n_chunks, steps_per_chunk, dt,
     )
 
     def run(u0):
+        geom_in, geom_specs = (), []
+        if nonuni:
+            geom_in = (jnp.asarray(geom, u0.dtype),)
+            geom_specs = [
+                pl.BlockSpec(geom.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ]
         out = pl.pallas_call(
             kern,
             grid=(n_chunks,),
             out_shape=jax.ShapeDtypeStruct((np_, 8, m), u0.dtype),
             in_specs=[
+                *geom_specs,
                 pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((np_, 8, m), u0.dtype)],
             interpret=interpret,
-        )(u0.reshape(np_, 8, m))
+        )(*geom_in, u0.reshape(np_, 8, m))
         return out.reshape(np_, disc.k)
 
     return run

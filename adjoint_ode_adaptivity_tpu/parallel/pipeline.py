@@ -23,9 +23,8 @@ the memory-scaling story for deep ResNetODE stacks, complementing the
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map

@@ -15,7 +15,7 @@ This is the TPU-first replacement for Main_variable_params.py's outer loop.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -493,3 +493,55 @@ class TestPallasNonUniform:
 
         with pytest.raises(ValueError, match="uniform"):
             make_pallas_advec_march(disc, A, 1e-4)
+
+    @pytest.mark.parametrize("limiter", ["n", "1", "none"])
+    def test_burgers_batched_matches_xla_on_graded_mesh(self, limiter):
+        """Non-uniform Burgers: the per-element geometry operand reproduces
+        the XLA limited march at f64 roundoff on a 3x-graded mesh."""
+        from adjoint_ode_adaptivity_tpu.march.burgers import (
+            burgers_march,
+            burgers_operators,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march,
+        )
+
+        disc = self._graded_disc(2, 24)
+        ops = burgers_operators(disc, dtype=jnp.float64)
+        b, n_steps, dt = 8, 16, 5e-5
+        rng = np.random.default_rng(9)
+        u0b = np.stack(
+            [(0.4 + 0.3 * ph) * np.sin(np.asarray(disc.x)) + 0.1 * ph
+             for ph in rng.uniform(0, 1, b)],
+            axis=1,
+        )
+        run = make_pallas_burgers_march(
+            disc, dt, n_steps, batch=b, steps_per_chunk=8, limiter=limiter,
+            interpret=True,
+        )
+        got = run(jnp.asarray(u0b))
+        for j in range(0, b, 3):
+            want = burgers_march(
+                ops, jnp.asarray(u0b[:, j]), dt, n_steps, limiter=limiter
+            )
+            np.testing.assert_allclose(got[:, j], want, rtol=1e-12, atol=1e-13)
+
+    def test_burgers_blocked_matches_xla_on_graded_mesh(self):
+        from adjoint_ode_adaptivity_tpu.march.burgers import (
+            burgers_march,
+            burgers_operators,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
+            make_pallas_burgers_march_single_blocked,
+        )
+
+        disc = self._graded_disc(2, 32)
+        ops = burgers_operators(disc, dtype=jnp.float64)
+        n_steps, dt = 16, 5e-5
+        u0 = 0.6 * np.sin(np.asarray(disc.x)) + 0.05
+        run = make_pallas_burgers_march_single_blocked(
+            disc, dt, n_steps, steps_per_chunk=8, limiter="n", interpret=True
+        )
+        got = run(jnp.asarray(u0))
+        want = burgers_march(ops, jnp.asarray(u0), dt, n_steps, limiter="n")
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
