@@ -18,18 +18,29 @@ exactly (tested in interpret mode). Fine-grid states are interpolated on
 the fly during the reverse sweep — only the (n_steps+1) coarse states are
 stored.
 
-``f``/``f_u`` are traced as ``f(u, t)``; the grid is uniform so every fine
-node time is a static Python float at trace time — time-dependent right-hand
-sides (e.g. the gaussian-mixture ODE's modes in t,
-Main_no_matrix_detect_complex.py:37-52) cost nothing extra. Constants the
-closures capture must be Python/NumPy scalars (Pallas kernels cannot close
-over array constants — unroll small mode sums to scalars, as the gaussian
-mixture test does).
+``f``/``f_u`` are traced as ``f(u, t)``; the time grid (uniform or the
+adaptive loop's NONUNIFORM step vector) is static per compile, so every
+fine node time and step width is a Python float at trace time —
+time-dependent right-hand sides (e.g. the gaussian-mixture ODE's modes in
+t, Main_no_matrix_detect_complex.py:37-52) and graded grids cost nothing
+extra. Constants the closures capture must be Python/NumPy scalars (Pallas
+kernels cannot close over array constants — unroll small mode sums to
+scalars, as the gaussian mixture test does).
 """
 from __future__ import annotations
 
 import functools
 from typing import Callable
+
+
+def np_isscalar(x) -> bool:
+    """True for Python/NumPy scalars (not sequences/arrays of steps)."""
+    try:
+        len(x)
+        return False
+    except TypeError:
+        return True
+
 
 import jax
 import jax.numpy as jnp
@@ -39,13 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["make_pallas_fd_ensemble"]
 
 
-def _kernel(f, f_u, n_steps, rf, dt, u0_ref, err_out):
-    dtf = dt / rf
+def _kernel(f, f_u, n_steps, rf, dts, u0_ref, err_out):
+    # dts: tuple of n_steps Python floats (the coarse step widths); the
+    # whole time grid is static at trace time
+    tc = [0.0]
+    for d in dts:
+        tc.append(tc[-1] + d)
     # ---- coarse march, trajectory in VMEM (list of (8, L) values)
     u = u0_ref[:]
     traj = [u]
     for n in range(n_steps):
-        u = u + f(u, n * dt) * dt
+        u = u + f(u, tc[n]) * dts[n]
         traj.append(u)
 
     # ---- reverse sweep over the fine grid, interpolating on the fly.
@@ -57,16 +72,25 @@ def _kernel(f, f_u, n_steps, rf, dt, u0_ref, err_out):
         w = q / rf
         return traj[i] + w * (traj[i + 1] - traj[i])
 
+    def t_fine(j):
+        i, q = divmod(j, rf)
+        return tc[i] + (q / rf) * dts[i]
+
+    def dt_fine(j):
+        """Width of the fine interval [j, j+1)."""
+        return dts[j // rf] / rf
+
     n_fine = n_steps * rf
     v = jnp.zeros_like(u)  # v_{n_fine} = k_{n_fine} = 0 (J sums u[:-1])
     blocks = [None] * n_steps
     for j in range(n_fine, 0, -1):
         u_j = u_fine(j)
         u_jm1 = u_fine(j - 1)
-        t_j = j * dtf  # static at trace time (uniform grid)
         if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
-            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_j) * dtf) * v
-        r = u_j - (u_jm1 + f(u_jm1, t_j - dtf) * dtf)
+            dtf = dt_fine(j)
+            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_fine(j)) * dtf) * v
+        dtf_m = dt_fine(j - 1)
+        r = u_j - (u_jm1 + f(u_jm1, t_fine(j - 1)) * dtf_m)
         err = r * v
         i = (j - 1) // rf  # block i covers fine nodes i·rf+1 .. (i+1)·rf
         blocks[i] = err if blocks[i] is None else blocks[i] + err
@@ -80,12 +104,15 @@ def make_pallas_fd_ensemble(
     f_u: Callable,
     n_steps: int,
     ref_factor: int,
-    dt: float,
+    dt,
     interpret: bool = False,
 ):
     """Returns ``run(u0s) -> err_steps`` computing the per-IC block error
     indicator (n_steps, n_ics) in one kernel launch; mean over axis 1 gives
-    the ensemble refinement signal. ``n_ics`` must be a multiple of
+    the ensemble refinement signal. ``dt`` is a scalar (uniform grid) or a
+    length-``n_steps`` sequence of step widths — the adaptive loop's
+    NONUNIFORM grids compile per grid, exactly like the reference's
+    per-iteration retraces. ``n_ics`` must be a multiple of
     8·lane_block = 20480 (sublanes × the per-grid-block lane width); pad
     the ensemble.
 
@@ -96,6 +123,13 @@ def make_pallas_fd_ensemble(
 
     lane_block = 2560  # 20 lane tiles per grid block: amortizes per-op overhead, and
     # IC blocks are independent → the grid is embarrassingly parallel
+    dts = (
+        (float(dt),) * n_steps
+        if np_isscalar(dt)
+        else tuple(float(d) for d in dt)
+    )
+    if len(dts) != n_steps:
+        raise ValueError(f"dt vector length {len(dts)} != n_steps={n_steps}")
 
     def run(u0s):
         (n,) = u0s.shape
@@ -114,7 +148,7 @@ def make_pallas_fd_ensemble(
                 "scoped VMEM (limit ~16 MB); split the march into windows"
             )
         u0t = u0s.reshape(8, width)
-        kern = functools.partial(_kernel, f, f_u, n_steps, ref_factor, dt)
+        kern = functools.partial(_kernel, f, f_u, n_steps, ref_factor, dts)
         err = pl.pallas_call(
             kern,
             grid=(n_blocks,),

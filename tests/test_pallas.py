@@ -288,6 +288,54 @@ class TestPallasFDEnsemble:
         got = run(u0s)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
 
+    def test_nonuniform_dt_matches_xla_primitives(self):
+        """The adaptive loop's NONUNIFORM step vector: every fine-node time
+        and width stays a trace-time float; per-IC indicator matches the
+        XLA fwd+adj+indicator primitives on the same graded grid."""
+        import jax as _jax
+
+        from adjoint_ode_adaptivity_tpu import functionals as fnl
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adjoint import (
+            adjoint_march,
+            coarse_indicator,
+            interp_to_fine,
+            refine_all,
+            residual,
+        )
+        from adjoint_ode_adaptivity_tpu.march import euler_step, forward_march
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble,
+        )
+
+        n_steps, rf = 8, 4
+        ode = odes.get_ode("du/dt=sin(u)")
+        functional = fnl.get_functional("J=int(u^2)")
+        step = euler_step(ode.f)
+        rng = np.random.default_rng(11)
+        dts = rng.uniform(0.05, 0.4, n_steps)
+        # f64 end to end (x64 test config): the time grid is exact on both
+        # paths, so the parity is at roundoff rather than f32 interp noise
+        dt = jnp.asarray(dts)
+        dt_fine = refine_all(dt, rf)
+
+        def one(u0):
+            u = forward_march(step, u0, dt)
+            u_f = interp_to_fine(u, dt, dt_fine)
+            k = _jax.grad(functional.value)(u_f, dt_fine)
+            v = adjoint_march(step, u_f, dt_fine, k)
+            res = residual(step, u_f, dt_fine)
+            return coarse_indicator(res * v, rf, "block")
+
+        u0s = jnp.asarray(rng.uniform(-3, 3, 20480))
+        want = _jax.vmap(one)(u0s).T
+        run = make_pallas_fd_ensemble(
+            lambda u, t: jnp.sin(u), lambda u, t: jnp.cos(u), n_steps, rf,
+            dt=dts, interpret=True,
+        )
+        got = run(u0s)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-13)
+
     def test_time_dependent_rhs_gaussian_mixture(self):
         # the reference's detect-driver ODE has modes in t
         # (Main_no_matrix_detect_complex.py:37-52): fine-node times are
