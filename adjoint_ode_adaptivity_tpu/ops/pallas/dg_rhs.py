@@ -821,13 +821,19 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
     return lu
 
 
+def _split_geom_refs(cfg, rest):
+    """Strip the 3 per-element geometry refs (rx, fscale_l, fscale_r) off
+    the front of a kernel's trailing refs when cfg.geom is set — the single
+    place that encodes the geom operand-ordering contract (geom inputs are
+    always the LAST pallas_call inputs, so they lead ``rest``)."""
+    if cfg.geom is None:
+        return None, rest
+    rx_ref, fsl_ref, fsr_ref = rest[:3]
+    return (rx_ref[:], fsl_ref[:], fsr_ref[:]), rest[3:]
+
+
 def _fwd_ckpt_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, u0_ref, *rest):
-    if cfg.geom is not None:
-        rx_ref, fsl_ref, fsr_ref, ckpt_out, ufinal_out, u_scr = rest
-        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
-    else:
-        ckpt_out, ufinal_out, u_scr = rest
-        geom = None
+    geom, (ckpt_out, ufinal_out, u_scr) = _split_geom_refs(cfg, rest)
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     first, last = _masks(cfg.k)
@@ -859,12 +865,7 @@ def _adj_est_grid_kernel_b(cfg, dr, lift, n_seg, t0_ref, lam_ref,
     """Batched reverse sweep: recompute the segment's (Np, B, K) states into
     traj (leading-axis slots, each (B, K) block is one full tile set), then
     sweep backward with the fine (half-step-squared) transpose."""
-    if cfg.geom is not None:
-        rx_ref, fsl_ref, fsr_ref, lam0_out, eta_out, traj, lu_scr, eta_scr = rest
-        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
-    else:
-        lam0_out, eta_out, traj, lu_scr, eta_scr = rest
-        geom = None
+    geom, (lam0_out, eta_out, traj, lu_scr, eta_scr) = _split_geom_refs(cfg, rest)
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -940,12 +941,7 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
     time step. HBM traffic (~state·n_steps each way) sits far below the
     VPU-bound kernel time at the north-star size and is pipelined by the
     BlockSpec index maps."""
-    if cfg.geom is not None:
-        rx_ref, fsl_ref, fsr_ref, traj_out, ufinal_out, u_scr = rest
-        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
-    else:
-        traj_out, ufinal_out, u_scr = rest
-        geom = None
+    geom, (traj_out, ufinal_out, u_scr) = _split_geom_refs(cfg, rest)
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -981,13 +977,9 @@ def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,
     ``bound_scr`` (seeded with u_final). No forward recompute — per time
     step the kernel runs exactly 2 half steps (the step-doubling residual)
     plus 2 half-transpose steps (the fine adjoint)."""
-    if cfg.geom is not None:
-        (rx_ref, fsl_ref, fsr_ref, lam0_out, eta_out,
-         lu_scr, eta_scr, bound_scr) = rest
-        geom = (rx_ref[:], fsl_ref[:], fsr_ref[:])
-    else:
-        lam0_out, eta_out, lu_scr, eta_scr, bound_scr = rest
-        geom = None
+    geom, (lam0_out, eta_out, lu_scr, eta_scr, bound_scr) = _split_geom_refs(
+        cfg, rest
+    )
     i = pl.program_id(0)
     seg = cfg.steps_per_call
     np_ = cfg.np_
@@ -1229,6 +1221,15 @@ def make_pallas_fwd_adj_estimate_grid_batched(
             cfg, dr_host, lift_host, n_segments, b, blocked=False
         )
 
+    if cfg.geom is None:
+        geom_arrays, geom_specs = (), []
+    else:
+        geom_arrays = tuple(jnp.asarray(g, jnp.float32) for g in cfg.geom)
+        geom_specs = [
+            pl.BlockSpec(cfg.geom[0].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+
     def run(u0, t0, lam_end):
         fwd_kern = functools.partial(
             _fwd_ckpt_grid_kernel_b, cfg, dr_host, lift_host, n_segments
@@ -1243,6 +1244,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                *geom_specs,
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -1252,7 +1254,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
             ),
             scratch_shapes=[pltpu.VMEM((np_, b, k), jnp.float32)],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), u0)
+        )(jnp.reshape(t0, (1,)), u0, *geom_arrays)
 
         adj_kern = functools.partial(
             _adj_est_grid_kernel_b, cfg, dr_host, lift_host, n_segments
@@ -1272,6 +1274,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
                     lambda i: (n_segments - 1 - i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                *geom_specs,
             ],
             out_specs=(
                 pl.BlockSpec((np_, b, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -1283,7 +1286,7 @@ def make_pallas_fwd_adj_estimate_grid_batched(
                 pltpu.VMEM((b, k), jnp.float32),
             ],
             interpret=interpret,
-        )(jnp.reshape(t0, (1,)), lam_end, ckpts)
+        )(jnp.reshape(t0, (1,)), lam_end, ckpts, *geom_arrays)
         return u_final, lam0, eta
 
     return run

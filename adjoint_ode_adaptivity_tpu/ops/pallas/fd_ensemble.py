@@ -32,22 +32,21 @@ from __future__ import annotations
 import functools
 from typing import Callable
 
-
-def np_isscalar(x) -> bool:
-    """True for Python/NumPy scalars (not sequences/arrays of steps)."""
-    try:
-        len(x)
-        return False
-    except TypeError:
-        return True
-
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["make_pallas_fd_ensemble"]
+
+
+def _is_scalar(x) -> bool:
+    """True for Python/NumPy scalars (not sequences/arrays of steps)."""
+    try:
+        len(x)
+        return False
+    except TypeError:
+        return True
 
 
 def _kernel(f, f_u, n_steps, rf, dts, u0_ref, err_out):
@@ -125,7 +124,7 @@ def make_pallas_fd_ensemble(
     # IC blocks are independent → the grid is embarrassingly parallel
     dts = (
         (float(dt),) * n_steps
-        if np_isscalar(dt)
+        if _is_scalar(dt)
         else tuple(float(d) for d in dt)
     )
     if len(dts) != n_steps:

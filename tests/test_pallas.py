@@ -483,7 +483,8 @@ class TestPallasNonUniform:
         vx = 2 * np.pi * r
         return startup_1d(n_order, 0.0, 2 * np.pi, k_elems, vx=vx)
 
-    def test_batched_matches_oracle_on_graded_mesh(self):
+    @pytest.mark.parametrize("store", [True, False])
+    def test_batched_matches_oracle_on_graded_mesh(self, store):
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
             make_pallas_fwd_adj_estimate_grid_batched,
         )
@@ -494,7 +495,7 @@ class TestPallasNonUniform:
         b, seg, nseg = 8, 4, 4
         run = make_pallas_fwd_adj_estimate_grid_batched(
             disc, A, dt, segment=seg, n_segments=nseg, batch=b,
-            store_trajectory=True, interpret=True,
+            store_trajectory=store, interpret=True,
         )
         rng = np.random.default_rng(3)
         u0b = jnp.asarray(
