@@ -51,6 +51,10 @@ def register_ode(problem: ODEProblem) -> ODEProblem:
 
 
 def get_ode(name: str) -> ODEProblem:
+    if name == "gaussian_mixture" and name not in ODE_REGISTRY:
+        # registered lazily: building it draws PRNG constants, which must
+        # not happen at import time (x64/platform config may not be set yet)
+        register_ode(gaussian_mixture_ode())
     return ODE_REGISTRY[name]
 
 
