@@ -752,6 +752,14 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
     shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
     shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
     drc, fac_l, fac_r, rxv = _dt_tables(cfg, dr, dt, geom)
+    if rxv is None:
+        # uniform: the scalar surface factors fold into the per-row lift
+        # coefficients — the flux differences need no vector scaling at all
+        liftl = tuple(float(lift[ii, 0]) * fac_l for ii in range(np_))
+        liftr = tuple(float(lift[ii, 1]) * fac_r for ii in range(np_))
+    else:
+        liftl = tuple(float(lift[ii, 0]) for ii in range(np_))
+        liftr = tuple(float(lift[ii, 1]) for ii in range(np_))
     resu = tuple(jnp.zeros_like(r) for r in u)
     for s in range(5):
         ts = t + float(RK4C[s]) * dt
@@ -759,8 +767,11 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
         u_l_nbr = shift_p1(u_r)
         u_r_nbr = shift_m1(u_l)
         uin = -jnp.sin(a * ts)
-        du_l = jnp.where(first, (u_l - uin) * fac_l, (u_l - u_l_nbr) * fac_l)
-        du_r = jnp.where(last, 0.0, (u_r - u_r_nbr) * fac_r)
+        du_l = jnp.where(first, u_l - uin, u_l - u_l_nbr)
+        du_r = jnp.where(last, 0.0, u_r - u_r_nbr)
+        if rxv is not None:
+            du_l = du_l * fac_l
+            du_r = du_r * fac_r
         new_u, new_r = [], []
         for ii in range(np_):
             acc = drc[ii, 0] * u[0]
@@ -768,7 +779,7 @@ def _lsrk_step_b(cfg, dr, lift, first, last, u, t, dt,
                 acc = acc + drc[ii, jj] * u[jj]
             if rxv is not None:
                 acc = acc * rxv
-            rhs = acc + lift[ii, 0] * du_l + lift[ii, 1] * du_r
+            rhs = acc + liftl[ii] * du_l + liftr[ii] * du_r
             r_ii = float(RK4A[s]) * resu[ii] + rhs
             new_r.append(r_ii)
             new_u.append(u[ii] + float(RK4B[s]) * r_ii)
@@ -789,17 +800,26 @@ def _lsrk_step_t_b(cfg, dr, lift, first, last, lu, dt,
     shift_p1 = shift_p1 or (lambda x: _shift_p1_b(x, k))
     shift_m1 = shift_m1 or (lambda x: _shift_m1_b(x, k))
     drc, fac_l, fac_r, rxv = _dt_tables(cfg, dr, dt, geom)
+    if rxv is None:
+        liftl = tuple(float(lift[ii, 0]) * fac_l for ii in range(np_))
+        liftr = tuple(float(lift[ii, 1]) * fac_r for ii in range(np_))
+    else:
+        liftl = tuple(float(lift[ii, 0]) for ii in range(np_))
+        liftr = tuple(float(lift[ii, 1]) for ii in range(np_))
     lr = tuple(jnp.zeros_like(r) for r in lu)
     for s in (4, 3, 2, 1, 0):
         w = tuple(float(RK4B[s]) * lu[ii] + lr[ii] for ii in range(np_))
         lr = tuple(float(RK4A[s]) * w[ii] for ii in range(np_))
-        w0 = lift[0, 0] * w[0]
-        w1 = lift[0, 1] * w[0]
+        w0 = liftl[0] * w[0]
+        w1 = liftr[0] * w[0]
         for ii in range(1, np_):
-            w0 = w0 + lift[ii, 0] * w[ii]
-            w1 = w1 + lift[ii, 1] * w[ii]
-        s0 = w0 * fac_l
-        s1 = jnp.where(last, 0.0, w1 * fac_r)
+            w0 = w0 + liftl[ii] * w[ii]
+            w1 = w1 + liftr[ii] * w[ii]
+        if rxv is not None:
+            w0 = w0 * fac_l
+            w1 = w1 * fac_r
+        s0 = w0
+        s1 = jnp.where(last, 0.0, w1)
         p0 = jnp.where(last, 0.0, shift_m1(s0))
         p1 = jnp.where(first, 0.0, shift_p1(s1))
         new_lu = []
