@@ -36,6 +36,13 @@ def main(argv=None):
 
     import jax
 
+    if args.kernel == "pallas":
+        # must happen BEFORE the first device use below — LIBTPU_INIT_ARGS
+        # is consumed when the TPU client is created
+        from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
+
+        ensure_scoped_vmem()
+
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -69,16 +76,11 @@ def main(argv=None):
 
     interpret = jax.default_backend() != "tpu"
     if args.kernel == "pallas":
-        from adjoint_ode_adaptivity_tpu.ops.pallas import (
-            ensure_scoped_vmem,
-            pick_chunk,
-        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas import pick_chunk
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
             make_pallas_advec_march,
         )
 
-        if not interpret:
-            ensure_scoped_vmem()
         spc = pick_chunk(n_steps)
         march = make_pallas_advec_march(
             disc, args.a, dt, steps_per_call=spc, interpret=interpret

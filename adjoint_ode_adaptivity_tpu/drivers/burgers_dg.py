@@ -37,7 +37,14 @@ def main(argv=None):
 
     import jax
 
-    use_x64 = args.kernel == "xla" and args.x64 is not False
+    if args.kernel == "pallas":
+        # must happen BEFORE the first device use below — LIBTPU_INIT_ARGS
+        # is consumed when the TPU client is created
+        from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
+
+        ensure_scoped_vmem()
+
+    use_x64 = args.kernel == "xla"  # f64 default; pallas kernels are f32
     if use_x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -54,14 +61,11 @@ def main(argv=None):
     n_steps = int(round(args.final_time / args.dt))
     if args.kernel == "pallas":
         from adjoint_ode_adaptivity_tpu.ops.pallas import (
-            ensure_scoped_vmem,
             make_pallas_burgers_march_single_blocked,
             pick_chunk,
         )
 
         interpret = jax.default_backend() != "tpu"
-        if not interpret:
-            ensure_scoped_vmem()
         run = make_pallas_burgers_march_single_blocked(
             disc, args.dt, n_steps, steps_per_chunk=pick_chunk(n_steps),
             limiter=args.limiter, interpret=interpret,
