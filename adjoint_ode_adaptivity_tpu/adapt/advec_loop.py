@@ -34,6 +34,41 @@ from adjoint_ode_adaptivity_tpu.ops.mesh import startup_1d
 __all__ = ["AdvecAdaptResult", "run_adaptive_advec"]
 
 
+class _EstimateResult(NamedTuple):
+    j_value: jnp.ndarray
+    eta: jnp.ndarray
+
+
+def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
+    """One fwd+adjoint+estimate solve through the fused batched kernel
+    (f32): the single state is replicated over the 8 sublane slots — same
+    wall time as one state at full register height — and slot 0 is read
+    back. Works on the loop's non-uniform meshes (geom operands)."""
+    import jax
+
+    from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+        terminal_integral_cotangent,
+    )
+    from adjoint_ode_adaptivity_tpu.ops.pallas import pick_chunk
+    from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+        make_pallas_fwd_adj_estimate_grid_batched,
+    )
+
+    seg = pick_chunk(n_steps, (8, 4, 2, 1))
+    pipe = make_pallas_fwd_adj_estimate_grid_batched(
+        disc, a, dt, segment=seg, n_segments=n_steps // seg, batch=8,
+        store_trajectory=True, interpret=jax.default_backend() != "tpu",
+    )
+    u0 = jnp.asarray(u0_fn(disc.x), jnp.float32)
+    lam = terminal_integral_cotangent(disc, jnp.float32)
+    u0b = jnp.broadcast_to(u0[:, None, :], (disc.np_, 8, disc.k))
+    lam_b = jnp.broadcast_to(lam[:, None, :], (disc.np_, 8, disc.k))
+    uf, _lam0, eta = pipe(u0b, jnp.float32(0.0), lam_b)
+    return _EstimateResult(
+        j_value=jnp.sum(lam * uf[:, 0, :]), eta=eta[0]
+    )
+
+
 class AdvecAdaptResult(NamedTuple):
     vx: np.ndarray  # mesh vertices this iteration
     j_value: float  # J = ∫u(T) dx on this mesh
@@ -53,23 +88,36 @@ def run_adaptive_advec(
     maxit: int = 10,
     tol: float = 1e-10,
     dtype=jnp.float64,
+    engine: str = "xla",
 ) -> list[AdvecAdaptResult]:
     """Adaptive element bisection driven by the adjoint-weighted
-    step-doubling indicator, for J = ∫ u(x, T) dx."""
+    step-doubling indicator, for J = ∫ u(x, T) dx.
+
+    ``engine="pallas"`` runs the fused batched kernel on the (non-uniform)
+    per-iteration mesh — f32, for production scales where the goal error
+    target sits well above f32 roundoff (~1e-6); the default XLA engine
+    honours ``dtype`` (f64 for tight-tolerance studies). The kernel
+    replicates the state over the 8 VPU sublanes, so a lone adaptive
+    solve still runs at full register height."""
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
     vx = np.linspace(x_span[0], x_span[1], k0 + 1)
     history: list[AdvecAdaptResult] = []
     for _ in range(maxit + 1):
         disc = startup_1d(n_order, x_span[0], x_span[1], len(vx) - 1, vx=vx)
-        ops = advec_operators(disc, a=a, dtype=dtype)
-        u0 = jnp.asarray(u0_fn(disc.x), dtype)
         # CFL from the smallest element
         xmin = float(np.min(np.abs(disc.x[0, :] - disc.x[1, :])))
         dt_c = cfl / a * xmin
         n_steps = max(8, int(np.ceil(final_time / dt_c / 8)) * 8)
         dt = final_time / n_steps
-        res = advec_fwd_adj_estimate(
-            ops, disc, u0, dt, n_steps, segment=max(n_steps // 8, 1)
-        )
+        if engine == "pallas":
+            res = _pallas_estimate(disc, a, dt, n_steps, u0_fn)
+        else:
+            ops = advec_operators(disc, a=a, dtype=dtype)
+            u0 = jnp.asarray(u0_fn(disc.x), dtype)
+            res = advec_fwd_adj_estimate(
+                ops, disc, u0, dt, n_steps, segment=max(n_steps // 8, 1)
+            )
         eta = np.asarray(res.eta)
         result = AdvecAdaptResult(
             vx=vx.copy(),
