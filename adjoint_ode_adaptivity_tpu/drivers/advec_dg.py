@@ -23,6 +23,14 @@ def main(argv=None):
     p.add_argument("--cfl", type=float, default=0.75)
     p.add_argument("--limiter", choices=["none", "n", "1"], default="none")
     p.add_argument("--estimate", action="store_true", help="run fwd+adjoint AWR")
+    p.add_argument(
+        "--adapt", action="store_true",
+        help="run the goal-oriented element h-adaptivity loop (bisect the "
+        "worst element by adjoint-weighted step-doubling error) instead of "
+        "a single march",
+    )
+    p.add_argument("--maxit", type=int, default=8)
+    p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--x64", action="store_true")
     p.add_argument(
         "--kernel", choices=["xla", "pallas"], default="xla",
@@ -59,6 +67,26 @@ def main(argv=None):
     )
 
     dtype = jnp.float64 if args.x64 else jnp.float32
+
+    if args.adapt:
+        from adjoint_ode_adaptivity_tpu.adapt.advec_loop import run_adaptive_advec
+
+        hist = run_adaptive_advec(
+            lambda x: np.sin(x), n_order=args.order, k0=args.k, a=args.a,
+            final_time=args.final_time, cfl=args.cfl / 2, maxit=args.maxit,
+            tol=args.tol, dtype=dtype, engine=args.kernel,
+        )
+        for it, r in enumerate(hist):
+            print(
+                f"it {it:3d}  K={len(r.vx) - 1:5d}  J={r.j_value:+.10e}  "
+                f"sum_eta={r.est_total:+.6e}"
+            )
+        print(
+            f"finished after {len(hist)} iterations; "
+            f"final |sum_eta| = {abs(hist[-1].est_total):.6e}"
+        )
+        return abs(hist[-1].est_total)
+
     disc = startup_1d(args.order, 0.0, 2 * np.pi, args.k)
     ops = advec_operators(disc, a=args.a, dtype=dtype)
     u0 = jnp.asarray(np.sin(disc.x), dtype)

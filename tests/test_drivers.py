@@ -64,6 +64,16 @@ class TestAdvecDriver:
         err_x = main(common)
         assert abs(err_p - err_x) < 1e-5
 
+    def test_adapt_mode(self, capsys):
+        """--adapt runs the goal-oriented element h-adaptivity loop and
+        actually bisects (K grows)."""
+        from adjoint_ode_adaptivity_tpu.drivers.advec_dg import main
+
+        est = main(["--k", "8", "--order", "2", "--final-time", "0.05",
+                    "--adapt", "--maxit", "2", "--x64"])
+        out = capsys.readouterr().out
+        assert "K=   10" in out and np.isfinite(est)
+
     def test_pallas_rejects_limiter(self):
         from adjoint_ode_adaptivity_tpu.drivers.advec_dg import main
 
