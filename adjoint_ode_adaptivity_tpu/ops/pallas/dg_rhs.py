@@ -1069,6 +1069,19 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
     segment, np_, k = cfg.steps_per_call, cfg.np_, cfg.k
     interpret = cfg.interpret
     n_steps = segment * n_segments
+    # resident-VMEM estimate for the reverse kernel: the (double-buffered)
+    # trajectory block + 6 state-sized buffers (lam/ufinal/lam0/lu/bound +
+    # slack for eta) + ~10% unrolled-body stack headroom must fit the
+    # 32 MB scoped limit (LIBTPU --xla_tpu_scoped_vmem_limit_kib=32768;
+    # measured: Np=8, B=8, K=10k at segment=4 demands 34.2 MB and fails)
+    est_bytes = 4 * (2 * segment + 6) * np_ * b * k
+    if not interpret and est_bytes * 1.1 > 32 * 2**20:
+        raise ValueError(
+            f"stored-trajectory pipeline at segment={segment}, Np={np_}, "
+            f"B={b}, lanes={k} needs ~{est_bytes * 1.1 / 2**20:.0f} MB of "
+            "scoped VMEM (32 MB limit) — reduce `segment` (the trajectory "
+            "block halves with it; see BASELINE.md's N=7 note)"
+        )
     if cfg.geom is None:
         geom_arrays, geom_specs = (), []
     else:

@@ -223,6 +223,27 @@ class TestPallasSingleBlocked:
         np.testing.assert_allclose(eta, ref.eta, rtol=5e-3, atol=1e-7)
 
 
+class TestStoredRunVmemGuard:
+    def test_oversized_config_raises_with_guidance(self):
+        """The measured-OOM config (Np=8, B=8, K=10k, segment=4) is refused
+        at construction with a clear 'reduce segment' error instead of a
+        Mosaic scoped-VMEM failure at compile time; segment=2 fits."""
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+            make_pallas_fwd_adj_estimate_grid_batched,
+        )
+
+        disc = startup_1d(7, 0.0, 2 * np.pi, 10_000)
+        with pytest.raises(ValueError, match="reduce `segment`"):
+            make_pallas_fwd_adj_estimate_grid_batched(
+                disc, A, 1e-5, segment=4, n_segments=512, batch=8,
+                store_trajectory=True,
+            )
+        make_pallas_fwd_adj_estimate_grid_batched(
+            disc, A, 1e-5, segment=2, n_segments=1024, batch=8,
+            store_trajectory=True,
+        )
+
+
 class TestPallasFDEnsemble:
     def test_matches_xla_ensemble_pipeline(self):
         from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
