@@ -49,15 +49,33 @@ def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
     from adjoint_ode_adaptivity_tpu.adjoint.advec import (
         terminal_integral_cotangent,
     )
-    from adjoint_ode_adaptivity_tpu.ops.pallas import pick_chunk
+    from adjoint_ode_adaptivity_tpu.ops.pallas import (
+        ensure_scoped_vmem,
+        pick_chunk,
+    )
     from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
         make_pallas_fwd_adj_estimate_grid_batched,
     )
 
+    # the batched/blocked kernels assume the 32 MB scoped-VMEM limit; a
+    # no-op after the TPU client initialized, so always safe to call here
+    ensure_scoped_vmem()
+
+    def _fits(seg: int) -> bool:
+        # mirror of _make_stored_run's reverse-kernel capacity guard:
+        # (double-buffered trajectory block + 6 state buffers) × 10% slack
+        est = 4 * (2 * seg + 6) * disc.np_ * 8 * disc.k
+        return est * 1.1 <= 32 * 2**20
+
     seg = pick_chunk(n_steps, (8, 4, 2, 1))
+    while seg > 1 and not _fits(seg):
+        seg = pick_chunk(n_steps, tuple(c for c in (8, 4, 2, 1) if c < seg))
+    # refinement can grow Np·K past what any stored segment fits — fall
+    # back to the recompute pipeline instead of aborting the adaptive loop
+    store = _fits(seg)
     pipe = make_pallas_fwd_adj_estimate_grid_batched(
         disc, a, dt, segment=seg, n_segments=n_steps // seg, batch=8,
-        store_trajectory=True, interpret=jax.default_backend() != "tpu",
+        store_trajectory=store, interpret=jax.default_backend() != "tpu",
     )
     u0 = jnp.asarray(u0_fn(disc.x), jnp.float32)
     lam = terminal_integral_cotangent(disc, jnp.float32)

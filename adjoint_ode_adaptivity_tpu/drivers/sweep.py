@@ -2,20 +2,26 @@
 SLURM job farm (python/Submit_schedule_frontera/).
 
 The reference farms independent (seed, config) runs one-per-GPU via
-generated argument files + `launcher paramrun`. Independent runs need no
-communication, so the TPU equivalent is simply N processes (one per host /
-TPU slice over DCN) or sequential runs on one chip. This module generates
-the command list (like Generating_argurment_files.py) and can execute them
-locally.
+generated argument files + `launcher paramrun`, 4 concurrent jobs per node
+(Submit_schedule_frontera/main_serial.sh:38-44, main_shell.sh:10-14).
+Independent runs need no communication, so the TPU equivalent is simply N
+processes (one per host / TPU slice over DCN) or concurrent CPU runs on one
+host. This module generates the command list (like
+Generating_argurment_files.py) and can execute them locally, sequentially
+or ``--parallel N`` at a time — each process gets ``SWEEP_SLOT`` in its
+environment (the analogue of the reference's per-process
+``CUDA_VISIBLE_DEVICES`` pinning, e.g. Main_new_loss.py:14) so a run can
+pin itself to a device/slice by slot.
 
 Usage:
     python -m adjoint_ode_adaptivity_tpu.drivers.sweep \
         --driver train_resnet_ode --seeds 5 6 7 8 \
-        --extra "--method variable_params --epochs 100" --run
+        --extra "--method variable_params --epochs 100" --run --parallel 4
 """
 from __future__ import annotations
 
 import argparse
+import os
 import shlex
 import subprocess
 import sys
@@ -26,13 +32,63 @@ def generate_commands(driver: str, seeds: list[int], extra: str) -> list[str]:
     return [f"{base} --seed {s} {extra}".strip() for s in seeds]
 
 
+def run_commands(cmds: list[str], parallel: int = 1, check: bool = True) -> list[int]:
+    """Execute ``cmds`` with at most ``parallel`` concurrent processes.
+
+    A simple slot scheduler: slot ``i`` exports ``SWEEP_SLOT=i`` to its
+    process (device-pinning hook). Returns the list of return codes in
+    command order; raises on the first nonzero code when ``check`` (after
+    draining the running slots).
+    """
+    parallel = max(1, int(parallel))
+    codes: list[int | None] = [None] * len(cmds)
+    running: dict[int, tuple[int, subprocess.Popen]] = {}  # slot -> (idx, proc)
+    free = list(range(parallel))[::-1]
+    pending = list(enumerate(cmds))[::-1]
+
+    def _reap(block: bool) -> None:
+        while running:
+            done = [s for s, (_, pr) in running.items() if pr.poll() is not None]
+            if done:
+                for s in done:
+                    idx, pr = running.pop(s)
+                    codes[idx] = pr.returncode
+                    free.append(s)
+                return
+            if not block:
+                return
+            next(iter(running.values()))[1].wait()
+
+    while pending:
+        if not free:
+            _reap(block=True)
+            continue
+        idx, c = pending.pop()
+        slot = free.pop()
+        print(f"==> [slot {slot}] {c}")
+        env = dict(os.environ, SWEEP_SLOT=str(slot))
+        running[slot] = (idx, subprocess.Popen(shlex.split(c), env=env))
+    while running:
+        _reap(block=True)
+    out = [int(c) for c in codes]  # type: ignore[arg-type]
+    if check:
+        bad = [(cmds[i], rc) for i, rc in enumerate(out) if rc != 0]
+        if bad:
+            raise subprocess.CalledProcessError(bad[0][1], bad[0][0])
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--driver", default="train_resnet_ode")
     p.add_argument("--seeds", type=int, nargs="+", default=[5, 6, 7, 8])
     p.add_argument("--extra", default="", help="extra args passed to each run")
     p.add_argument("--out", default=None, help="write the command file here")
-    p.add_argument("--run", action="store_true", help="execute sequentially")
+    p.add_argument("--run", action="store_true", help="execute the commands")
+    p.add_argument(
+        "--parallel", type=int, default=1,
+        help="max concurrent runs (reference farm: 4 per node)",
+    )
     args = p.parse_args(argv)
 
     cmds = generate_commands(args.driver, args.seeds, args.extra)
@@ -44,9 +100,7 @@ def main(argv=None):
         for c in cmds:
             print(c)
     if args.run:
-        for c in cmds:
-            print(f"==> {c}")
-            subprocess.run(shlex.split(c), check=True)
+        run_commands(cmds, parallel=args.parallel)
     return cmds
 
 

@@ -128,6 +128,46 @@ class TestSweep:
         assert "--seed 1" in cmds[0]
         assert (tmp_path / "cmds.txt").exists()
 
+    def test_run_commands_parallel(self, tmp_path):
+        # the reference farm runs 4 concurrent jobs/node
+        # (Submit_schedule_frontera/main_serial.sh:38-44) — check the slot
+        # scheduler overlaps runs and pins SWEEP_SLOT per process
+        import sys
+        import time
+
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import run_commands
+
+        script = (
+            "import os,time,sys; time.sleep(0.6); "
+            f"open(r'{tmp_path}'+'/slot_'+os.environ['SWEEP_SLOT']+'_'"
+            "+sys.argv[1],'w').close()"
+        )
+        # -S skips this container's sitecustomize (which imports jax, ~2 s
+        # per interpreter on the 1-core host) — the scheduler is under test
+        cmds = [f'{sys.executable} -S -c "{script}" {i}' for i in range(4)]
+        t0 = time.monotonic()
+        codes = run_commands(cmds, parallel=4)
+        elapsed = time.monotonic() - t0
+        assert codes == [0, 0, 0, 0]
+        # 4 × 0.6 s sequential would be ≥ 2.4 s; overlapped should be well
+        # under that even with interpreter startup on the 1-core host
+        assert elapsed < 2.3, elapsed
+        made = sorted(p.name for p in tmp_path.glob("slot_*"))
+        assert len(made) == 4
+        slots = {name.split("_")[1] for name in made}
+        assert slots == {"0", "1", "2", "3"}
+
+    def test_run_commands_failure_raises(self):
+        import subprocess
+        import sys
+
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import run_commands
+
+        cmds = [f"{sys.executable} -S -c \"raise SystemExit(3)\""]
+        with pytest.raises(subprocess.CalledProcessError):
+            run_commands(cmds, parallel=2)
+        assert run_commands(cmds, parallel=1, check=False) == [3]
+
 
 class TestNewLossMethod:
     def test_new_loss_smoke(self, tmp_path, monkeypatch, capsys):
