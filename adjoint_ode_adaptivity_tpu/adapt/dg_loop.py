@@ -32,7 +32,7 @@ from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
 )
 from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march, dg_time_operators
 
-__all__ = ["DGAdaptResult", "run_adaptive_dg"]
+__all__ = ["DGAdaptResult", "run_adaptive_dg", "run_adaptive_dg_ensemble"]
 
 
 class DGAdaptResult(NamedTuple):
@@ -80,6 +80,109 @@ def _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f, adjoint_mode="solve"):
         return res_p.u, adj.v, adj.err, j_coarse, j_fine, times_new
 
     return iteration
+
+
+class DGEnsembleAdaptResult(NamedTuple):
+    times: np.ndarray  # shared partition at this iteration
+    err_mean: np.ndarray  # (K,) ensemble-mean |contribution| per element
+    j_mean: float  # ensemble-mean functional
+    est_total_mean: float  # mean over members of Σ_k err_k
+
+
+def run_adaptive_dg_ensemble(
+    f: Callable,
+    y0s,  # (B,) initial-condition ensemble
+    t_span: tuple[float, float],
+    *,
+    n_order: int = 1,
+    k0: int = 4,
+    g: Callable = lambda u, t: u,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    tol: float = 0.0,
+    maxit: int = 10,
+    n_gq: int | None = None,
+    newton_iters: int | None = None,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+) -> list[DGEnsembleAdaptResult]:
+    """Ensemble-signal adaptive DG-in-time loop — the reference's
+    refinement-by-ensemble-mean indicator (Main_variable_params.py:330-341)
+    applied to the MATLAB strand (MAIN.m:29-166), TPU-batched.
+
+    All B members share one partition; each iteration runs the batched
+    fwd(n) + adjoint(n+1) + per-element AWR pipeline
+    (:mod:`~adjoint_ode_adaptivity_tpu.march.dg_batched`) and bisects the
+    element with the largest ensemble-mean |contribution|. The partition is
+    padded with zero-width slabs to ``k0 + maxit`` elements so the whole
+    iteration compiles ONCE (zero-width slabs are exact identities for both
+    marches and contribute exactly zero error — the repo-wide padding
+    contract). ``newton_iters`` switches the forward Newton to a fixed
+    static iteration count (the f32/TPU fast path).
+    """
+    from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+        dg_adjoint_march_batched,
+        dg_element_functional_batched,
+        dg_march_batched,
+    )
+
+    ops_p = dg_time_operators(n_order, n_gq)
+    ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
+    y0s = jnp.asarray(y0s)
+    max_k = k0 + maxit + 1
+
+    @jax.jit
+    def iteration(times):
+        fwd = dg_march_batched(
+            ops_p, f, times, y0s,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+            newton_iters=newton_iters,
+        )
+        adj = dg_adjoint_march_batched(ops_a, f, fwd.u, times, y0s, g_u=g_u)
+        j_mean = jnp.mean(dg_element_functional_batched(ops_p, fwd.u, times, g))
+        err_mean = jnp.mean(jnp.abs(adj.err), axis=0)  # (K,)
+        est_total = jnp.mean(jnp.sum(adj.err, axis=1))
+        # padded bisection (zero-width slabs can never win the argmax)
+        ref_i = jnp.argmax(err_mean)
+        mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+        idx = jnp.arange(times.shape[0])
+        shifted = times[jnp.maximum(idx - 1, 0)]
+        times_new = jnp.where(
+            idx <= ref_i, times, jnp.where(idx == ref_i + 1, mid, shifted)
+        )
+        # one packed diagnostics vector -> a single host fetch per
+        # iteration (this environment's tunnel has a ~27 ms RPC floor per
+        # fetch; times_new never leaves the device)
+        diag = jnp.concatenate(
+            [times, err_mean, jnp.stack([j_mean, est_total])]
+        )
+        return times_new, diag
+
+    times_host = np.linspace(t_span[0], t_span[1], k0 + 1)
+    times_host = np.concatenate(
+        [times_host, np.full(max_k - k0, times_host[-1])]
+    )
+    times = jnp.asarray(times_host)
+    n_active = k0
+    n_pad = times_host.shape[0]  # = max_k + 1 nodes, max_k element slots
+    history: list[DGEnsembleAdaptResult] = []
+    for _ in range(maxit + 1):
+        times_new, diag = iteration(times)
+        diag = np.asarray(diag)
+        t_h, err_mean = diag[:n_pad], diag[n_pad : n_pad + max_k]
+        j_mean, est_total = diag[n_pad + max_k], diag[n_pad + max_k + 1]
+        history.append(
+            DGEnsembleAdaptResult(
+                times=t_h[: n_active + 1].copy(),
+                err_mean=err_mean[:n_active],
+                j_mean=float(j_mean),
+                est_total_mean=float(est_total),
+            )
+        )
+        if abs(history[-1].est_total_mean) < tol:
+            break
+        times = times_new
+        n_active += 1
+    return history
 
 
 def run_adaptive_dg(

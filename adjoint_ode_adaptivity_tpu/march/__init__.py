@@ -16,6 +16,15 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import (
     dg_time_operators,
     make_dg_slab_solver,
 )
+from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+    DGBatchedAdjointResult,
+    DGBatchedResult,
+    dg_adjoint_march_batched,
+    dg_element_functional_batched,
+    dg_estimate_batched,
+    dg_march_batched,
+    solve_small,
+)
 from adjoint_ode_adaptivity_tpu.march.burgers import (
     BurgersOperators,
     burgers_march,
@@ -43,6 +52,13 @@ __all__ = [
     "dg_march",
     "dg_march_differentiable",
     "make_dg_slab_solver",
+    "DGBatchedResult",
+    "DGBatchedAdjointResult",
+    "dg_march_batched",
+    "dg_adjoint_march_batched",
+    "dg_element_functional_batched",
+    "dg_estimate_batched",
+    "solve_small",
     "AdvecOperators",
     "advec_operators",
     "advec_rhs",

@@ -24,6 +24,11 @@ class BaselineResult(NamedTuple):
     steps_measured: int
 
 
+class DGBaselineResult(NamedTuple):
+    slabs_per_sec: float
+    slabs_measured: int
+
+
 def ensemble_fd_pipeline(n_ics: int, n_steps: int = 16, ref_factor: int = 4):
     """vmapped forward+adjoint+indicator over an IC ensemble — the
     reference's refinement-signal computation at its largest scale
@@ -67,6 +72,109 @@ def ensemble_fd_pipeline(n_ics: int, n_steps: int = 16, ref_factor: int = 4):
         _np.random.default_rng(0).uniform(-3, 3, size=n_ics), jnp.float32
     )
     return fn, u0s
+
+
+def numpy_dg_pipeline_baseline(
+    n_order: int,
+    times: np.ndarray,
+    y0s: np.ndarray,
+    *,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+    return_outputs: bool = False,
+) -> DGBaselineResult:
+    """Reference-style NumPy DG-in-time fwd+adjoint+error pipeline, timed.
+
+    A faithful host transliteration of the ``matlab/dg_march.m:26-78``
+    element-by-element Newton march plus the ``adj_march.m:65-120`` backward
+    sweep for the sin(u) / J=∫u problem, run sequentially over the
+    ``y0s`` ensemble — the reference's only scale axis for this strand is
+    one process per (seed, config), so ensemble members are a host loop.
+    One generosity: nodal→quadrature interpolation uses the precomputed Φ
+    matrix instead of the reference's per-Newton-iteration
+    ``polyfit``/``polyval`` (numerically identical, ~3× faster for the
+    baseline). Returns slab-solves/sec where one slab-solve = one element's
+    Newton (forward) or linear (adjoint) solve for one member.
+    """
+    from adjoint_ode_adaptivity_tpu.march.dg_time import dg_time_operators
+    from adjoint_ode_adaptivity_tpu.ops.jacobi import jacobi_gl
+    from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d
+
+    ops_p = dg_time_operators(n_order)
+    ops_a = dg_time_operators(n_order + 1)
+    phi_p = np.asarray(ops_p.phi)
+    wq_p = np.asarray(ops_p.wq)
+    rq_p = np.asarray(ops_p.rq)
+    s_p = np.asarray(ops_p.stiff)
+    np_p = ops_p.np_
+    a_p = s_p.T.copy()
+    a_p[-1, -1] -= 1.0
+    phi_a = np.asarray(ops_a.phi)
+    wq_a = np.asarray(ops_a.wq)
+    rq_a = np.asarray(ops_a.rq)
+    s_a = np.asarray(ops_a.stiff)
+    m_a = np.asarray(ops_a.mass)
+    np_a = ops_a.np_
+    r_p = jacobi_gl(0.0, 0.0, n_order)
+    to_nodes = np.asarray(interp_matrix_1d(n_order, r_p, np.asarray(ops_a.r)))
+    to_quad = np.asarray(interp_matrix_1d(n_order, r_p, np.asarray(ops_a.rq)))
+    base_a = -s_a.T.copy()
+    base_a[0, 0] -= 1.0
+
+    times = np.asarray(times, np.float64)
+    k = len(times) - 1
+    hs = times[1:] - times[:-1]
+    slabs = 0
+    t0 = time.perf_counter()
+    for y0 in np.atleast_1d(y0s):
+        # forward element-by-element Newton march (dg_march.m:26-78)
+        u_all = np.empty((k, np_p))
+        u_prev = float(y0)
+        for ke in range(k):
+            h, tl = hs[ke], times[ke]
+            u = np.full(np_p, u_prev)
+            f_vec = np.zeros(np_p)
+            f_vec[0] = u_prev
+            for _ in range(newton_maxit + 1):
+                u_q = phi_p @ u
+                res = a_p @ u + h / 2.0 * (phi_p.T @ (wq_p * np.sin(u_q))) + f_vec
+                jac = a_p + h / 2.0 * (
+                    phi_p.T @ (wq_p[:, None] * np.cos(u_q)[:, None] * phi_p)
+                )
+                delta = np.linalg.solve(jac, res)
+                u = u - delta
+                if np.linalg.norm(delta) <= newton_tol:
+                    break
+            u_all[ke] = u
+            u_prev = u[-1]
+            slabs += 1
+        # backward adjoint sweep at order n+1 (adj_march.m:65-120)
+        v_inflow = 0.0
+        errs = np.empty(k)
+        for ke in range(k - 1, -1, -1):
+            h, tl = hs[ke], times[ke]
+            u_q = to_quad @ u_all[ke]
+            t_q = tl + (1.0 + rq_a) * h / 2.0
+            m_w = h / 2.0 * (
+                phi_a.T @ (wq_a[:, None] * np.cos(u_q)[:, None] * phi_a)
+            )
+            a_mat = base_a + m_w
+            rhs = -(h / 2.0) * (m_a @ np.ones(np_a))
+            rhs[-1] -= v_inflow
+            v_el = np.linalg.solve(a_mat, rhs)
+            u_h = to_nodes @ u_all[ke]
+            u_prev_el = float(y0) if ke == 0 else u_all[ke - 1][-1]
+            res = s_a.T @ u_h + h / 2.0 * (phi_a.T @ (wq_a * np.sin(u_q)))
+            res[-1] -= u_h[-1]
+            res[0] += u_prev_el
+            errs[ke] = v_el @ res
+            v_inflow = v_el[0]
+            slabs += 1
+    elapsed = time.perf_counter() - t0
+    result = DGBaselineResult(slabs / elapsed, slabs)
+    if return_outputs:
+        return result, u_all, errs  # last member's outputs, for parity tests
+    return result
 
 
 def numpy_advec_fwd_adj_baseline(

@@ -1,0 +1,237 @@
+"""Batched (ensemble) DG-in-time march: parity vs the unbatched oracle,
+closed-form small solves, padding contracts, the ensemble-adaptive loop,
+and the NumPy reference-style baseline (matlab/dg_march.m + adj_march.m
+transliteration used by bench.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
+    dg_adjoint_march,
+    dg_element_functional,
+)
+from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+    dg_adjoint_march_batched,
+    dg_element_functional_batched,
+    dg_estimate_batched,
+    dg_march_batched,
+    solve_small,
+)
+from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march, dg_time_operators
+
+F_SIN = lambda u, t: jnp.sin(u)  # noqa: E731
+Y0S = np.array([1.0, 0.5, 2.0, -1.0])
+TIMES = np.linspace(0.0, 2.0, 9)
+
+
+class TestSolveSmall:
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5])
+    def test_matches_linalg(self, n):
+        rng = np.random.default_rng(n)
+        a = rng.normal(size=(n, n, 7)) + 3 * np.eye(n)[:, :, None]
+        b = rng.normal(size=(n, 7))
+        x = solve_small(jnp.asarray(a), jnp.asarray(b))
+        ref = np.stack(
+            [np.linalg.solve(a[:, :, i], b[:, i]) for i in range(7)], axis=-1
+        )
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-10)
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            solve_small(jnp.zeros((2, 3, 4)), jnp.zeros((2, 4)))
+
+
+class TestBatchedForward:
+    def test_matches_unbatched_and_iteration_counts(self):
+        ops = dg_time_operators(1)
+        res_b = dg_march_batched(ops, F_SIN, TIMES, Y0S)
+        for i, y0 in enumerate(Y0S):
+            r1 = dg_march(ops, F_SIN, TIMES, y0)
+            np.testing.assert_allclose(
+                np.asarray(res_b.u[i]), np.asarray(r1.u), atol=1e-13
+            )
+            # per-member Newton update counts match the sequential solver
+            np.testing.assert_array_equal(
+                np.asarray(res_b.newton_iters[i]), np.asarray(r1.newton_iters)
+            )
+
+    @pytest.mark.parametrize("n_order", [2, 3])  # Np = 3, 4: Cramer paths
+    def test_higher_order_cramer(self, n_order):
+        ops = dg_time_operators(n_order)
+        res_b = dg_march_batched(ops, F_SIN, TIMES, Y0S[:2])
+        for i, y0 in enumerate(Y0S[:2]):
+            r1 = dg_march(ops, F_SIN, TIMES, y0)
+            np.testing.assert_allclose(
+                np.asarray(res_b.u[i]), np.asarray(r1.u), atol=1e-12
+            )
+
+    def test_np5_fallback(self):
+        # Np = 5 exercises the XLA linalg fallback inside the Newton loop
+        ops = dg_time_operators(4)
+        res_b = dg_march_batched(ops, F_SIN, TIMES[:5], Y0S[:2])
+        r1 = dg_march(ops, F_SIN, TIMES[:5], Y0S[0])
+        np.testing.assert_allclose(
+            np.asarray(res_b.u[0]), np.asarray(r1.u), atol=1e-12
+        )
+
+    def test_fixed_iteration_count_matches_tolerance_loop(self):
+        ops = dg_time_operators(1)
+        res_tol = dg_march_batched(ops, F_SIN, TIMES, Y0S)
+        res_fix = dg_march_batched(ops, F_SIN, TIMES, Y0S, newton_iters=8)
+        np.testing.assert_allclose(
+            np.asarray(res_fix.u), np.asarray(res_tol.u), atol=1e-10
+        )
+
+    def test_per_member_partitions(self):
+        ops = dg_time_operators(1)
+        times_b = np.stack(
+            [TIMES, np.linspace(0.0, 2.0, 9) ** 1.2 / 2**0.2]
+        )
+        res = dg_march_batched(ops, F_SIN, times_b, Y0S[:2])
+        for i in range(2):
+            r1 = dg_march(ops, F_SIN, times_b[i], Y0S[i])
+            np.testing.assert_allclose(
+                np.asarray(res.u[i]), np.asarray(r1.u), atol=1e-13
+            )
+
+    def test_batch_mismatch_raises(self):
+        ops = dg_time_operators(1)
+        with pytest.raises(ValueError):
+            dg_march_batched(ops, F_SIN, np.stack([TIMES] * 3), Y0S)
+
+
+class TestBatchedAdjoint:
+    def test_matches_unbatched(self):
+        ops = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        res_b = dg_march_batched(ops, F_SIN, TIMES, Y0S)
+        adj_b = dg_adjoint_march_batched(ops_a, F_SIN, res_b.u, TIMES, Y0S)
+        for i, y0 in enumerate(Y0S):
+            a1 = dg_adjoint_march(
+                ops_a, F_SIN, dg_march(ops, F_SIN, TIMES, y0).u, TIMES, y0
+            )
+            np.testing.assert_allclose(
+                np.asarray(adj_b.v[i]), np.asarray(a1.v), atol=1e-11
+            )
+            np.testing.assert_allclose(
+                np.asarray(adj_b.err[i]), np.asarray(a1.err), atol=1e-12
+            )
+
+    def test_functional_matches(self):
+        ops = dg_time_operators(1)
+        res_b = dg_march_batched(ops, F_SIN, TIMES, Y0S)
+        j_b = dg_element_functional_batched(ops, res_b.u, TIMES)
+        for i, y0 in enumerate(Y0S):
+            j1 = dg_element_functional(
+                ops, dg_march(ops, F_SIN, TIMES, y0).u, jnp.asarray(TIMES)
+            )
+            assert abs(float(j_b[i]) - float(j1)) < 1e-12
+
+    def test_estimate_pipeline_effectivity(self):
+        # Σ err ≈ J(fine) − J(coarse) — MAIN.m:55-76's consistency check,
+        # through the fully batched pipeline
+        ops = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        ops_f = dg_time_operators(3)
+        u, v, err = dg_estimate_batched(ops, ops_a, F_SIN, TIMES, Y0S)
+        for i, y0 in enumerate(Y0S):
+            j_c = float(dg_element_functional(ops, u[i], jnp.asarray(TIMES)))
+            rf = dg_march(ops_f, F_SIN, TIMES, y0)
+            j_f = float(dg_element_functional(ops_f, rf.u, jnp.asarray(TIMES)))
+            est = float(jnp.sum(err[i]))
+            gap = j_f - j_c
+            # n+1-order adjoint weighting estimates the gap up to
+            # higher-order terms: ~1% at this coarse K=8 partition (small
+            # gaps, e.g. y0=2 at 1.4e-5, carry a few-µ absolute floor)
+            assert abs(est - gap) <= 0.05 * abs(gap) + 2e-6, (est, gap)
+
+
+class TestBatchedPadding:
+    """Zero-width slabs must be exact identities — the repo-wide padding
+    contract, now for the Cramer-solve batched kernels."""
+
+    def test_zero_width_slab_is_identity(self):
+        ops = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        t_pad = np.concatenate([TIMES, [TIMES[-1]] * 3])  # 3 zero-width slabs
+        res = dg_march_batched(ops, F_SIN, t_pad, Y0S)
+        adj = dg_adjoint_march_batched(ops_a, F_SIN, res.u, t_pad, Y0S)
+        res_ref = dg_march_batched(ops, F_SIN, TIMES, Y0S)
+        adj_ref = dg_adjoint_march_batched(ops_a, F_SIN, res_ref.u, TIMES, Y0S)
+        k = len(TIMES) - 1
+        # active prefix identical
+        np.testing.assert_allclose(
+            np.asarray(res.u[:, :k]), np.asarray(res_ref.u), atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(adj.v[:, :k]), np.asarray(adj_ref.v), atol=1e-11
+        )
+        # padding slabs: constant-state forward, inert adjoint, zero error
+        end = res.u[:, k - 1, -1]
+        for kp in range(k, k + 3):
+            np.testing.assert_allclose(
+                np.asarray(res.u[:, kp]),
+                np.asarray(end)[:, None] * np.ones(ops.np_),
+                atol=1e-13,
+            )
+            np.testing.assert_allclose(np.asarray(adj.err[:, kp]), 0.0, atol=1e-13)
+        # functional unchanged by padding
+        np.testing.assert_allclose(
+            np.asarray(dg_element_functional_batched(ops, res.u, t_pad)),
+            np.asarray(dg_element_functional_batched(ops, res_ref.u, TIMES)),
+            atol=1e-13,
+        )
+
+
+class TestNumpyBaselineParity:
+    def test_baseline_matches_jax_pipeline(self):
+        from adjoint_ode_adaptivity_tpu.utils.benchmarks import (
+            numpy_dg_pipeline_baseline,
+        )
+
+        result, u_np, err_np = numpy_dg_pipeline_baseline(
+            1, TIMES, np.array([0.7]), return_outputs=True
+        )
+        assert result.slabs_measured == 2 * (len(TIMES) - 1)
+        ops = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        r = dg_march(ops, F_SIN, TIMES, 0.7)
+        a = dg_adjoint_march(ops_a, F_SIN, r.u, TIMES, 0.7)
+        np.testing.assert_allclose(u_np, np.asarray(r.u), atol=1e-12)
+        np.testing.assert_allclose(err_np, np.asarray(a.err), atol=1e-13)
+
+
+class TestEnsembleAdaptiveLoop:
+    def test_matches_single_member_padded_loop(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg,
+            run_adaptive_dg_ensemble,
+        )
+
+        hist_e = run_adaptive_dg_ensemble(
+            F_SIN, np.array([1.0]), (0.0, 2.0), k0=2, maxit=4, tol=0.0
+        )
+        hist_1 = run_adaptive_dg(
+            F_SIN, 1.0, (0.0, 2.0), k0=2, maxit=4, tol=0.0, padded=True
+        )
+        # same bisection decisions -> identical partition sequences
+        for re_, r1 in zip(hist_e, hist_1):
+            np.testing.assert_allclose(re_.times, r1.times, atol=1e-13)
+            np.testing.assert_allclose(
+                re_.err_mean, np.abs(r1.err), atol=1e-12
+            )
+
+    def test_ensemble_mean_signal_converges(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        rng = np.random.default_rng(0)
+        y0s = rng.uniform(0.5, 2.0, size=8)
+        hist = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), k0=2, maxit=6, tol=0.0, newton_iters=8
+        )
+        assert len(hist) == 7
+        assert abs(hist[-1].est_total_mean) < abs(hist[0].est_total_mean)
+        # partitions grow by exactly one node per iteration
+        assert len(hist[-1].times) == len(hist[0].times) + 6
