@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
+from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators, f32_matmuls
 from adjoint_ode_adaptivity_tpu.ops.jacobi import radau_points
 from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d, vandermonde_1d
 
@@ -64,6 +64,7 @@ def _interp_ops(n_primal: int, ops_adj: DGTimeOperators):
     return to_nodes, to_quad
 
 
+@f32_matmuls
 def dg_adjoint_march(
     ops_adj: DGTimeOperators,
     f: Callable,
@@ -135,6 +136,7 @@ def dg_adjoint_march(
     return DGAdjointResult(v=v, t=t, err=err)
 
 
+@f32_matmuls
 def dg_element_functional(
     ops: DGTimeOperators, u: jnp.ndarray, times: jnp.ndarray, g: Callable = lambda u, t: u
 ) -> jnp.ndarray:
@@ -154,6 +156,7 @@ def dg_element_functional(
     return jnp.sum(jax.vmap(one)(u, times[:-1], hs))
 
 
+@f32_matmuls
 def dg_awr_from_adjoint(
     ops_adj: DGTimeOperators,
     f: Callable,
@@ -197,6 +200,7 @@ def dg_awr_from_adjoint(
     return jax.vmap(one)(u_primal, v_hi, t_left, hs, u_prevs)
 
 
+@f32_matmuls
 def dg_adjoint_reconstruct(
     ops_primal: DGTimeOperators,
     v_low: jnp.ndarray,  # (K, Np_primal) adjoint solved at the primal's order
@@ -234,6 +238,7 @@ def dg_adjoint_reconstruct(
     return jax.vmap(one)(v_low, v_right_in)
 
 
+@f32_matmuls
 def continuous_err_contribution(
     ops: DGTimeOperators,
     u: jnp.ndarray,  # (K, Np) primal nodal values

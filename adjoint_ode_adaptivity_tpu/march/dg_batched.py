@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
+from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators, f32_matmuls
 
 __all__ = [
     "solve_small",
@@ -123,6 +123,7 @@ def _norm_times(times, y0):
     return times, y0
 
 
+@f32_matmuls
 def dg_march_batched(
     ops: DGTimeOperators,
     f: Callable,
@@ -236,6 +237,7 @@ class DGBatchedAdjointResult(NamedTuple):
     err: jnp.ndarray  # (B, K) adjoint-weighted residual contributions
 
 
+@f32_matmuls
 def dg_adjoint_march_batched(
     ops_adj: DGTimeOperators,
     f: Callable,
@@ -311,6 +313,7 @@ def dg_adjoint_march_batched(
     )
 
 
+@f32_matmuls
 def dg_element_functional_batched(
     ops: DGTimeOperators,
     u: jnp.ndarray,  # (B, K, Np)

@@ -46,7 +46,26 @@ __all__ = [
     "DGMarchResult",
     "make_dg_slab_solver",
     "dg_march_differentiable",
+    "f32_matmuls",
 ]
+
+
+def f32_matmuls(fn):
+    """Trace ``fn`` with all matmuls/einsums at HIGHEST precision — the
+    repo-wide invariant (CLAUDE.md): TPU's default matmul precision runs
+    bf16 passes and costs ~3 significant digits, which breaks the adaptive
+    loops' error estimates (measured: the f32 ensemble-mean DG signal went
+    from converging on CPU to stuck at a 6×-larger plateau on TPU). The
+    contraction dims here are tiny (Np, Nq ≤ 10), so exact-f32 costs
+    nothing."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 class DGTimeOperators(NamedTuple):
@@ -122,6 +141,7 @@ def _slab_jacobian(ops: DGTimeOperators, f: Callable, u, h, t_left, dtype):
     return a_mat + dmt
 
 
+@f32_matmuls
 def dg_march(
     ops: DGTimeOperators,
     f: Callable,
@@ -252,10 +272,13 @@ def make_dg_slab_solver(
         bars = vjp_rest(-w)
         return bars
 
-    solve.defvjp(fwd, bwd)
-    return solve
+    # wrap fwd AND bwd: the bwd rule is traced later, during jax.grad,
+    # outside any context active now
+    solve.defvjp(f32_matmuls(fwd), f32_matmuls(bwd))
+    return f32_matmuls(solve)
 
 
+@f32_matmuls
 def dg_march_differentiable(
     ops: DGTimeOperators,
     f: Callable,
