@@ -57,15 +57,16 @@ def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
         make_pallas_fwd_adj_estimate_grid_batched,
     )
 
-    # the batched/blocked kernels assume the 32 MB scoped-VMEM limit; a
+    # the batched/blocked kernels assume the 48 MB scoped-VMEM limit; a
     # no-op after the TPU client initialized, so always safe to call here
     ensure_scoped_vmem()
 
     def _fits(seg: int) -> bool:
         # mirror of _make_stored_run's reverse-kernel capacity guard:
-        # (double-buffered trajectory block + 6 state buffers) × 10% slack
-        est = 4 * (2 * seg + 6) * disc.np_ * 8 * disc.k
-        return est * 1.1 <= 32 * 2**20
+        # (double-buffered trajectory block + 6 state buffers) × the
+        # measured 1.45 stack-overhead factor
+        est = 4 * (2 * seg + 6) * disc.np_ * 8 * disc.k * 1.45
+        return est <= 48 * 2**20
 
     seg = pick_chunk(n_steps, (8, 4, 2, 1))
     while seg > 1 and not _fits(seg):
@@ -107,6 +108,7 @@ def run_adaptive_advec(
     tol: float = 1e-10,
     dtype=jnp.float64,
     engine: str = "xla",
+    checkpoint_dir: str | None = None,
 ) -> list[AdvecAdaptResult]:
     """Adaptive element bisection driven by the adjoint-weighted
     step-doubling indicator, for J = ∫ u(x, T) dx.
@@ -121,7 +123,31 @@ def run_adaptive_advec(
         raise ValueError(engine)
     vx = np.linspace(x_span[0], x_span[1], k0 + 1)
     history: list[AdvecAdaptResult] = []
-    for _ in range(maxit + 1):
+    it0 = 0
+    if checkpoint_dir is not None:
+        # resume from the latest orbax checkpoint when one exists (the
+        # reference restarts long runs from scratch, SURVEY.md §5)
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                AdvecAdaptResult(
+                    vx=np.asarray(h["vx"]),
+                    j_value=float(h["j_value"]),
+                    eta=np.asarray(h["eta"]),
+                    est_total=float(h["est_total"]),
+                )
+                for h in raw["history"]
+            ]
+            vx = np.asarray(raw["vx"])
+            it0 = len(history)
+            if abs(history[-1].est_total) < tol:
+                return history
+    for _ in range(it0, maxit + 1):
         disc = startup_1d(n_order, x_span[0], x_span[1], len(vx) - 1, vx=vx)
         # CFL from the smallest element
         xmin = float(np.min(np.abs(disc.x[0, :] - disc.x[1, :])))
@@ -144,9 +170,22 @@ def run_adaptive_advec(
             est_total=float(np.sum(eta)),
         )
         history.append(result)
-        if abs(result.est_total) < tol:
+        done = abs(result.est_total) < tol
+        if not done:
+            worst = int(np.argmax(np.abs(eta)))
+            mid = 0.5 * (vx[worst] + vx[worst + 1])
+            vx = np.insert(vx, worst + 1, mid)
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "vx": np.asarray(vx),
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        if done:
             break
-        worst = int(np.argmax(np.abs(eta)))
-        mid = 0.5 * (vx[worst] + vx[worst + 1])
-        vx = np.insert(vx, worst + 1, mid)
     return history

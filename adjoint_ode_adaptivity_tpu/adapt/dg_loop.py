@@ -201,12 +201,17 @@ def run_adaptive_dg(
     callback: Callable | None = None,
     padded: bool = False,
     adjoint_mode: str = "solve",
+    checkpoint_dir: str | None = None,
 ) -> list[DGAdaptResult]:
     """Adaptive h-refinement of the DG-in-time partition driven by the
     adjoint-weighted residual, with MAIN.m's effectivity telemetry.
 
     ``padded=True`` compiles the whole iteration once at ``k0 + maxit``
     elements (zero-width padding slabs) — use on TPU.
+
+    ``checkpoint_dir``: orbax-checkpoint partition + history each
+    iteration and resume from the latest checkpoint when present (the
+    callback is not re-invoked for restored iterations).
     """
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
@@ -219,7 +224,41 @@ def run_adaptive_dg(
     n_active = k0
     iteration = _make_dg_iteration(f, g, g_u, ops_p, ops_a, ops_f, adjoint_mode)
     history: list[DGAdaptResult] = []
-    for it in range(maxit + 1):
+    it0 = 0
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                DGAdaptResult(
+                    times=np.asarray(h["times"]),
+                    u=np.asarray(h["u"]),
+                    v=np.asarray(h["v"]),
+                    err=np.asarray(h["err"]),
+                    j_coarse=float(h["j_coarse"]),
+                    j_fine=float(h["j_fine"]),
+                    effectivity_gap=float(h["effectivity_gap"]),
+                    est_total=float(h["est_total"]),
+                )
+                for h in raw["history"]
+            ]
+            times = np.asarray(raw["times"])
+            n_active = int(raw["n_active"])
+            # a resumed run may ask for MORE iterations: re-pad the
+            # restored partition to this run's max_k (zero-width slabs
+            # are exact identities)
+            if padded and len(times) < max_k + 1:
+                times = np.concatenate(
+                    [times, np.full(max_k + 1 - len(times), times[-1])]
+                )
+            it0 = len(history)
+            if abs(history[-1].est_total) < tol:
+                return history
+    for it in range(it0, maxit + 1):
         t_j = jnp.asarray(times)
         u, v, err, j_coarse, j_fine, times_new = iteration(t_j, y0)
         result = DGAdaptResult(
@@ -235,13 +274,27 @@ def run_adaptive_dg(
         history.append(result)
         if callback is not None:
             callback(result)
-        if abs(result.est_total) < tol:
+        done = abs(result.est_total) < tol
+        if not done:
+            if padded:
+                times = np.asarray(times_new)
+            else:
+                ref_i = int(np.argmax(np.abs(result.err)))
+                mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+                times = np.insert(times, ref_i + 1, mid)
+            n_active += 1
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(times),
+                    "n_active": n_active,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        if done:
             break
-        if padded:
-            times = np.asarray(times_new)
-        else:
-            ref_i = int(np.argmax(np.abs(result.err)))
-            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
-            times = np.insert(times, ref_i + 1, mid)
-        n_active += 1
     return history

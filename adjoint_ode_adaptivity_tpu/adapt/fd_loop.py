@@ -124,12 +124,20 @@ def run_adaptive_fd(
     max_nodes: int | None = None,
     callback: Callable | None = None,
     dtype=None,
+    checkpoint_dir: str | None = None,
 ) -> list[AdaptResult]:
     """Run the adaptive loop until Σerr < tol or maxit — the complete
     Main_finite_difference.py driver, minus plotting (see utils.plotting).
 
     Returns the per-iteration :class:`AdaptResult` history. ``callback``
     (if given) is invoked with each result (host-side, for logging/plots).
+
+    ``checkpoint_dir``: orbax-checkpoint the loop state + full history
+    after every iteration and RESUME from the latest checkpoint if the
+    directory already holds one — a killed run continues exactly where it
+    stopped (the reference restarts from scratch, SURVEY.md §5). Resumed
+    iterations are bitwise-identical to an uninterrupted run (tested);
+    the callback is not re-invoked for restored iterations.
     """
     if max_nodes is None:
         max_nodes = n_steps0 + maxit + 2
@@ -141,6 +149,53 @@ def run_adaptive_fd(
     history: list[AdaptResult] = []
     err = jnp.inf
     it = 0
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+
+            def _st(d):
+                return AdaptState(
+                    times=jnp.asarray(d["times"], dtype),
+                    n_active=jnp.asarray(d["n_active"], jnp.int32),
+                    it=jnp.asarray(d["it"], jnp.int32),
+                )
+
+            history = [
+                AdaptResult(
+                    state=_st(h["state"]),
+                    times_used=jnp.asarray(h["times_used"], dtype),
+                    n_steps_used=jnp.asarray(h["n_steps_used"], jnp.int32),
+                    u=jnp.asarray(h["u"], dtype),
+                    v=jnp.asarray(h["v"], dtype),
+                    err_steps=jnp.asarray(h["err_steps"], dtype),
+                    err_total=jnp.asarray(h["err_total"], dtype),
+                    j_coarse=jnp.asarray(h["j_coarse"], dtype),
+                )
+                for h in raw["history"]
+            ]
+            state = _st(raw["state"])
+            # a resumed run may ask for MORE iterations than the killed
+            # one: re-pad the restored grid to this run's max_nodes (the
+            # padding convention repeats the final time = zero-width
+            # steps, exact identities)
+            cur = state.times.shape[0]
+            if max_nodes > cur:
+                state = state._replace(
+                    times=jnp.concatenate(
+                        [
+                            state.times,
+                            jnp.full(max_nodes - cur, state.times[-1], dtype),
+                        ]
+                    )
+                )
+            err = float(history[-1].err_total)
+            it = len(history)
+
     while it <= maxit and err > tol:
         result = adapt_iteration(
             state, u0, step_fn, functional_name, ref_factor, convention
@@ -151,6 +206,19 @@ def run_adaptive_fd(
         state = result.state
         err = float(result.err_total)
         it += 1
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import save_checkpoint
+
+            def _sd(s):
+                return dict(s._asdict())
+
+            payload = {
+                "state": _sd(state),
+                "history": [
+                    {**_sd(r), "state": _sd(r.state)} for r in history
+                ],
+            }
+            save_checkpoint(checkpoint_dir, it, payload)
     return history
 
 

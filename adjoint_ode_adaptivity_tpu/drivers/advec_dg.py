@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--maxit", type=int, default=8)
     p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--x64", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="--adapt only: orbax-checkpoint each iteration; "
+                        "resume if present")
     p.add_argument(
         "--kernel", choices=["xla", "pallas"], default="xla",
         help="pallas = fused f32 kernels (march; blocked-sublane estimate "
@@ -75,6 +78,7 @@ def main(argv=None):
             lambda x: np.sin(x), n_order=args.order, k0=args.k, a=args.a,
             final_time=args.final_time, cfl=args.cfl / 2, maxit=args.maxit,
             tol=args.tol, dtype=dtype, engine=args.kernel,
+            checkpoint_dir=args.checkpoint_dir,
         )
         for it, r in enumerate(hist):
             print(

@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-5)
     p.add_argument("--maxit", type=int, default=30)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax-checkpoint each iteration; resume if present")
     p.add_argument("--x64", action="store_true", default=True)
     p.add_argument("--adjoint", choices=["solve", "reconstruct"], default="solve",
                    help="adjoint at order n+1: direct march (adj_march) or "
@@ -82,6 +84,7 @@ def main(argv=None):
         callback=callback,
         padded=padded,
         adjoint_mode=args.adjoint,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(f"finished after {len(history)} iterations, "
           f"K={len(history[-1].times) - 1} elements")

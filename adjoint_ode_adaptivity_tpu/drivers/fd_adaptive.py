@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-5)
     p.add_argument("--maxit", type=int, default=40)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax-checkpoint each iteration; resume if present "
+                        "(greedy schedule only)")
     p.add_argument("--animate", action="store_true")
     p.add_argument("--x64", action="store_true")
     p.add_argument("--schedule", default="greedy", choices=["greedy", "backtrack"],
@@ -134,6 +137,7 @@ def main(argv=None):
         tol=args.tol,
         maxit=args.maxit,
         callback=callback,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(f"finished after {len(history)} iterations; final Σerr = "
           f"{float(history[-1].err_total):.6e}")

@@ -35,16 +35,18 @@ __all__ = [
     "make_pallas_burgers_march_single_blocked",
 ]
 
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=49152"
 
 
 def ensure_scoped_vmem() -> None:
-    """Raise Mosaic's scoped-VMEM limit to 32 MB for the unrolled-stage
+    """Raise Mosaic's scoped-VMEM limit to 48 MB for the unrolled-stage
     kernels (their 5-stage tuple-of-rows bodies overflow the default 16 MB
-    stack at large K). Appends to ``LIBTPU_INIT_ARGS``; effective as long
-    as it runs before the TPU backend's first device use (the backend
-    initializes lazily — importing jax is fine). Call this before building
-    any batched/blocked kernel outside bench.py."""
+    stack at large K; the Np=8 stored reverse body needs 36.8 MB at
+    K=10k/segment=2 — measured round 3, the round-2 32 MB limit OOMed it).
+    Appends to ``LIBTPU_INIT_ARGS``; effective as long as it runs before
+    the TPU backend's first device use (the backend initializes lazily —
+    importing jax is fine). Call this before building any batched/blocked
+    kernel outside bench.py."""
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "xla_tpu_scoped_vmem_limit_kib" not in cur:
         os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + _VMEM_FLAG).strip()

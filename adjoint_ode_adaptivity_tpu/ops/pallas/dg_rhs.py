@@ -1071,15 +1071,17 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
     n_steps = segment * n_segments
     # resident-VMEM estimate for the reverse kernel: the (double-buffered)
     # trajectory block + 6 state-sized buffers (lam/ufinal/lam0/lu/bound +
-    # slack for eta) + ~10% unrolled-body stack headroom must fit the
-    # 32 MB scoped limit (LIBTPU --xla_tpu_scoped_vmem_limit_kib=32768;
-    # measured: Np=8, B=8, K=10k at segment=4 demands 34.2 MB and fails)
-    est_bytes = 4 * (2 * segment + 6) * np_ * b * k
-    if not interpret and est_bytes * 1.1 > 32 * 2**20:
+    # slack for eta), scaled by a MEASURED 1.45 stack-overhead factor, must
+    # fit the 48 MB scoped limit (--xla_tpu_scoped_vmem_limit_kib=49152).
+    # Calibration point (round 3, real Mosaic error): Np=8, B=8, K=10k,
+    # segment=2 allocates 36.77 MB against a raw estimate of 25.6 MB —
+    # the round-2 1.1 factor underestimated the unrolled reverse body.
+    est_bytes = 4 * (2 * segment + 6) * np_ * b * k * 1.45
+    if not interpret and est_bytes > 48 * 2**20:
         raise ValueError(
             f"stored-trajectory pipeline at segment={segment}, Np={np_}, "
-            f"B={b}, lanes={k} needs ~{est_bytes * 1.1 / 2**20:.0f} MB of "
-            "scoped VMEM (32 MB limit) — reduce `segment` (the trajectory "
+            f"B={b}, lanes={k} needs ~{est_bytes / 2**20:.0f} MB of "
+            "scoped VMEM (48 MB limit) — reduce `segment` (the trajectory "
             "block halves with it; see BASELINE.md's N=7 note)"
         )
     if cfg.geom is None:

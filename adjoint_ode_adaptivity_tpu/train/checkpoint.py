@@ -13,7 +13,12 @@ from typing import Any
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "restore_checkpoint_raw",
+    "latest_step",
+]
 
 
 def _manager(directory: str | Path, max_to_keep: int = 3) -> ocp.CheckpointManager:
@@ -35,6 +40,22 @@ def latest_step(directory: str | Path) -> int | None:
     step = mgr.latest_step()
     mgr.close()
     return step
+
+
+def restore_checkpoint_raw(directory: str | Path, step: int | None = None) -> Any:
+    """Restore a checkpoint WITHOUT a shape template — returns the pytree
+    as saved (dicts/lists of arrays). Used by the adaptive-loop resume
+    path, whose history length (and, in dynamic modes, array shapes) vary
+    per iteration and therefore cannot be templated from a fresh state."""
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            mgr.close()
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+    state = mgr.restore(step, args=ocp.args.StandardRestore())
+    mgr.close()
+    return state
 
 
 def restore_checkpoint(directory: str | Path, template: Any, step: int | None = None) -> Any:

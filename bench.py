@@ -31,7 +31,7 @@ import time
 # (verified) even though sitecustomize imports jax at interpreter startup.
 # APPEND to any pre-existing LIBTPU_INIT_ARGS — setdefault would silently
 # drop the flag and the batched kernels would fail Mosaic's VMEM check.
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=49152"
 _cur = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "xla_tpu_scoped_vmem_limit_kib" not in _cur:
     os.environ["LIBTPU_INIT_ARGS"] = (_cur + " " + _VMEM_FLAG).strip()

@@ -1,0 +1,124 @@
+"""Checkpoint/resume for the adaptive loops: a killed run resumed from the
+latest orbax checkpoint reproduces the uninterrupted run's history exactly
+(SURVEY.md §5 dings the reference for restart-from-scratch)."""
+import jax.numpy as jnp
+import numpy as np
+
+
+F_SIN = lambda u, t: jnp.sin(u)  # noqa: E731
+
+
+class TestFDResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        kw = dict(
+            n_steps0=2, functional_name="J=int(u^2)", ref_factor=4, tol=0.0
+        )
+        ref = run_adaptive_fd(step, 1.0, (0.0, 2.0), maxit=5, **kw)
+
+        ck = str(tmp_path / "fd")
+        # simulate a kill: the process dies mid-loop after 3 iterations
+        # (same maxit -> same padded shapes as the uninterrupted run)
+        calls = []
+
+        def killer(result):
+            calls.append(1)
+            if len(calls) == 3:
+                raise KeyboardInterrupt
+
+        try:
+            run_adaptive_fd(
+                step, 1.0, (0.0, 2.0), maxit=5, checkpoint_dir=ck,
+                callback=killer, **kw
+            )
+            raise AssertionError("killer did not fire")
+        except KeyboardInterrupt:
+            pass
+        full = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), maxit=5, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref) == 6
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.times_used), np.asarray(r_ref.times_used)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r_res.err_steps), np.asarray(r_ref.err_steps)
+            )
+            assert float(r_res.err_total) == float(r_ref.err_total)
+            assert float(r_res.j_coarse) == float(r_ref.j_coarse)
+
+
+class TestDGResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
+
+        kw = dict(n_order=1, k0=2, tol=0.0, padded=True)
+        ref = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), maxit=4, **kw)
+
+        ck = str(tmp_path / "dg")
+        # simulate a kill after 2 iterations (same maxit -> same padded
+        # shapes as the uninterrupted run)
+        calls = []
+
+        def killer(result):
+            calls.append(1)
+            if len(calls) == 2:
+                raise KeyboardInterrupt
+
+        try:
+            run_adaptive_dg(
+                F_SIN, 1.0, (0.0, 2.0), maxit=4, checkpoint_dir=ck,
+                callback=killer, **kw
+            )
+            raise AssertionError("killer did not fire")
+        except KeyboardInterrupt:
+            pass
+        full = run_adaptive_dg(
+            F_SIN, 1.0, (0.0, 2.0), maxit=4, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref) == 5
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(r_res.times, r_ref.times)
+            np.testing.assert_array_equal(r_res.err, r_ref.err)
+            assert r_res.est_total == r_ref.est_total
+            assert r_res.j_coarse == r_ref.j_coarse
+
+    def test_finished_run_resumes_to_noop(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
+
+        ck = str(tmp_path / "dg2")
+        kw = dict(n_order=1, k0=2, tol=1e-3, maxit=6, checkpoint_dir=ck)
+        first = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), **kw)
+        assert abs(first[-1].est_total) < 1e-3
+        again = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), **kw)
+        assert len(again) == len(first)
+        assert again[-1].est_total == first[-1].est_total
+
+
+class TestAdvecResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.advec_loop import (
+            run_adaptive_advec,
+        )
+
+        kw = dict(n_order=2, k0=10, final_time=0.05, tol=0.0)
+        ref = run_adaptive_advec(lambda x: np.sin(x), maxit=3, **kw)
+
+        ck = str(tmp_path / "advec")
+        part = run_adaptive_advec(
+            lambda x: np.sin(x), maxit=1, checkpoint_dir=ck, **kw
+        )
+        assert len(part) == 2
+        full = run_adaptive_advec(
+            lambda x: np.sin(x), maxit=3, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref) == 4
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(r_res.vx, r_ref.vx)
+            np.testing.assert_array_equal(r_res.eta, r_ref.eta)
+            assert r_res.j_value == r_ref.j_value
