@@ -277,15 +277,15 @@ def run_adaptive_fd_backtrack_padded(
     """The backtrack schedule (insert / undo / block, optional coarsening) on
     the padded static-shape machinery: every device computation compiles once
     at ``max_nodes``; the host only runs the accept/backtrack control flow.
-    Semantics match :func:`run_adaptive_fd_backtrack` — refine at the masked
-    argmax; if the total estimate increased, undo the insert and permanently
-    block that interval (the blocked mask shifts with inserts/merges); a
-    coarsen merge re-solves on the merged grid within the same iteration
-    (no extra history entry) before refining. One documented deviation:
-    blocked intervals are tracked positionally (the mask shifts with
-    inserts/merges) while the dynamic loop keys them by (t_l, t_r) — after a
-    merge the two bookkeepings can block different descendants (see
-    policy.coarsen_merge_padded).
+    Semantics match :func:`run_adaptive_fd_backtrack` EXACTLY — refine at
+    the masked argmax; if the total estimate increased, undo the insert and
+    permanently block that interval; a coarsen merge re-solves on the
+    merged grid within the same iteration (no extra history entry) before
+    refining. Blocked intervals are keyed by their ``(t_l, t_r)`` endpoints
+    (rounded to 1e-12) exactly like the dynamic loop — the host rebuilds
+    the positional mask from the keys before each jitted iteration, so
+    inserts and merges can never desynchronise the two bookkeepings (the
+    round-2 positional-mask deviation is gone; pinned equal in tests).
     """
     from adjoint_ode_adaptivity_tpu.adapt.policy import coarsen_merge_padded
 
@@ -295,20 +295,34 @@ def run_adaptive_fd_backtrack_padded(
     times0 = jnp.linspace(t_span[0], t_span[1], n_steps0 + 1, dtype=dtype)
     times, n_active = pad_times(times0, max_nodes)
     state = AdaptState(times=times, n_active=n_active, it=jnp.asarray(0, jnp.int32))
-    blocked = jnp.zeros((max_nodes - 1,), bool)
+
+    blocked_keys: set = set()
+
+    def interval_key(tl, tr):
+        return (round(float(tl), 12), round(float(tr), 12))
+
+    def build_mask(st: AdaptState) -> jnp.ndarray:
+        t_host = np.asarray(st.times)
+        n_act = int(st.n_active)
+        m = np.zeros((max_nodes - 1,), bool)
+        for i in range(n_act):
+            m[i] = interval_key(t_host[i], t_host[i + 1]) in blocked_keys
+        return jnp.asarray(m)
 
     history: list[dict] = []
     prev_total = None
-    last_insert = None  # (times, n_active, blocked-with-interval-blocked)
+    last_insert = None  # (pre-insert state, key of the inserted interval)
     it = 0
     while it <= maxit:
-        err_steps, err_total, t_new, n_new, b_new, interval = backtrack_iteration(
+        blocked = build_mask(state)
+        err_steps, err_total, t_new, n_new, _b, interval = backtrack_iteration(
             state, blocked, u0, step_fn, functional_name, ref_factor, convention
         )
         total = float(err_total)
         if prev_total is not None and last_insert is not None and total > prev_total:
             # backtrack: revert to the pre-insert grid, block the interval
-            state, blocked = last_insert
+            state, key = last_insert
+            blocked_keys.add(key)
             last_insert = None
             history.append({"it": it, "n_steps": int(state.n_active),
                             "total": total, "action": "backtrack"})
@@ -326,17 +340,19 @@ def run_adaptive_fd_backtrack_padded(
         if total < tol:
             break
         if coarsen_tol is not None:
-            t_c, n_c, b_c, merged = coarsen_merge_padded(
+            t_c, n_c, _bc, merged = coarsen_merge_padded(
                 state.times, state.n_active, err_steps, blocked, coarsen_tol
             )
             if bool(merged):
                 # re-solve on the merged grid within the SAME iteration (no
                 # history entry) before refining — exactly the dynamic
                 # loop's post-merge re-solve (run_adaptive_fd_backtrack).
-                # prev_total keeps the pre-merge value, as there.
+                # prev_total keeps the pre-merge value, as there. The keyed
+                # mask rebuild decides the merged interval's blocked status
+                # from its endpoints, identically to the dynamic loop.
                 state = AdaptState(times=t_c, n_active=n_c, it=state.it)
-                blocked = b_c
-                err_steps, _, t_new, n_new, b_new, interval = backtrack_iteration(
+                blocked = build_mask(state)
+                err_steps, _, t_new, n_new, _b, interval = backtrack_iteration(
                     state, blocked, u0, step_fn, functional_name, ref_factor,
                     convention,
                 )
@@ -348,14 +364,12 @@ def run_adaptive_fd_backtrack_padded(
             history.append({"it": it, "n_steps": n_act, "total": total,
                             "action": "capacity"})
             break
-        # remember the pre-insert state with the chosen interval blocked, so
-        # a backtrack reverts AND blocks in one assignment
-        last_insert = (
-            state,
-            blocked.at[interval].set(True),
-        )
+        # remember the pre-insert state and the bisected interval's key, so
+        # a backtrack reverts the grid and blocks the key in one step
+        t_host = np.asarray(state.times)
+        iv = int(interval)
+        last_insert = (state, interval_key(t_host[iv], t_host[iv + 1]))
         state = AdaptState(times=t_new, n_active=n_new, it=state.it + 1)
-        blocked = b_new
         it += 1
     return history
 

@@ -148,11 +148,13 @@ def coarsen_merge_padded(
     coarsen_tol: float,
 ):
     """Static-shape coarsening: merge the adjacent active step pair with the
-    smallest combined contribution when it is below ``coarsen_tol`` (shift
+    smallest combined contribution when it is below ``coarsen_tol`` (shift-
     everything after the dropped node left by one; padding still repeats the
-    final time). The merged interval starts unblocked — a deliberate
-    deviation from the dynamic variant's persistent (t_l, t_r) block keys.
-    Jitted: one dispatch per host-loop call instead of ~15 eager ops.
+    final time). The positional blocked-mask output is kept for API
+    compatibility but the padded backtrack loop now rebuilds its mask from
+    (t_l, t_r) keys on the host (run_adaptive_fd_backtrack_padded) — the
+    keyed semantics decide the merged interval's blocked status, exactly
+    like the dynamic loop. Jitted: one dispatch per host-loop call.
 
     Returns (times_new, n_active_new, blocked_new, merged?).
     """

@@ -19,6 +19,15 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     make_pallas_fwd_adj_estimate_grid_batched,
     make_pallas_fwd_adj_estimate_grid_single_blocked,
 )
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_sharded import (
+    make_pallas_fwd_adj_estimate_sharded_blocked,
+)
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
+    make_pallas_fwd_adj_estimate_tiled,
+)
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_mxu import (
+    make_pallas_fwd_adj_estimate_grid_mxu,
+)
 
 __all__ = [
     "PallasAdvecConfig",
@@ -30,6 +39,9 @@ __all__ = [
     "make_pallas_fwd_adj_estimate_grid",
     "make_pallas_fwd_adj_estimate_grid_batched",
     "make_pallas_fwd_adj_estimate_grid_single_blocked",
+    "make_pallas_fwd_adj_estimate_sharded_blocked",
+    "make_pallas_fwd_adj_estimate_tiled",
+    "make_pallas_fwd_adj_estimate_grid_mxu",
     "make_pallas_fd_ensemble",
     "make_pallas_burgers_march",
     "make_pallas_burgers_march_single_blocked",

@@ -475,6 +475,50 @@ def main():
     )
     dg_adaptive_baseline_est = dg_adaptive_slabs / dg_base_rate
 
+    # ---- K-envelope rows (BASELINE.md): the resident blocked-single
+    # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
+    # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
+    # VMEM-resident kernel's reach
+    k100k_rate = k1m_rate = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
+            make_pallas_fwd_adj_estimate_tiled,
+        )
+
+        for kk, chunks, stps in ((100_000, None, 256), (1_000_000, 40, 64)):
+            disc_k = startup_1d(2, 0.0, 2 * np.pi, kk)
+            xmin_k = float(
+                np.min(np.abs(np.asarray(disc_k.x)[0, :] - np.asarray(disc_k.x)[1, :]))
+            )
+            dt_k = 0.5 * (0.75 / a) * xmin_k
+            u0_k = jnp.asarray(np.sin(disc_k.x), jnp.float32)
+            lam_k = terminal_integral_cotangent(disc_k, jnp.float32)
+            if chunks is None:
+                run_k = make_pallas_fwd_adj_estimate_grid_single_blocked(
+                    disc_k, a, dt_k, segment=8, n_segments=stps // 8
+                )
+            else:
+                run_k = make_pallas_fwd_adj_estimate_tiled(
+                    disc_k, a, dt_k, segment=8, n_segments=stps // 8,
+                    chunks=chunks,
+                )
+
+            def mk_k(k_calls, run_k=run_k, lam_k=lam_k):
+                @jax.jit
+                def g(u):
+                    for _ in range(k_calls):
+                        uf, lam0, eta = run_k(u, jnp.float32(0.0), lam_k)
+                        u = uf + 1e-20 * lam0 + 1e-20 * eta[None, :]
+                    return u
+                return g
+
+            el_k, _ = chained_slope(mk_k, u0_k)
+            rate_k = (n_order + 1) * kk * 2 * stps / el_k
+            if chunks is None:
+                k100k_rate = rate_k
+            else:
+                k1m_rate = rate_k
+
     print(
         json.dumps(
             {
@@ -523,6 +567,8 @@ def main():
                 / dg_adaptive_wallclock,
                 "dg_adaptive_ensemble": dg_ab,
                 "dg_adaptive_iterations": len(dg_hist),
+                "k100k_resident_dof_steps_per_sec": k100k_rate,
+                "k1m_tiled_dof_steps_per_sec": k1m_rate,
             }
         )
     )
