@@ -84,10 +84,11 @@ def main():
     if on_tpu:
         # blocked-single layout: the K elements tile the 8 sublanes as
         # contiguous blocks, so ONE state runs at full register height
-        # (38.7 -> ~6 ms vs the row-layout grid pipeline); segment=32 was
-        # the best of a measured sweep {2..128} (5.9 vs 6.3-6.7 ms)
+        # (38.7 -> ~6 ms vs the row-layout grid pipeline); segment=64 is
+        # the best measured under the 48 MB scoped-VMEM limit (5.65 ms vs
+        # 5.79 at the old 32-MB-limited seg=32)
         pipeline = make_pallas_fwd_adj_estimate_grid_single_blocked(
-            disc, a, dt, segment=32, n_segments=n_steps // 32
+            disc, a, dt, segment=64, n_segments=n_steps // 64
         )
         run = jax.jit(lambda u: pipeline(u, jnp.float32(0.0), lam_end))
 
@@ -170,12 +171,13 @@ def main():
             make_pallas_fwd_adj_estimate_grid_batched,
         )
 
-        # segment=4; store_trajectory streams every coarse state through HBM
-        # (~2 GB, pipelined) so the reverse kernel skips the forward
-        # recompute: 5 instead of 6 LSRK step-equivalents per step
-        # (measured 44.6 -> 36.9 ms)
+        # segment=8 (fits the 48 MB scoped limit; 35.9 vs 36.3 ms at the
+        # old 32-MB-limited seg=4); store_trajectory streams every coarse
+        # state through HBM (~2 GB, pipelined) so the reverse kernel skips
+        # the forward recompute: 5 instead of 6 LSRK step-equivalents per
+        # step (measured 44.6 -> 36.9 ms)
         pipeline_b = make_pallas_fwd_adj_estimate_grid_batched(
-            disc, a, dt, segment=4, n_segments=n_steps // 4, batch=batch,
+            disc, a, dt, segment=8, n_segments=n_steps // 8, batch=batch,
             store_trajectory=True,
         )
         phases = np.linspace(0.0, 2 * np.pi, batch, endpoint=False)
