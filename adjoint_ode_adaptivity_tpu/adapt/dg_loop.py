@@ -104,6 +104,7 @@ def run_adaptive_dg_ensemble(
     newton_iters: int | None = None,
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
+    engine: str = "xla",
 ) -> list[DGEnsembleAdaptResult]:
     """Ensemble-signal adaptive DG-in-time loop — the reference's
     refinement-by-ensemble-mean indicator (Main_variable_params.py:330-341)
@@ -117,7 +118,10 @@ def run_adaptive_dg_ensemble(
     iteration compiles ONCE (zero-width slabs are exact identities for both
     marches and contribute exactly zero error — the repo-wide padding
     contract). ``newton_iters`` switches the forward Newton to a fixed
-    static iteration count (the f32/TPU fast path).
+    static iteration count (the f32/TPU fast path). ``engine="pallas"``
+    fuses the whole pipeline into one kernel launch
+    (:mod:`~adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab`, ~7.5× the XLA
+    path on TPU; requires ``newton_iters`` and an elementwise ``f``).
     """
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_adjoint_march_batched,
@@ -125,22 +129,48 @@ def run_adaptive_dg_ensemble(
         dg_march_batched,
     )
 
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
     y0s = jnp.asarray(y0s)
     max_k = k0 + maxit + 1
 
+    if engine == "pallas":
+        from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+            make_pallas_dg_estimate_ensemble,
+        )
+
+        ensure_scoped_vmem()
+        pallas_run = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, f, None, max_k, g_u=g_u,
+            newton_iters=newton_iters or 8,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     @jax.jit
     def iteration(times):
-        fwd = dg_march_batched(
-            ops_p, f, times, y0s,
-            newton_tol=newton_tol, newton_maxit=newton_maxit,
-            newton_iters=newton_iters,
-        )
-        adj = dg_adjoint_march_batched(ops_a, f, fwd.u, times, y0s, g_u=g_u)
-        j_mean = jnp.mean(dg_element_functional_batched(ops_p, fwd.u, times, g))
-        err_mean = jnp.mean(jnp.abs(adj.err), axis=0)  # (K,)
-        est_total = jnp.mean(jnp.sum(adj.err, axis=1))
+        if engine == "pallas":
+            u, _v, err = pallas_run(times, y0s)
+            j_mean = jnp.mean(
+                dg_element_functional_batched(ops_p, u, times, g)
+            )
+        else:
+            fwd = dg_march_batched(
+                ops_p, f, times, y0s,
+                newton_tol=newton_tol, newton_maxit=newton_maxit,
+                newton_iters=newton_iters,
+            )
+            adj = dg_adjoint_march_batched(
+                ops_a, f, fwd.u, times, y0s, g_u=g_u
+            )
+            err = adj.err
+            j_mean = jnp.mean(
+                dg_element_functional_batched(ops_p, fwd.u, times, g)
+            )
+        err_mean = jnp.mean(jnp.abs(err), axis=0)  # (K,)
+        est_total = jnp.mean(jnp.sum(err, axis=1))
         # padded bisection (zero-width slabs can never win the argmax)
         ref_i = jnp.argmax(err_mean)
         mid = 0.5 * (times[ref_i] + times[ref_i + 1])

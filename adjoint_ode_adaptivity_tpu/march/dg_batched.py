@@ -145,6 +145,7 @@ def dg_march_batched(
     times, y0 = _norm_times(times, y0)
     dtype = jnp.result_type(times.dtype, y0.dtype)
     times = times.astype(dtype)
+    y0 = y0.astype(dtype)  # mixed f32/f64 inputs: the scan carry is u_prev
     b = y0.shape[0]
     np_ = ops.np_
     phi = jnp.asarray(ops.phi, dtype)  # (Nq, Np)
@@ -262,6 +263,7 @@ def dg_adjoint_march_batched(
     times, y0 = _norm_times(times, jnp.broadcast_to(jnp.asarray(y0), (b,)))
     dtype = u_primal.dtype
     times = times.astype(dtype)
+    y0 = y0.astype(dtype)
     n_primal = u_primal.shape[2] - 1
     np_a = ops_adj.np_
     r_p = jacobi_gl(0.0, 0.0, n_primal)

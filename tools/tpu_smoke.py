@@ -314,7 +314,36 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("tiled_chunks8_N2_K10k", e)
 
-    # 17. element-sharded pallas pipeline on a 1-device mesh — the REAL
+    # 17. fused DG-in-time slab ensemble kernel vs the XLA batched pipeline
+    try:
+        from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+            dg_estimate_batched,
+        )
+        from adjoint_ode_adaptivity_tpu.march.dg_time import dg_time_operators
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+            make_pallas_dg_estimate_ensemble,
+        )
+
+        f_sin = lambda u, t: jnp.sin(u)  # noqa: E731
+        ops_p1, ops_a1 = dg_time_operators(1), dg_time_operators(2)
+        dg_k, dg_b = 16, 16_384
+        dg_times = jnp.asarray(np.linspace(0.0, 2.0, dg_k + 1), jnp.float32)
+        dg_y0 = jnp.asarray(
+            np.random.default_rng(1).uniform(0.5, 2.0, dg_b), jnp.float32
+        )
+        dg_run = make_pallas_dg_estimate_ensemble(
+            ops_p1, ops_a1, f_sin, lambda u, t: jnp.cos(u), dg_k,
+            newton_iters=5, interpret=interp,
+        )
+        _, _, err_p = dg_run(dg_times, dg_y0)
+        _, _, err_x = dg_estimate_batched(
+            ops_p1, ops_a1, f_sin, dg_times, dg_y0, newton_iters=5
+        )
+        check("dg_slab_ensemble_B16384_K16", err_p, err_x, 1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_ensemble_B16384_K16", e)
+
+    # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
     try:
