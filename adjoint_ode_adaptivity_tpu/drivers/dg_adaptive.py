@@ -38,6 +38,18 @@ def main(argv=None):
         default=None,
         help="compile-once padded loop (default: on for TPU backends)",
     )
+    p.add_argument(
+        "--ensemble", type=int, default=0,
+        help="B>0: ensemble-mean refinement signal over B initial "
+             "conditions drawn U(y0/2, 2*y0) with seed --seed (the "
+             "reference's Main_variable_params.py:330-341 signal applied "
+             "to the MATLAB strand; batched pipeline, padded partition)",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--engine", choices=["xla", "pallas"], default=None,
+        help="--ensemble only: pipeline engine (default: pallas on TPU)",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -69,6 +81,33 @@ def main(argv=None):
             print(f"{r.j_coarse - j_exact:.10e}")
         print("Adj-W Res")
         print(f"{r.est_total:.10e}")
+
+    if args.ensemble > 0:
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        engine = args.engine or (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+        rng = np.random.default_rng(args.seed)
+        y0s = rng.uniform(
+            args.y0 / 2.0, 2.0 * args.y0, args.ensemble
+        ).astype(np.float32 if engine == "pallas" else np.float64)
+        history = run_adaptive_dg_ensemble(
+            ode.f, y0s, (args.t0, args.t1),
+            n_order=args.order, k0=args.k0, tol=args.tol, maxit=args.maxit,
+            newton_iters=8, engine=engine,
+        )
+        for it, r in enumerate(history):
+            print(
+                f"-- it {it} K={len(r.times) - 1}  "
+                f"J_mean={r.j_mean:.10e}  "
+                f"mean Adj-W Res={r.est_total_mean:.10e}"
+            )
+        print(f"finished after {len(history)} iterations "
+              f"(B={args.ensemble}, engine={engine})")
+        return history
 
     padded = args.padded
     if padded is None:

@@ -470,7 +470,9 @@ def main():
             return y
         return g
 
-    dg_elapsed, dg_t1 = chained_slope(mk_dg, dg_y0, k_hi=8)
+    # the fused kernel is ~0.4 ms/call: chain K=32 so the measured section
+    # is >10 ms (the chained-slope stability rule; K=8 wobbled 3.5x)
+    dg_elapsed, dg_t1 = chained_slope(mk_dg, dg_y0, k_hi=32)
     dg_rate = dg_b * dg_k * 2 / dg_elapsed  # fwd + adjoint solves per element
     dg_base = numpy_dg_pipeline_baseline(
         1, np.asarray(dg_times, np.float64), np.linspace(0.5, 2.0, 16)

@@ -118,6 +118,22 @@ class TestTrainDriver:
         assert "outer it 0" in out
 
 
+class TestDGEnsembleDriverMode:
+    def test_ensemble_mode_smoke(self, capsys):
+        from adjoint_ode_adaptivity_tpu.drivers.dg_adaptive import main
+
+        history = main([
+            "--ensemble", "16", "--maxit", "3", "--tol", "0",
+            "--engine", "xla",
+        ])
+        out = capsys.readouterr().out
+        assert len(history) == 4
+        assert "B=16, engine=xla" in out
+        assert abs(history[-1].est_total_mean) <= abs(
+            history[0].est_total_mean
+        )
+
+
 class TestSweep:
     def test_generate_commands(self, tmp_path):
         from adjoint_ode_adaptivity_tpu.drivers.sweep import main
