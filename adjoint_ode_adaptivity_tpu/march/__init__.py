@@ -23,6 +23,8 @@ from adjoint_ode_adaptivity_tpu.march.dg_batched import (
     dg_element_functional_batched,
     dg_estimate_batched,
     dg_march_batched,
+    dg_march_batched_differentiable,
+    make_dg_slab_solver_batched,
     solve_small,
 )
 from adjoint_ode_adaptivity_tpu.march.burgers import (
@@ -58,6 +60,8 @@ __all__ = [
     "dg_adjoint_march_batched",
     "dg_element_functional_batched",
     "dg_estimate_batched",
+    "dg_march_batched_differentiable",
+    "make_dg_slab_solver_batched",
     "solve_small",
     "AdvecOperators",
     "advec_operators",

@@ -46,6 +46,8 @@ __all__ = [
     "dg_adjoint_march_batched",
     "dg_element_functional_batched",
     "dg_estimate_batched",
+    "make_dg_slab_solver_batched",
+    "dg_march_batched_differentiable",
 ]
 
 
@@ -365,3 +367,144 @@ def dg_estimate_batched(
     )
     adj = dg_adjoint_march_batched(ops_a, f, fwd.u, times, y0, g_u=g_u)
     return fwd.u, adj.v, adj.err
+
+
+# ------------------------------------------------ differentiable (IFT) march
+#
+# jax.grad cannot flow through the Newton loops above; the right adjoint of
+# an implicit solve is the implicit function theorem (march/dg_time.py's
+# make_dg_slab_solver, SURVEY.md §7 hard part 3) — here batched: at the
+# solved slab R(u*) = 0, the vjp is ONE closed-form Np×Np transpose solve
+# per ensemble member plus one residual VJP, independent of the Newton
+# iteration count. This is how a neural right-hand side trains *through*
+# the implicit DG solver at ensemble scale.
+
+
+def _residual_b(ops, f, u, u_prev, h, t_left, params, dtype):
+    """Batched slab residual R(U) (Np, B) with an explicit params pytree:
+    ``f(u, t, params)`` elementwise (the dg_march_batched weak form)."""
+    np_ = ops.np_
+    phi = jnp.asarray(ops.phi, dtype)
+    wq = jnp.asarray(ops.wq, dtype)
+    rq = jnp.asarray(ops.rq, dtype)
+    s = jnp.asarray(ops.stiff, dtype)
+    a_mat = s.T + jnp.zeros((np_, np_), dtype).at[-1, -1].set(-1.0)
+    u_q = phi @ u
+    t_q = t_left[None, :] + (1.0 + rq)[:, None] * h[None, :] / 2.0
+    m_tilde = (h / 2.0) * (phi.T @ (wq[:, None] * f(u_q, t_q, params)))
+    return (a_mat @ u + m_tilde).at[0].add(u_prev)
+
+
+def make_dg_slab_solver_batched(
+    ops: DGTimeOperators,
+    f: Callable,
+    *,
+    newton_iters: int = 8,
+):
+    """Returns ``solve(u_prev, h, t_left, params) -> u (Np, B)`` — one DG
+    slab solved for the whole (B,) ensemble by fixed-count Newton with
+    closed-form Cramer solves, wrapped in ``jax.custom_vjp`` via the
+    implicit function theorem. Gradients are exact w.r.t. ``u_prev``,
+    ``h``, ``t_left`` AND ``params`` (one transposed :func:`solve_small`
+    plus one residual VJP — never through the iteration).
+
+    ``f(u, t, params)`` must be elementwise in ``u``/``t``.
+    """
+
+    @f32_matmuls
+    def _newton(u_prev, h, t_left, params):
+        dtype = jnp.result_type(u_prev, h)
+        np_ = ops.np_
+        b = u_prev.shape[0]
+        phi = jnp.asarray(ops.phi, dtype)
+        wq = jnp.asarray(ops.wq, dtype)
+        rq = jnp.asarray(ops.rq, dtype)
+        t_q = t_left[None, :] + (1.0 + rq)[:, None] * h[None, :] / 2.0
+
+        def body(_, u):
+            res = _residual_b(ops, f, u, u_prev, h, t_left, params, dtype)
+            _, dfq = jax.jvp(
+                lambda uu: f(uu, t_q, params),
+                (phi @ u,),
+                (jnp.ones((phi.shape[0], b), dtype),),
+            )
+            jac = jnp.asarray(ops.stiff, dtype).T[:, :, None] + jnp.zeros(
+                (np_, np_, 1), dtype
+            ).at[-1, -1, 0].set(-1.0) + (h / 2.0) * jnp.einsum(
+                "qi,qb,qj->ijb", phi, wq[:, None] * dfq, phi
+            )
+            return u - solve_small(jac, res)
+
+        u0_el = jnp.broadcast_to(u_prev[None, :], (np_, b)).astype(dtype)
+        return lax.fori_loop(0, newton_iters, body, u0_el + 0.0)
+
+    @jax.custom_vjp
+    def solve(u_prev, h, t_left, params):
+        return _newton(u_prev, h, t_left, params)
+
+    def fwd(u_prev, h, t_left, params):
+        u = _newton(u_prev, h, t_left, params)
+        return u, (u, u_prev, h, t_left, params)
+
+    @f32_matmuls
+    def bwd(saved, g):
+        u, u_prev, h, t_left, params = saved
+        dtype = u.dtype
+        np_ = ops.np_
+        b = u.shape[1]
+        phi = jnp.asarray(ops.phi, dtype)
+        wq = jnp.asarray(ops.wq, dtype)
+        rq = jnp.asarray(ops.rq, dtype)
+        t_q = t_left[None, :] + (1.0 + rq)[:, None] * h[None, :] / 2.0
+        _, dfq = jax.jvp(
+            lambda uu: f(uu, t_q, params),
+            (phi @ u,),
+            (jnp.ones((phi.shape[0], b), dtype),),
+        )
+        jac = jnp.asarray(ops.stiff, dtype).T[:, :, None] + jnp.zeros(
+            (np_, np_, 1), dtype
+        ).at[-1, -1, 0].set(-1.0) + (h / 2.0) * jnp.einsum(
+            "qi,qb,qj->ijb", phi, wq[:, None] * dfq, phi
+        )
+        # transpose solve: jacT[i,j] = jac[j,i]
+        w = solve_small(jnp.swapaxes(jac, 0, 1), g)
+        _, vjp_rest = jax.vjp(
+            lambda up, hh, tl, p: _residual_b(ops, f, u, up, hh, tl, p, dtype),
+            u_prev, h, t_left, params,
+        )
+        return vjp_rest(jax.tree_util.tree_map(lambda x: -x, w))
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def dg_march_batched_differentiable(
+    ops: DGTimeOperators,
+    f: Callable,
+    times: jnp.ndarray,  # (K+1,) or (B, K+1)
+    y0,  # (B,)
+    params=None,
+    *,
+    newton_iters: int = 8,
+) -> jnp.ndarray:
+    """Ensemble DG-in-time march that ``jax.grad`` can differentiate — a
+    ``lax.scan`` of IFT-wrapped batched slab solves. Returns the
+    (B, K, Np) nodal solution; gradients flow to ``y0``, ``times`` and
+    ``params`` (e.g. a neural right-hand side trained through the implicit
+    solver over the whole IC ensemble — the batched form of
+    :func:`~.dg_time.dg_march_differentiable`)."""
+    times, y0 = _norm_times(times, y0)
+    dtype = jnp.result_type(times.dtype, y0.dtype)
+    times = times.astype(dtype)
+    y0 = y0.astype(dtype)
+    solve = make_dg_slab_solver_batched(ops, f, newton_iters=newton_iters)
+    t_lefts = jnp.swapaxes(times[:, :-1], 0, 1)  # (K, B)
+    hs = jnp.swapaxes(times[:, 1:] - times[:, :-1], 0, 1)
+
+    def step(u_prev, slab):
+        tl, h = slab
+        u = solve(u_prev, h, tl, params)
+        return u[-1], u
+
+    _, u = lax.scan(step, y0, (t_lefts, hs))
+    return jnp.transpose(u, (2, 0, 1))  # (B, K, Np)
