@@ -105,6 +105,7 @@ def run_adaptive_dg_ensemble(
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
     engine: str = "xla",
+    checkpoint_dir: str | None = None,
 ) -> list[DGEnsembleAdaptResult]:
     """Ensemble-signal adaptive DG-in-time loop — the reference's
     refinement-by-ensemble-mean indicator (Main_variable_params.py:330-341)
@@ -195,7 +196,35 @@ def run_adaptive_dg_ensemble(
     n_active = k0
     n_pad = times_host.shape[0]  # = max_k + 1 nodes, max_k element slots
     history: list[DGEnsembleAdaptResult] = []
-    for _ in range(maxit + 1):
+    it0 = 0
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                DGEnsembleAdaptResult(
+                    times=np.asarray(h["times"]),
+                    err_mean=np.asarray(h["err_mean"]),
+                    j_mean=float(h["j_mean"]),
+                    est_total_mean=float(h["est_total_mean"]),
+                )
+                for h in raw["history"]
+            ]
+            t_res = np.asarray(raw["times"])
+            if len(t_res) < n_pad:  # resumed run asks for more iterations
+                t_res = np.concatenate(
+                    [t_res, np.full(n_pad - len(t_res), t_res[-1])]
+                )
+            times = jnp.asarray(t_res)
+            n_active = int(raw["n_active"])
+            it0 = len(history)
+            if abs(history[-1].est_total_mean) < tol:
+                return history
+    for _ in range(it0, maxit + 1):
         times_new, diag = iteration(times)
         diag = np.asarray(diag)
         t_h, err_mean = diag[:n_pad], diag[n_pad : n_pad + max_k]
@@ -208,10 +237,26 @@ def run_adaptive_dg_ensemble(
                 est_total_mean=float(est_total),
             )
         )
-        if abs(history[-1].est_total_mean) < tol:
+        done = abs(history[-1].est_total_mean) < tol
+        if not done:
+            times = times_new
+            n_active += 1
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(times),
+                    "n_active": n_active,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        if done:
             break
-        times = times_new
-        n_active += 1
     return history
 
 

@@ -122,3 +122,33 @@ class TestAdvecResume:
             np.testing.assert_array_equal(r_res.vx, r_ref.vx)
             np.testing.assert_array_equal(r_res.eta, r_ref.eta)
             assert r_res.j_value == r_ref.j_value
+
+
+class TestDGEnsembleResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(7).uniform(0.5, 2.0, 16)
+        kw = dict(k0=2, tol=0.0, newton_iters=8)
+        ref = run_adaptive_dg_ensemble(F_SIN, y0s, (0.0, 2.0), maxit=4, **kw)
+
+        ck = str(tmp_path / "dge")
+        # "kill" after 2 iterations via a smaller maxit BUT the padded
+        # shape depends on maxit — resume re-pads, and the batched
+        # pipeline's padding slabs are exact identities, so results match
+        part = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), maxit=1, checkpoint_dir=ck, **kw
+        )
+        assert len(part) == 2
+        full = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), maxit=4, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref) == 5
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_allclose(r_res.times, r_ref.times, atol=1e-12)
+            np.testing.assert_allclose(
+                r_res.err_mean, r_ref.err_mean, atol=1e-12
+            )
+            assert abs(r_res.est_total_mean - r_ref.est_total_mean) < 1e-12
