@@ -61,12 +61,12 @@ def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
     # no-op after the TPU client initialized, so always safe to call here
     ensure_scoped_vmem()
 
+    from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import stored_vmem_fits
+
     def _fits(seg: int) -> bool:
-        # mirror of _make_stored_run's reverse-kernel capacity guard:
-        # (double-buffered trajectory block + 6 state buffers) × the
-        # measured 1.45 stack-overhead factor
-        est = 4 * (2 * seg + 6) * disc.np_ * 8 * disc.k * 1.45
-        return est <= 48 * 2**20
+        # the same measured capacity model as _make_stored_run's guard
+        # (single source of truth: ops/pallas/_vmem.py)
+        return stored_vmem_fits(seg, disc.np_, 8, disc.k)
 
     seg = pick_chunk(n_steps, (8, 4, 2, 1))
     while seg > 1 and not _fits(seg):

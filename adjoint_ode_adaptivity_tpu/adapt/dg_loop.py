@@ -106,6 +106,7 @@ def run_adaptive_dg_ensemble(
     newton_maxit: int = 500,
     engine: str = "xla",
     checkpoint_dir: str | None = None,
+    iteration=None,
 ) -> list[DGEnsembleAdaptResult]:
     """Ensemble-signal adaptive DG-in-time loop — the reference's
     refinement-by-ensemble-mean indicator (Main_variable_params.py:330-341)
@@ -123,6 +124,11 @@ def run_adaptive_dg_ensemble(
     fuses the whole pipeline into one kernel launch
     (:mod:`~adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab`, ~7.5× the XLA
     path on TPU; requires ``newton_iters`` and an elementwise ``f``).
+    ``iteration``: a prebuilt jitted per-iteration function taken from a
+    prior identically-configured call's return value (``history.iteration``
+    attribute) — lets a caller (bench.py) time a genuinely warm run, since
+    each call otherwise builds a fresh jit closure that cannot hit the
+    previous call's cache.
     """
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_adjoint_march_batched,
@@ -135,9 +141,43 @@ def run_adaptive_dg_ensemble(
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
     y0s = jnp.asarray(y0s)
-    max_k = k0 + maxit + 1
 
-    if engine == "pallas":
+    # restore BEFORE sizing the padded partition: a resumed run may ask for
+    # fewer OR more iterations than the killed one, and the engines below
+    # bake the padded element count in — max_k must cover both
+    history: list[DGEnsembleAdaptResult] = []
+    it0 = 0
+    restored_times = None
+    restored_n_active = None
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                DGEnsembleAdaptResult(
+                    times=np.asarray(h["times"]),
+                    err_mean=np.asarray(h["err_mean"]),
+                    j_mean=float(h["j_mean"]),
+                    est_total_mean=float(h["est_total_mean"]),
+                )
+                for h in raw["history"]
+            ]
+            restored_times = np.asarray(raw["times"])
+            restored_n_active = int(raw["n_active"])
+            it0 = len(history)
+            if abs(history[-1].est_total_mean) < tol:
+                return history
+    max_k = k0 + maxit + 1
+    if restored_times is not None:
+        max_k = max(max_k, len(restored_times) - 1)
+
+    if iteration is not None:
+        pass  # caller-supplied prebuilt jitted iteration (bench reuse)
+    elif engine == "pallas":
         from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
             make_pallas_dg_estimate_ensemble,
@@ -151,7 +191,7 @@ def run_adaptive_dg_ensemble(
         )
 
     @jax.jit
-    def iteration(times):
+    def _built_iteration(times):
         if engine == "pallas":
             u, _v, err = pallas_run(times, y0s)
             j_mean = jnp.mean(
@@ -188,42 +228,24 @@ def run_adaptive_dg_ensemble(
         )
         return times_new, diag
 
-    times_host = np.linspace(t_span[0], t_span[1], k0 + 1)
-    times_host = np.concatenate(
-        [times_host, np.full(max_k - k0, times_host[-1])]
-    )
-    times = jnp.asarray(times_host)
-    n_active = k0
-    n_pad = times_host.shape[0]  # = max_k + 1 nodes, max_k element slots
-    history: list[DGEnsembleAdaptResult] = []
-    it0 = 0
-    if checkpoint_dir is not None:
-        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
-            latest_step,
-            restore_checkpoint_raw,
+    if iteration is None:
+        iteration = _built_iteration
+    n_pad = max_k + 1  # node slots; max_k element slots
+    if restored_times is not None:
+        t_res = restored_times
+        if len(t_res) < n_pad:  # re-pad (zero-width slabs: exact identity)
+            t_res = np.concatenate(
+                [t_res, np.full(n_pad - len(t_res), t_res[-1])]
+            )
+        times = jnp.asarray(t_res)
+        n_active = restored_n_active
+    else:
+        times_host = np.linspace(t_span[0], t_span[1], k0 + 1)
+        times_host = np.concatenate(
+            [times_host, np.full(max_k - k0, times_host[-1])]
         )
-
-        if latest_step(checkpoint_dir) is not None:
-            raw = restore_checkpoint_raw(checkpoint_dir)
-            history = [
-                DGEnsembleAdaptResult(
-                    times=np.asarray(h["times"]),
-                    err_mean=np.asarray(h["err_mean"]),
-                    j_mean=float(h["j_mean"]),
-                    est_total_mean=float(h["est_total_mean"]),
-                )
-                for h in raw["history"]
-            ]
-            t_res = np.asarray(raw["times"])
-            if len(t_res) < n_pad:  # resumed run asks for more iterations
-                t_res = np.concatenate(
-                    [t_res, np.full(n_pad - len(t_res), t_res[-1])]
-                )
-            times = jnp.asarray(t_res)
-            n_active = int(raw["n_active"])
-            it0 = len(history)
-            if abs(history[-1].est_total_mean) < tol:
-                return history
+        times = jnp.asarray(times_host)
+        n_active = k0
     for _ in range(it0, maxit + 1):
         times_new, diag = iteration(times)
         diag = np.asarray(diag)
@@ -257,7 +279,13 @@ def run_adaptive_dg_ensemble(
             )
         if done:
             break
-    return history
+
+    class _History(list):
+        pass
+
+    out = _History(history)
+    out.iteration = iteration  # reusable prebuilt jit (see docstring)
+    return out
 
 
 def run_adaptive_dg(

@@ -98,6 +98,7 @@ def main(argv=None):
             ode.f, y0s, (args.t0, args.t1),
             n_order=args.order, k0=args.k0, tol=args.tol, maxit=args.maxit,
             newton_iters=8, engine=engine,
+            checkpoint_dir=args.checkpoint_dir,
         )
         for it, r in enumerate(history):
             print(

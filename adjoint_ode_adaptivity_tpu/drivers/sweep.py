@@ -25,6 +25,7 @@ import os
 import shlex
 import subprocess
 import sys
+import time
 
 
 def generate_commands(driver: str, seeds: list[int], extra: str) -> list[str]:
@@ -47,6 +48,10 @@ def run_commands(cmds: list[str], parallel: int = 1, check: bool = True) -> list
     pending = list(enumerate(cmds))[::-1]
 
     def _reap(block: bool) -> None:
+        # poll-with-sleep, never wait() on one specific child: a slot freed
+        # by ANY finished job must be reusable immediately (waiting on an
+        # arbitrary long-running job would idle freed slots behind it and
+        # degenerate the farm toward serial execution)
         while running:
             done = [s for s, (_, pr) in running.items() if pr.poll() is not None]
             if done:
@@ -57,7 +62,7 @@ def run_commands(cmds: list[str], parallel: int = 1, check: bool = True) -> list
                 return
             if not block:
                 return
-            next(iter(running.values()))[1].wait()
+            time.sleep(0.05)
 
     while pending:
         if not free:

@@ -250,13 +250,18 @@ def make_pallas_fwd_adj_estimate_grid_mxu(
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
     n_steps = segment * n_segments
-    # reverse kernel resident estimate (same accounting as _make_stored_run,
-    # measured 1.45 stack factor): traj block double-buffered + 6 buffers
-    est = 4 * (2 * segment + 6) * np_ * n * 1.45
-    if not interpret and est > 48 * 2**20:
+    # reverse-kernel capacity guard: shared measured model (_vmem.py)
+    from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import (
+        STORED_VMEM_LIMIT_BYTES,
+        stored_vmem_bytes,
+        stored_vmem_fits,
+    )
+
+    if not interpret and not stored_vmem_fits(segment, np_, 1, n):
         raise ValueError(
             f"MXU pipeline at segment={segment}, Np={np_}, B={b}, K={k} "
-            f"needs ~{est / 2**20:.0f} MB scoped VMEM (48 MB limit) — "
+            f"needs ~{stored_vmem_bytes(segment, np_, 1, n) / 2**20:.0f} MB "
+            f"scoped VMEM ({STORED_VMEM_LIMIT_BYTES // 2**20} MB limit) — "
             "reduce `segment`"
         )
 

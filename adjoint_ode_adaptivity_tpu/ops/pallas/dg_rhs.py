@@ -1069,20 +1069,22 @@ def _make_stored_run(cfg, dr_host, lift_host, n_segments, b, blocked):
     segment, np_, k = cfg.steps_per_call, cfg.np_, cfg.k
     interpret = cfg.interpret
     n_steps = segment * n_segments
-    # resident-VMEM estimate for the reverse kernel: the (double-buffered)
-    # trajectory block + 6 state-sized buffers (lam/ufinal/lam0/lu/bound +
-    # slack for eta), scaled by a MEASURED 1.45 stack-overhead factor, must
-    # fit the 48 MB scoped limit (--xla_tpu_scoped_vmem_limit_kib=49152).
-    # Calibration point (round 3, real Mosaic error): Np=8, B=8, K=10k,
-    # segment=2 allocates 36.77 MB against a raw estimate of 25.6 MB —
-    # the round-2 1.1 factor underestimated the unrolled reverse body.
-    est_bytes = 4 * (2 * segment + 6) * np_ * b * k * 1.45
-    if not interpret and est_bytes > 48 * 2**20:
+    # capacity guard: the shared measured model lives in _vmem.py (limit,
+    # stack factor, calibration note) — keep all three guards in sync there
+    from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import (
+        STORED_VMEM_LIMIT_BYTES,
+        stored_vmem_bytes,
+        stored_vmem_fits,
+    )
+
+    if not interpret and not stored_vmem_fits(segment, np_, b, k):
         raise ValueError(
             f"stored-trajectory pipeline at segment={segment}, Np={np_}, "
-            f"B={b}, lanes={k} needs ~{est_bytes / 2**20:.0f} MB of "
-            "scoped VMEM (48 MB limit) — reduce `segment` (the trajectory "
-            "block halves with it; see BASELINE.md's N=7 note)"
+            f"B={b}, lanes={k} needs "
+            f"~{stored_vmem_bytes(segment, np_, b, k) / 2**20:.0f} MB of "
+            f"scoped VMEM ({STORED_VMEM_LIMIT_BYTES // 2**20} MB limit) — "
+            "reduce `segment` (the trajectory block halves with it; see "
+            "BASELINE.md's N=7 note)"
         )
     if cfg.geom is None:
         geom_arrays, geom_specs = (), []

@@ -35,25 +35,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from adjoint_ode_adaptivity_tpu.march.dg_batched import _det
 from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
 
 __all__ = ["make_pallas_dg_estimate_ensemble"]
-
-
-def _det(rows):
-    n = len(rows)
-    if n == 1:
-        return rows[0][0]
-    if n == 2:
-        return rows[0][0] * rows[1][1] - rows[0][1] * rows[1][0]
-    det = None
-    for j in range(n):
-        minor = [r[:j] + r[j + 1 :] for r in rows[1:]]
-        term = rows[0][j] * _det(minor)
-        if j % 2:
-            term = -term
-        det = term if det is None else det + term
-    return det
 
 
 def _cramer(jac, res):

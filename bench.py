@@ -487,14 +487,21 @@ def main():
     # partition -> the whole iteration compiles once. Baseline wall-clock is
     # extrapolated from the measured NumPy per-slab rate over the identical
     # slab count (the reference loop's cost is exactly its pipeline cost).
+    # each call of run_adaptive_dg_ensemble builds a fresh jit closure, so
+    # a plain warm-up call cannot seed the timed call's jit cache; the
+    # first run returns its jitted iteration (history.iteration) and the
+    # timed run reuses it — genuinely warm, no trace or cache-load in the
+    # measured wall-clock.
     dg_ab, dg_maxit, dg_k0 = 1024, 10, 4
     dg_ay0 = np.random.default_rng(2).uniform(0.5, 2.0, dg_ab).astype(
         np.asarray(dg_y0).dtype
     )
     kwargs = dict(k0=dg_k0, maxit=dg_maxit, tol=0.0, newton_iters=8)
-    run_adaptive_dg_ensemble(f_sin, dg_ay0, (0.0, 2.0), **kwargs)  # compile
+    warm = run_adaptive_dg_ensemble(f_sin, dg_ay0, (0.0, 2.0), **kwargs)
     t0 = time.perf_counter()
-    dg_hist = run_adaptive_dg_ensemble(f_sin, dg_ay0, (0.0, 2.0), **kwargs)
+    dg_hist = run_adaptive_dg_ensemble(
+        f_sin, dg_ay0, (0.0, 2.0), iteration=warm.iteration, **kwargs
+    )
     dg_adaptive_wallclock = time.perf_counter() - t0
     dg_adaptive_slabs = sum(
         2 * (len(h.times) - 1) * dg_ab for h in dg_hist

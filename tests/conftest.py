@@ -15,9 +15,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_xla_compiler_state():
+    """The XLA CPU compiler deterministically segfaults compiling large
+    nested-scan / interpret-pallas programs once ~240 executables have
+    accumulated in-process (the same tests pass in any partial suite).
+    Dropping jax's executable+tracing caches at each module boundary keeps
+    the compiler state small; the lost cross-module cache reuse costs a
+    couple of minutes of recompiles over the full ~260-test suite."""
+    jax.clear_caches()
+    yield
 
 
 def pytest_report_header(config):

@@ -152,3 +152,46 @@ class TestDGEnsembleResume:
                 r_res.err_mean, r_ref.err_mean, atol=1e-12
             )
             assert abs(r_res.est_total_mean - r_ref.est_total_mean) < 1e-12
+
+    def test_resume_with_smaller_maxit_re_pads_correctly(self, tmp_path):
+        # review finding (round 3): a checkpoint whose padded partition is
+        # LONGER than the resumed run's would misalign the packed-diag
+        # unpack; the loop now sizes max_k = max(new, restored)
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(11).uniform(0.5, 2.0, 16)
+        ck = str(tmp_path / "dge2")
+        # stops after the FIRST iteration (est < huge tol) but pads to
+        # maxit=6 size; the checkpoint holds the longer partition
+        first = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), k0=2, maxit=6, tol=1e10,
+            newton_iters=8, checkpoint_dir=ck,
+        )
+        assert len(first) == 1
+        resumed = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), k0=2, maxit=3, tol=0.0,
+            newton_iters=8, checkpoint_dir=ck,
+        )
+        ref = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), k0=2, maxit=3, tol=0.0, newton_iters=8
+        )
+        # the tol-stopped checkpoint holds the UNREFINED partition, so the
+        # resumed run re-solves it once (entry 1 == entry 0's grid) and is
+        # thereafter one refinement behind the uninterrupted run — entry i
+        # of the resume matches entry i−1 of the reference, at the longer
+        # padding (exact identity). Garbage from a misaligned diag unpack
+        # would break every one of these equalities.
+        assert len(resumed) == 4
+        np.testing.assert_allclose(
+            resumed[1].times, resumed[0].times, atol=1e-12
+        )
+        for i in range(1, 4):
+            np.testing.assert_allclose(
+                resumed[i].times, ref[i - 1].times, atol=1e-12
+            )
+            assert (
+                abs(resumed[i].est_total_mean - ref[i - 1].est_total_mean)
+                < 1e-12
+            )

@@ -19,17 +19,6 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
 )
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compiler_state():
-    """Running late in the full suite, the XLA CPU compiler segfaults
-    compiling this module's nested-scan-of-interpret-pallas programs
-    (deterministically at ~240 accumulated in-memory executables; the same
-    tests pass in any partial suite). Dropping jax's executable and
-    tracing caches before the module restores a clean compiler state."""
-    jax.clear_caches()
-    yield
-
-
 def _problem(k=640, n_order=2):
     disc = startup_1d(n_order, 0.0, 2 * np.pi, k)
     a = 2 * np.pi
