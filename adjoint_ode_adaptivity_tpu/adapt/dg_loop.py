@@ -105,6 +105,8 @@ def run_adaptive_dg_ensemble(
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
     engine: str = "xla",
+    mesh=None,
+    mesh_axis: str = "data",
     checkpoint_dir: str | None = None,
     iteration=None,
 ) -> list[DGEnsembleAdaptResult]:
@@ -129,6 +131,17 @@ def run_adaptive_dg_ensemble(
     attribute) — lets a caller (bench.py) time a genuinely warm run, since
     each call otherwise builds a fresh jit closure that cannot hit the
     previous call's cache.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` to data-parallelize the ensemble
+    over ``mesh_axis`` — members shard across devices (the dp scale-out of
+    Main_variable_params.py's ensemble study), the partition and the
+    bisection decision stay replicated, and the ensemble means reduce
+    across the mesh inside the jit. The XLA engine shards by layout
+    propagation from the member axis; the Pallas engine composes the fused
+    slab kernel per-device via
+    :func:`~adjoint_ode_adaptivity_tpu.parallel.ensemble.ensemble_batched`
+    (B / n_devices must be a multiple of 8). Decisions are pinned equal to
+    the single-device loop in tests (f32 roundoff on the signal).
     """
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_adjoint_march_batched,
@@ -141,6 +154,17 @@ def run_adaptive_dg_ensemble(
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
     y0s = jnp.asarray(y0s)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[mesh_axis]
+        if y0s.shape[0] % n_dev:
+            raise ValueError(
+                f"B={y0s.shape[0]} must divide over {n_dev} mesh devices"
+            )
+        # member axis sharded, everything downstream (partition, argmax,
+        # means) replicated — XLA inserts the cross-device reductions
+        y0s = jax.device_put(y0s, NamedSharding(mesh, PartitionSpec(mesh_axis)))
 
     # restore BEFORE sizing the padded partition: a resumed run may ask for
     # fewer OR more iterations than the killed one, and the engines below
@@ -189,6 +213,17 @@ def run_adaptive_dg_ensemble(
             newton_iters=newton_iters or 8,
             interpret=jax.default_backend() != "tpu",
         )
+        if mesh is not None:
+            # pallas_call cannot be auto-partitioned: compose the fused
+            # kernel per-device over the member axis
+            from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+                ensemble_batched,
+            )
+
+            _slab_dp = ensemble_batched(
+                lambda y, t, _run=pallas_run: _run(t, y), mesh, axis=mesh_axis
+            )
+            pallas_run = lambda times, y: _slab_dp(y, times)  # noqa: E731
 
     @jax.jit
     def _built_iteration(times):

@@ -200,11 +200,22 @@ def make_pallas_dg_estimate_ensemble(
     g_u: Callable = lambda u, t: jnp.ones_like(u),
     newton_iters: int = 5,
     interpret: bool = False,
+    block_members: int | None = 16_384,
 ):
     """Build ``run(times, y0s) -> (u, v, err)`` — the complete batched
     DG-in-time estimate pipeline fused into one kernel launch
     (measured 7.5× the XLA `dg_estimate_batched` path on the v5e:
     0.38 vs 2.9 ms at B=16,384 × K=16).
+
+    ``block_members``: members per grid program (independent members →
+    an embarrassingly-parallel lane-blocked grid); the default keeps each
+    program's state+outputs a few MB of VMEM so B scales to the
+    reference's 100,000-IC ensembles (Main_variable_params.py:234) and
+    beyond in one launch. ``None`` = single program. On hardware the
+    lane-block size is rounded to the largest 128-multiple ≤ the cap
+    that divides B/8 (Mosaic requires 128-aligned lane blocks), falling
+    back to a single program when none exists; interpret mode accepts
+    any divisor.
 
     ``times``: (K+1,) shared partition (traced; rides in SMEM so the
     adaptive loop can change it without recompiling). ``y0s``: (B,) with
@@ -233,9 +244,34 @@ def make_pallas_dg_estimate_ensemble(
         if b % 8:
             raise ValueError(f"B={b} must be a multiple of 8")
         b8 = b // 8
+        # members are independent: grid over ensemble blocks keeps the
+        # per-program working set (state + outputs) VMEM-resident at ANY
+        # B — the reference's 100k-IC scale runs in one launch
+        blk = b8
+        if block_members is not None:
+            if block_members % 8:
+                raise ValueError(
+                    f"block_members={block_members} must be a multiple of 8"
+                )
+            cap = min(b8, block_members // 8)
+            if interpret:
+                blk = cap
+                while b8 % blk:
+                    blk -= 1
+            else:
+                # Mosaic lane blocks must be 128-aligned (or the full
+                # array): largest 128-multiple <= cap dividing b8, else
+                # fall back to one program
+                blk = (cap // 128) * 128
+                while blk >= 128 and b8 % blk:
+                    blk -= 128
+                if blk < 128:
+                    blk = b8
+        n_blocks = b8 // blk
         y0_t = jnp.asarray(y0s, jnp.float32).reshape(8, b8)
         u, v, err = pl.pallas_call(
             kern,
+            grid=(n_blocks,),
             out_shape=(
                 jax.ShapeDtypeStruct((k_el, np_p, 8, b8), jnp.float32),
                 jax.ShapeDtypeStruct((k_el, np_a, 8, b8), jnp.float32),
@@ -243,12 +279,16 @@ def make_pallas_dg_estimate_ensemble(
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_el, np_p, 8, blk), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_el, np_a, 8, blk), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_el, 8, blk), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
         )(jnp.asarray(times, jnp.float32), y0_t)

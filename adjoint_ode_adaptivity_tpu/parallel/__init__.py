@@ -6,6 +6,7 @@ from adjoint_ode_adaptivity_tpu.parallel.dg_shard import (
     advec_rhs_local,
 )
 from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+    ensemble_batched,
     ensemble_mean,
     ensemble_refinement_signal,
     ensemble_vmap,
@@ -22,6 +23,7 @@ __all__ = [
     "shard_along",
     "replicate",
     "ensemble_vmap",
+    "ensemble_batched",
     "ensemble_mean",
     "ensemble_refinement_signal",
     "advec_rhs_local",

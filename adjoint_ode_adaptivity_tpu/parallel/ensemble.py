@@ -16,7 +16,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["ensemble_vmap", "ensemble_mean", "ensemble_refinement_signal"]
+__all__ = [
+    "ensemble_vmap",
+    "ensemble_mean",
+    "ensemble_refinement_signal",
+    "ensemble_batched",
+]
 
 
 def ensemble_vmap(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
@@ -34,6 +39,37 @@ def ensemble_vmap(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
         in_specs = (P(axis),) + tuple(P() for _ in extras)
         return shard_map(
             sharded, mesh=mesh, in_specs=in_specs, out_specs=P(axis)
+        )(u0s, *extras)
+
+    return wrapper
+
+
+def ensemble_batched(
+    batched_fn: Callable, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """Shard a NATIVELY-batched ensemble function over the member axis.
+
+    ``ensemble_vmap`` wraps a one-member fn in vmap; this composes a fn
+    that is already written over a leading batch axis — e.g. the fused
+    Pallas DG-slab pipeline (``ops.pallas.dg_slab``) or the batched XLA
+    Newton march (``march.dg_batched``) — under ``shard_map``: each device
+    runs its member shard through ``batched_fn`` unchanged. Members are
+    independent (the dp axis of Main_variable_params.py:330-341's ensemble
+    study), so no collectives are needed; outputs stay member-sharded.
+
+    The wrapped function takes ``(u0s, *extras)`` with ``u0s`` sharded on
+    its leading axis and extras replicated. Per-shard constraints of
+    ``batched_fn`` apply shard-wise (the Pallas slab kernel needs the
+    LOCAL batch — ``B / n_devices`` — to be a multiple of 8).
+    """
+
+    def wrapper(u0s, *extras):
+        in_specs = (P(axis),) + tuple(P() for _ in extras)
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, and the batched fns this composes are pure dp
+        return shard_map(
+            batched_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
+            check_vma=False,
         )(u0s, *extras)
 
     return wrapper

@@ -508,6 +508,34 @@ def main():
     )
     dg_adaptive_baseline_est = dg_adaptive_slabs / dg_base_rate
 
+    # ---- 100k-IC DG slab ensemble (the reference's Main_variable_params
+    # scale, python/Main_variable_params.py:234): the member-blocked grid
+    # keeps each program's working set VMEM-resident at any B, so the
+    # whole 102,400-member fwd+adjoint+AWR pipeline is one kernel launch
+    dg100k_rate = None
+    dg100k_b = 102_400
+    if on_tpu:
+        dg100k_y0 = jnp.asarray(
+            np.random.default_rng(3).uniform(0.5, 2.0, dg100k_b), dtype
+        )
+
+        def mk_dg100k(k_calls):
+            @jax.jit
+            def g(y):
+                for _ in range(k_calls):
+                    u, v, err = dg_run(dg_times, y)
+                    y = (
+                        y
+                        + 1e-20 * u[:, -1, -1]
+                        + 1e-20 * v[:, 0, 0]
+                        + 1e-20 * jnp.sum(err, axis=1)
+                    )
+                return y
+            return g
+
+        dg100k_elapsed, _ = chained_slope(mk_dg100k, dg100k_y0, k_hi=8)
+        dg100k_rate = dg100k_b * dg_k * 2 / dg100k_elapsed
+
     # ---- K-envelope rows (BASELINE.md): the resident blocked-single
     # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
     # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
@@ -601,6 +629,8 @@ def main():
                 / dg_adaptive_wallclock,
                 "dg_adaptive_ensemble": dg_ab,
                 "dg_adaptive_iterations": len(dg_hist),
+                "dg_slab_100k_solves_per_sec": dg100k_rate,
+                "dg_slab_100k_batch": dg100k_b,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
                 "k1m_tiled_dof_steps_per_sec": k1m_rate,
             }

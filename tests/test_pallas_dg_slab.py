@@ -66,6 +66,55 @@ class TestDGSlabKernel:
             )
             np.testing.assert_allclose(np.asarray(err[:, kp]), 0.0, atol=1e-6)
 
+    def test_member_blocked_grid_matches_single_program(self):
+        # independent members -> lane-blocked grid (the 100k-IC scale
+        # path): 96 members in 3 programs of 32 vs one program
+        K = 8
+        times = np.linspace(0.0, 2.0, K + 1)
+        y0s = np.random.default_rng(4).uniform(0.5, 2.0, 96)
+        ops_p, ops_a = dg_time_operators(1), dg_time_operators(2)
+        run_blk = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, K, newton_iters=6, interpret=True,
+            block_members=32,
+        )
+        run_one = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, K, newton_iters=6, interpret=True,
+            block_members=None,
+        )
+        t32 = jnp.asarray(times, jnp.float32)
+        y32 = jnp.asarray(y0s, jnp.float32)
+        for a, b in zip(run_blk(t32, y32), run_one(t32, y32)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    @pytest.mark.parametrize("n_dev", [8, 4, 1])
+    def test_dp_sharded_matches_unsharded(self, n_dev):
+        # members are independent -> ensemble_batched dp composition over
+        # the mesh must be bitwise the unsharded kernel per member
+        import jax
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+            ensemble_batched,
+        )
+
+        K = 8
+        times = jnp.asarray(np.linspace(0.0, 2.0, K + 1), jnp.float32)
+        y0s = jnp.asarray(
+            np.random.default_rng(5).uniform(0.5, 2.0, 128), jnp.float32
+        )
+        ops_p, ops_a = dg_time_operators(1), dg_time_operators(2)
+        run = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, K, newton_iters=6, interpret=True
+        )
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        run_dp = ensemble_batched(
+            lambda y, t: run(t, y), mesh, axis="data"
+        )
+        # shard width changes XLA CPU's SIMD packet/tail split in sin/cos
+        # (ULP-level), amplified through the Newton iterations: f32 roundoff
+        for a, b in zip(run_dp(y0s, times), run(times, y0s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
     def test_validation(self):
         ops_p = dg_time_operators(1)
         ops_a = dg_time_operators(2)
@@ -102,4 +151,29 @@ class TestAdaptiveLoopPallasEngine:
             np.testing.assert_allclose(rp.times, rx.times, atol=1e-6)
             np.testing.assert_allclose(
                 rp.est_total_mean, rx.est_total_mean, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("engine", ["xla", "pallas"])
+    def test_mesh_dp_matches_single_device(self, engine):
+        # the full ensemble-adaptive loop dp-sharded over the 8-device
+        # mesh: same partitions and estimates as the unsharded loop
+        import jax
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(6).uniform(0.5, 2.0, 64).astype(
+            np.float32
+        )
+        kw = dict(k0=2, maxit=3, tol=0.0, newton_iters=8, engine=engine)
+        h_1 = run_adaptive_dg_ensemble(F, y0s, (0.0, 2.0), **kw)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        h_m = run_adaptive_dg_ensemble(F, y0s, (0.0, 2.0), mesh=mesh, **kw)
+        assert len(h_m) == len(h_1)
+        for rm, r1 in zip(h_m, h_1):
+            np.testing.assert_allclose(rm.times, r1.times, atol=1e-6)
+            np.testing.assert_allclose(
+                rm.est_total_mean, r1.est_total_mean, atol=1e-5
             )

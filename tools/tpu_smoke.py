@@ -343,6 +343,25 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_ensemble_B16384_K16", e)
 
+    # 17b. the member-blocked grid of the same kernel (the 100k-IC scale
+    # path): B=32,768 at block_members=8,192 -> 4 grid programs
+    try:
+        dg_b2 = 32_768
+        dg_y0b = jnp.asarray(
+            np.random.default_rng(2).uniform(0.5, 2.0, dg_b2), jnp.float32
+        )
+        dg_run_blk = make_pallas_dg_estimate_ensemble(
+            ops_p1, ops_a1, f_sin, lambda u, t: jnp.cos(u), dg_k,
+            newton_iters=5, interpret=interp, block_members=8_192,
+        )
+        _, _, err_pb = dg_run_blk(dg_times, dg_y0b)
+        _, _, err_xb = dg_estimate_batched(
+            ops_p1, ops_a1, f_sin, dg_times, dg_y0b, newton_iters=5
+        )
+        check("dg_slab_blocked_grid_B32768_K16", err_pb, err_xb, 1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_blocked_grid_B32768_K16", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
