@@ -50,6 +50,12 @@ def main(argv=None):
         "--engine", choices=["xla", "pallas"], default=None,
         help="--ensemble only: pipeline engine (default: pallas on TPU)",
     )
+    p.add_argument(
+        "--dp", action="store_true",
+        help="--ensemble only: data-parallelize the members over ALL "
+             "local devices (jax.sharding.Mesh on a 'data' axis; B must "
+             "divide by the device count)",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -94,10 +100,16 @@ def main(argv=None):
         y0s = rng.uniform(
             args.y0 / 2.0, 2.0 * args.y0, args.ensemble
         ).astype(np.float32 if engine == "pallas" else np.float64)
+        mesh = None
+        if args.dp:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            print(f"dp over {mesh.shape['data']} devices")
         history = run_adaptive_dg_ensemble(
             ode.f, y0s, (args.t0, args.t1),
             n_order=args.order, k0=args.k0, tol=args.tol, maxit=args.maxit,
-            newton_iters=8, engine=engine,
+            newton_iters=8, engine=engine, mesh=mesh,
             checkpoint_dir=args.checkpoint_dir,
         )
         for it, r in enumerate(history):

@@ -15,8 +15,10 @@ simultaneously:
 - The Np×Np Newton systems are solved in **closed form** (Cramer adjugate
   expansion, :func:`solve_small`) for Np ≤ 4: pure vectorised arithmetic,
   no batched-LU scalar loops (XLA's small batched ``linalg.solve`` lowers
-  to per-matrix pivoting that crawls on TPU). Np > 4 falls back to the XLA
-  solver.
+  to per-matrix pivoting that crawls on TPU). 4 < Np ≤ 8 stays vectorised
+  through :func:`ge_solve_rows` (unrolled Gaussian elimination whose
+  partial pivoting is branch-free elementwise compare/``where`` swaps);
+  only Np > 8 falls back to the XLA solver.
 - Newton runs either as a ``lax.while_loop`` on the batch max-norm
   (reference semantics: tol 1e-7 / maxit 500, dg_march.m:34-36 — extra
   iterations on already-converged members are exact no-ops to roundoff) or
@@ -40,6 +42,7 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators, f32_matmul
 
 __all__ = [
     "solve_small",
+    "ge_solve_rows",
     "DGBatchedResult",
     "DGBatchedAdjointResult",
     "dg_march_batched",
@@ -70,6 +73,49 @@ def _det(rows):
     return det
 
 
+def ge_solve_rows(jac, res):
+    """Solve the n×n systems given as nested lists of same-shaped batch
+    arrays by unrolled Gaussian elimination with BRANCH-FREE partial
+    pivoting: each batch member selects its own pivot through elementwise
+    compare-and-``where`` row swaps, so the whole factorization is a fixed
+    chain of vector ops — no scalar control flow, no per-matrix pivot
+    loops (what makes XLA's batched ``linalg.solve`` crawl on TPU).
+    Works on any array type jnp ops accept, including Pallas register
+    tiles — the Pallas slab kernel inlines this for Np > 4 where the
+    Cramer expansion's O(n!·n) cofactor chain blows up.
+
+    ``jac``: n lists of n entries; ``res``: n entries (the augmented
+    column). Returns the list of n solution entries.
+    """
+    n = len(res)
+    rows = [list(jac[i]) + [res[i]] for i in range(n)]
+    for k in range(n):
+        # bubble the largest |pivot| (per batch member) into row k — only
+        # the live columns k..n swap (cols < k are already eliminated)
+        for i in range(k + 1, n):
+            take = jnp.abs(rows[i][k]) > jnp.abs(rows[k][k])
+            live = zip(rows[k][k:], rows[i][k:])
+            swapped = [
+                (jnp.where(take, bi, ai), jnp.where(take, ai, bi))
+                for ai, bi in live
+            ]
+            rows[k] = rows[k][:k] + [s[0] for s in swapped]
+            rows[i] = rows[i][:k] + [s[1] for s in swapped]
+        for i in range(k + 1, n):
+            m = rows[i][k] / rows[k][k]
+            rows[i] = [
+                rows[i][j] - m * rows[k][j] for j in range(k + 1, n + 1)
+            ]
+            rows[i] = [None] * (k + 1) + rows[i]  # cols ≤ k eliminated
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = rows[i][n]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][j] * x[j]
+        x[i] = acc / rows[i][i]
+    return x
+
+
 def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve ``A x = b`` for a batch of tiny systems in closed form.
 
@@ -78,18 +124,31 @@ def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     expansion — ~260 fused multiply-adds of (B,)-wide vectors at n=4, no
     pivoting, no scalar loops. Accurate to roundoff for the well-conditioned
     DG slab systems (A → Sᵀ+B as h→0); pinned against ``jnp.linalg.solve``
-    in tests. n > 4 transposes into XLA's batched solver.
+    in tests. 4 < n ≤ 8 uses :func:`ge_solve_rows` (unrolled GE with
+    branch-free partial pivoting — still pure vector arithmetic); n > 8
+    transposes into XLA's batched solver.
     """
     n = a.shape[0]
     if a.shape[1] != n or b.shape[0] != n:
         raise ValueError(f"shape mismatch: a {a.shape}, b {b.shape}")
-    if n > 4:
+    if n > 8:
         # (n, n, B) -> (B, n, n) and back
         a_b = jnp.moveaxis(a, (0, 1), (-2, -1))
         b_b = jnp.moveaxis(b, 0, -1)[..., None]
         a_b = jnp.broadcast_to(a_b, b_b.shape[:-2] + (n, n))
         x = jnp.linalg.solve(a_b, b_b)[..., 0]
         return jnp.moveaxis(x, -1, 0)
+    if n > 4:
+        # broadcast every entry to a common batch shape first: the where-
+        # swaps mix matrix and rhs entries, so scalars must widen
+        shp = jnp.broadcast_shapes(a.shape[2:], b.shape[1:])
+        dt = jnp.result_type(a, b)
+        jac = [
+            [jnp.broadcast_to(a[i, j].astype(dt), shp) for j in range(n)]
+            for i in range(n)
+        ]
+        rhs = [jnp.broadcast_to(b[i].astype(dt), shp) for i in range(n)]
+        return jnp.stack(ge_solve_rows(jac, rhs))
     rows = [[a[i, j] for j in range(n)] for i in range(n)]
     d = _det(rows)
     cols = []

@@ -12,7 +12,9 @@ tile (the same tuple-of-rows trick as the advection kernels,
 ``dg_rhs._lsrk_step_b``). The Φ/quadrature/mass tables are tiny host
 constants, so every contraction unrolls into scalar-immediate FMA chains;
 the Np×Np Newton and adjoint systems are solved by unrolled Cramer
-expansion (``march.dg_batched.solve_small``'s closed form, inlined).
+expansion (``march.dg_batched.solve_small``'s closed form, inlined) for
+Np ≤ 4 and by branch-free partial-pivot Gaussian elimination
+(``ge_solve_rows``) for Np 5–8 — both pure elementwise tile arithmetic.
 Element slab widths ride in SMEM, elements are a rolled ``fori_loop``
 (sequential by the inflow coupling), Newton is a fixed-count inner
 ``fori_loop``.
@@ -35,15 +37,23 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from adjoint_ode_adaptivity_tpu.march.dg_batched import _det
+from adjoint_ode_adaptivity_tpu.march.dg_batched import _det, ge_solve_rows
 from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
 
 __all__ = ["make_pallas_dg_estimate_ensemble"]
 
 
 def _cramer(jac, res):
-    """Solve the Np×Np system given as nested lists of (8, b8) tiles."""
+    """Solve the Np×Np system given as nested lists of (8, b8) tiles.
+
+    Np ≤ 4: unrolled Cramer cofactor expansion (cheapest at these sizes).
+    Np > 4: branch-free partial-pivot Gaussian elimination
+    (``march.dg_batched.ge_solve_rows`` — pure elementwise tile ops, so it
+    inlines into the kernel the same way; Cramer's O(n!·n) chain is
+    already ~23k multiplies at n=6)."""
     n = len(res)
+    if n > 4:
+        return ge_solve_rows(jac, res)
     d = _det(jac)
     out = []
     for i in range(n):
@@ -231,8 +241,10 @@ def make_pallas_dg_estimate_ensemble(
     if ops_a.np_ != ops_p.np_ + 1:
         raise ValueError("ops_a must be one order above ops_p")
     np_p, np_a = ops_p.np_, ops_a.np_
-    if np_p > 4 or np_a > 4:
-        raise ValueError("closed-form Cramer solves support Np <= 4")
+    if np_p > 8 or np_a > 8:
+        raise ValueError(
+            "in-kernel solves support Np <= 8 (Cramer <= 4, pivoted GE 5-8)"
+        )
     k_el = n_elements
 
     kern = functools.partial(

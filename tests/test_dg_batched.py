@@ -26,7 +26,8 @@ TIMES = np.linspace(0.0, 2.0, 9)
 
 
 class TestSolveSmall:
-    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5])
+    # n <= 4: Cramer; 5 <= n <= 8: branch-free pivoted GE; n = 9: XLA
+    @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7, 8, 9])
     def test_matches_linalg(self, n):
         rng = np.random.default_rng(n)
         a = rng.normal(size=(n, n, 7)) + 3 * np.eye(n)[:, :, None]
@@ -36,6 +37,20 @@ class TestSolveSmall:
             [np.linalg.solve(a[:, :, i], b[:, i]) for i in range(7)], axis=-1
         )
         np.testing.assert_allclose(np.asarray(x), ref, atol=1e-10)
+
+    def test_ge_pivoting(self):
+        # zero / tiny leading diagonal entries force the per-member
+        # where-swap pivoting; unpivoted GE would divide by ~0
+        rng = np.random.default_rng(42)
+        a = rng.normal(size=(6, 6, 5))
+        a[0, 0] = 0.0
+        a[1, 1, :2] = 1e-300
+        b = rng.normal(size=(6, 5))
+        x = solve_small(jnp.asarray(a), jnp.asarray(b))
+        ref = np.stack(
+            [np.linalg.solve(a[:, :, i], b[:, i]) for i in range(5)], axis=-1
+        )
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-9)
 
     def test_shape_mismatch_raises(self):
         with pytest.raises(ValueError):
@@ -66,8 +81,8 @@ class TestBatchedForward:
                 np.asarray(res_b.u[i]), np.asarray(r1.u), atol=1e-12
             )
 
-    def test_np5_fallback(self):
-        # Np = 5 exercises the XLA linalg fallback inside the Newton loop
+    def test_np5_ge(self):
+        # Np = 5 exercises the pivoted-GE solve inside the Newton loop
         ops = dg_time_operators(4)
         res_b = dg_march_batched(ops, F_SIN, TIMES[:5], Y0S[:2])
         r1 = dg_march(ops, F_SIN, TIMES[:5], Y0S[0])

@@ -133,6 +133,25 @@ class TestDGEnsembleDriverMode:
             history[0].est_total_mean
         )
 
+    def test_ensemble_dp_matches_unsharded(self, capsys):
+        # --dp shards the members over all 8 virtual devices; the refined
+        # partitions and estimates must match the unsharded run
+        from adjoint_ode_adaptivity_tpu.drivers.dg_adaptive import main
+
+        base = ["--ensemble", "16", "--maxit", "2", "--tol", "0",
+                "--engine", "xla"]
+        h1 = main(base)
+        hdp = main(base + ["--dp"])
+        out = capsys.readouterr().out
+        assert "dp over 8 devices" in out
+        assert len(hdp) == len(h1)
+        np.testing.assert_allclose(
+            np.asarray(hdp[-1].times), np.asarray(h1[-1].times), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            hdp[-1].est_total_mean, h1[-1].est_total_mean, atol=1e-12
+        )
+
 
 class TestSweep:
     def test_generate_commands(self, tmp_path):

@@ -125,10 +125,42 @@ class TestDGSlabKernel:
         )
         with pytest.raises(ValueError, match="multiple of 8"):
             run(jnp.linspace(0, 1, 5), jnp.ones(12))
-        with pytest.raises(ValueError, match="Cramer"):
+        with pytest.raises(ValueError, match="Np <= 8"):
             make_pallas_dg_estimate_ensemble(
-                dg_time_operators(3), dg_time_operators(4), F, F_U, 4
+                dg_time_operators(8), dg_time_operators(9), F, F_U, 4
             )
+
+    @pytest.mark.parametrize("n_order", [4, 6])
+    def test_high_order_matches_xla(self, n_order):
+        # Np = 5/6 and 7/8: the in-kernel branch-free pivoted-GE solves
+        # (Cramer covers Np <= 4) vs the XLA batched oracle
+        from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+            dg_estimate_batched,
+        )
+
+        K = 4
+        times = jnp.asarray(np.linspace(0.0, 2.0, K + 1), jnp.float32)
+        y0s = jnp.asarray(
+            np.random.default_rng(7).uniform(0.5, 2.0, 32), jnp.float32
+        )
+        ops_p = dg_time_operators(n_order)
+        ops_a = dg_time_operators(n_order + 1)
+        run = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, K, newton_iters=6, interpret=True
+        )
+        u_p, v_p, err_p = run(times, y0s)
+        u_x, v_x, err_x = dg_estimate_batched(
+            ops_p, ops_a, F, times, y0s, newton_iters=6
+        )
+        np.testing.assert_allclose(
+            np.asarray(u_p), np.asarray(u_x), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_p), np.asarray(v_x), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(err_p), np.asarray(err_x), atol=5e-6
+        )
 
 
 class TestAdaptiveLoopPallasEngine:

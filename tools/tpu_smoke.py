@@ -362,6 +362,25 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_blocked_grid_B32768_K16", e)
 
+    # 17c. high-order slab kernel (Np=5/6): the in-kernel branch-free
+    # pivoted-GE solves (Cramer covers Np <= 4) on hardware
+    try:
+        ops_p4, ops_a4 = dg_time_operators(4), dg_time_operators(5)
+        dg_y0h = jnp.asarray(
+            np.random.default_rng(3).uniform(0.5, 2.0, 1024), jnp.float32
+        )
+        dg_run_ho = make_pallas_dg_estimate_ensemble(
+            ops_p4, ops_a4, f_sin, lambda u, t: jnp.cos(u), dg_k,
+            newton_iters=5, interpret=interp,
+        )
+        _, _, err_ph = dg_run_ho(dg_times, dg_y0h)
+        _, _, err_xh = dg_estimate_batched(
+            ops_p4, ops_a4, f_sin, dg_times, dg_y0h, newton_iters=5
+        )
+        check("dg_slab_high_order_Np5_B1024_K16", err_ph, err_xh, 1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_high_order_Np5_B1024_K16", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
