@@ -9,7 +9,12 @@ from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
     run_adaptive_fd_backtrack,
     run_adaptive_fd_backtrack_padded,
 )
-from adjoint_ode_adaptivity_tpu.adapt.dg_loop import DGAdaptResult, run_adaptive_dg
+from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+    DGAdaptResult,
+    DGPerMemberAdaptResult,
+    run_adaptive_dg,
+    run_adaptive_dg_per_member,
+)
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
     bisect_refine_masked,
@@ -24,7 +29,9 @@ from adjoint_ode_adaptivity_tpu.adapt.policy import (
 
 __all__ = [
     "DGAdaptResult",
+    "DGPerMemberAdaptResult",
     "run_adaptive_dg",
+    "run_adaptive_dg_per_member",
     "AdaptState",
     "AdaptResult",
     "adapt_iteration",

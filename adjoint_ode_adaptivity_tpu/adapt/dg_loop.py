@@ -32,7 +32,13 @@ from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
 )
 from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march, dg_time_operators
 
-__all__ = ["DGAdaptResult", "run_adaptive_dg", "run_adaptive_dg_ensemble"]
+__all__ = [
+    "DGAdaptResult",
+    "run_adaptive_dg",
+    "run_adaptive_dg_ensemble",
+    "DGPerMemberAdaptResult",
+    "run_adaptive_dg_per_member",
+]
 
 
 class DGAdaptResult(NamedTuple):
@@ -320,6 +326,262 @@ def run_adaptive_dg_ensemble(
 
     out = _History(history)
     out.iteration = iteration  # reusable prebuilt jit (see docstring)
+    return out
+
+
+class DGPerMemberAdaptResult(NamedTuple):
+    times: np.ndarray  # (B, n_pad+1) padded partitions (zero-width tail)
+    n_active: np.ndarray  # (B,) live slab count per member
+    err: np.ndarray  # (B, n_pad) contributions (exactly 0 on padding)
+    j: np.ndarray  # (B,) functional per member
+    est_total: np.ndarray  # (B,) Σ_k err_k per member
+    n_refining: int  # members still above tol AFTER this iteration
+
+
+def run_adaptive_dg_per_member(
+    f: Callable,
+    y0s,  # (B,) initial-condition ensemble
+    t_span: tuple[float, float],
+    *,
+    n_order: int = 1,
+    k0: int = 4,
+    g: Callable = lambda u, t: u,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    tol: float = 0.0,
+    maxit: int = 10,
+    n_gq: int | None = None,
+    newton_iters: int | None = None,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+    engine: str = "xla",
+    mesh=None,
+    mesh_axis: str = "data",
+    checkpoint_dir: str | None = None,
+    iteration=None,
+) -> list[DGPerMemberAdaptResult]:
+    """PER-MEMBER adaptive DG-in-time: every ensemble member owns its own
+    partition, bisects its own largest-|AWR| element, and freezes
+    independently once its |Σ err| drops below ``tol``.
+
+    This is the reference's job-farm semantics — one MAIN.m:29-166
+    adaptive run per initial condition, submitted as thousands of serial
+    SLURM jobs (Submit_schedule_frontera/main_serial.sh) — collapsed into
+    ONE compile-once jit: ``times`` is a (B, n_pad+1) array of per-member
+    partitions (the batched marches take per-member times natively,
+    ``march.dg_batched._norm_times``), refinement is a per-row
+    shift-insert, and converged members are frozen by a ``where`` on the
+    member axis so shapes never change. Padding slabs are zero-width —
+    exact identities with exactly-zero contributions (the repo-wide
+    padding contract), so they can never win a member's argmax.
+
+    ``engine="pallas"`` fuses the whole per-member pipeline into the one
+    DG-slab kernel launch (per-member slab geometry rides as (8, b8)
+    width/left-edge tiles). ``mesh`` data-parallelizes members across
+    devices exactly as in :func:`run_adaptive_dg_ensemble` — decisions
+    are per-member, so dp needs no cross-device reduction at all.
+    Checkpoint/resume mirrors the ensemble loop (orbax round-trip of the
+    padded partitions + per-member masks each iteration).
+    """
+    from adjoint_ode_adaptivity_tpu.march.dg_batched import (
+        dg_adjoint_march_batched,
+        dg_element_functional_batched,
+        dg_march_batched,
+    )
+
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
+    ops_p = dg_time_operators(n_order, n_gq)
+    ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
+    y0s = jnp.asarray(y0s)
+    b = y0s.shape[0]
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[mesh_axis]
+        if b % n_dev:
+            raise ValueError(f"B={b} must divide over {n_dev} mesh devices")
+        # everything is per-member: y0s, times, and the refining mask all
+        # shard on the member axis; no collective is ever needed
+        sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        y0s = jax.device_put(y0s, sharding)
+
+    history: list[DGPerMemberAdaptResult] = []
+    it0 = 0
+    restored = None
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                DGPerMemberAdaptResult(
+                    times=np.asarray(h["times"]),
+                    n_active=np.asarray(h["n_active"]),
+                    err=np.asarray(h["err"]),
+                    j=np.asarray(h["j"]),
+                    est_total=np.asarray(h["est_total"]),
+                    n_refining=int(h["n_refining"]),
+                )
+                for h in raw["history"]
+            ]
+            restored = raw
+            it0 = len(history)
+            if history[-1].n_refining == 0:
+                return history
+    max_k = k0 + maxit + 1
+    if restored is not None:
+        max_k = max(max_k, np.asarray(restored["times"]).shape[1] - 1)
+    n_pad = max_k + 1  # node slots per member
+
+    if iteration is not None:
+        pass  # caller-supplied prebuilt jitted iteration (bench reuse)
+    else:
+        if engine == "pallas":
+            from adjoint_ode_adaptivity_tpu.ops.pallas import (
+                ensure_scoped_vmem,
+            )
+            from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+                make_pallas_dg_estimate_ensemble,
+            )
+
+            ensure_scoped_vmem()
+            pallas_run = make_pallas_dg_estimate_ensemble(
+                ops_p, ops_a, f, None, max_k, g_u=g_u,
+                newton_iters=newton_iters or 8,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if mesh is not None:
+                from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+                    ensemble_batched,
+                )
+
+                # per-member times shard WITH the members (extra 0)
+                _slab_dp = ensemble_batched(
+                    lambda y, t, _run=pallas_run: _run(t, y),
+                    mesh, axis=mesh_axis, shard_extras={0},
+                )
+                pallas_run = lambda times, y: _slab_dp(y, times)  # noqa: E731
+
+        @jax.jit
+        def _built_iteration(times, refining):
+            if engine == "pallas":
+                u, _v, err = pallas_run(times, y0s)
+            else:
+                fwd = dg_march_batched(
+                    ops_p, f, times, y0s,
+                    newton_tol=newton_tol, newton_maxit=newton_maxit,
+                    newton_iters=newton_iters,
+                )
+                err = dg_adjoint_march_batched(
+                    ops_a, f, fwd.u, times, y0s, g_u=g_u
+                ).err
+                u = fwd.u
+            j = dg_element_functional_batched(ops_p, u, times, g)  # (B,)
+            est_total = jnp.sum(err, axis=1)  # (B,)
+            # per-member padded bisection (each row shift-inserts at its
+            # own argmax; zero-width slabs can never win it)
+            ref_i = jnp.argmax(jnp.abs(err), axis=1)  # (B,)
+            t_l = jnp.take_along_axis(times, ref_i[:, None], axis=1)
+            t_r = jnp.take_along_axis(times, ref_i[:, None] + 1, axis=1)
+            mid = 0.5 * (t_l + t_r)  # (B, 1)
+            idx = jnp.arange(times.shape[1])[None, :]
+            shifted = times[:, np.maximum(np.arange(times.shape[1]) - 1, 0)]
+            times_new = jnp.where(
+                idx <= ref_i[:, None], times,
+                jnp.where(idx == ref_i[:, None] + 1, mid, shifted),
+            )
+            # members at tolerance freeze: their partition stops changing
+            refine_now = refining & (jnp.abs(est_total) >= tol)  # (B,)
+            times_new = jnp.where(refine_now[:, None], times_new, times)
+            # one packed (B, ·) diagnostics fetch per iteration;
+            # times_new/refine_now stay on device between iterations
+            diag = jnp.concatenate(
+                [
+                    times,
+                    err.astype(times.dtype),
+                    j[:, None].astype(times.dtype),
+                    est_total[:, None].astype(times.dtype),
+                    refine_now[:, None].astype(times.dtype),
+                ],
+                axis=1,
+            )
+            return times_new, refine_now, diag
+
+        iteration = _built_iteration
+
+    if restored is not None:
+        t_res = np.asarray(restored["times"])
+        if t_res.shape[1] < n_pad:  # re-pad (zero-width: exact identity)
+            t_res = np.concatenate(
+                [
+                    t_res,
+                    np.repeat(t_res[:, -1:], n_pad - t_res.shape[1], axis=1),
+                ],
+                axis=1,
+            )
+        times = jnp.asarray(t_res)
+        refining = jnp.asarray(np.asarray(restored["refining"]) != 0)
+        n_active = np.asarray(restored["n_active"]).copy()
+    else:
+        row = np.linspace(t_span[0], t_span[1], k0 + 1)
+        row = np.concatenate([row, np.full(max_k - k0, row[-1])])
+        times = jnp.asarray(np.broadcast_to(row, (b, n_pad)).copy())
+        refining = jnp.ones((b,), bool)
+        n_active = np.full((b,), k0, np.int64)
+    if sharding is not None:
+        times = jax.device_put(times, sharding)
+        refining = jax.device_put(refining, sharding)
+
+    for _ in range(it0, maxit + 1):
+        times_new, refine_new, diag = iteration(times, refining)
+        diag = np.asarray(diag)
+        t_h = diag[:, :n_pad]
+        err_h = diag[:, n_pad : n_pad + max_k]
+        j_h = diag[:, n_pad + max_k]
+        est_h = diag[:, n_pad + max_k + 1]
+        refine_h = diag[:, n_pad + max_k + 2] != 0
+        n_refining = int(refine_h.sum())
+        history.append(
+            DGPerMemberAdaptResult(
+                times=t_h.copy(),
+                n_active=n_active.copy(),
+                err=err_h.copy(),
+                j=j_h.copy(),
+                est_total=est_h.copy(),
+                n_refining=n_refining,
+            )
+        )
+        if n_refining > 0:
+            times = times_new
+            refining = refine_new
+            n_active = n_active + refine_h.astype(np.int64)
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(times),
+                    "refining": np.asarray(refining).astype(np.int32),
+                    "n_active": n_active,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        if n_refining == 0:
+            break
+
+    class _History(list):
+        pass
+
+    out = _History(history)
+    out.iteration = iteration
     return out
 
 

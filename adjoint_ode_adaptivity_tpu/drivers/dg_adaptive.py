@@ -56,6 +56,13 @@ def main(argv=None):
              "local devices (jax.sharding.Mesh on a 'data' axis; B must "
              "divide by the device count)",
     )
+    p.add_argument(
+        "--per-member", action="store_true",
+        help="--ensemble only: every member adapts its OWN partition "
+             "(bisects its own argmax, freezes at --tol independently) — "
+             "the reference's one-adaptive-job-per-IC farm "
+             "(Submit_schedule_frontera) in one compile-once loop",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -106,6 +113,27 @@ def main(argv=None):
 
             mesh = Mesh(np.array(jax.devices()), ("data",))
             print(f"dp over {mesh.shape['data']} devices")
+        if args.per_member:
+            from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+                run_adaptive_dg_per_member,
+            )
+
+            history = run_adaptive_dg_per_member(
+                ode.f, y0s, (args.t0, args.t1),
+                n_order=args.order, k0=args.k0, tol=args.tol,
+                maxit=args.maxit, newton_iters=8, engine=engine,
+                mesh=mesh, checkpoint_dir=args.checkpoint_dir,
+            )
+            for it, r in enumerate(history):
+                print(
+                    f"-- it {it} K=[{r.n_active.min()}..{r.n_active.max()}]"
+                    f"  J_mean={r.j.mean():.10e}  "
+                    f"mean |Adj-W Res|={np.abs(r.est_total).mean():.10e}  "
+                    f"refining={r.n_refining}/{args.ensemble}"
+                )
+            print(f"finished after {len(history)} iterations "
+                  f"(B={args.ensemble}, per-member, engine={engine})")
+            return history
         history = run_adaptive_dg_ensemble(
             ode.f, y0s, (args.t0, args.t1),
             n_order=args.order, k0=args.k0, tol=args.tol, maxit=args.maxit,

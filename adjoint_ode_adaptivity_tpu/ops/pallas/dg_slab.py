@@ -228,12 +228,19 @@ def make_pallas_dg_estimate_ensemble(
     any divisor.
 
     ``times``: (K+1,) shared partition (traced; rides in SMEM so the
-    adaptive loop can change it without recompiling). ``y0s``: (B,) with
-    B a multiple of 8 — the ensemble tiles the full (8, B/8) register
-    height. Returns the `dg_estimate_batched` contract: ``u`` (B, K, Np),
-    ``v`` (B, K, Np+1), ``err`` (B, K). ``f``/``f_u``/``g_u`` are
-    elementwise jnp callables; ``f_u=None`` derives ∂f/∂u by a forward-mode
-    jvp with a ones tangent (valid because f is elementwise).
+    adaptive loop can change it without recompiling) or (B, K+1)
+    PER-MEMBER partitions — each member's slab geometry rides as (8, B/8)
+    width/left-edge register tiles (the kernel body is identical: every
+    use of ``tl``/``h`` is elementwise, so scalar-vs-tile is just the
+    operand layout; dynamic element indexing of the (K+1, 8, blk) operand
+    keeps 8-sublane alignment). Per-member times is what lets the
+    per-member adaptive loop (``adapt.dg_loop.run_adaptive_dg_per_member``
+    — the reference's one-job-per-IC farm semantics) run fused.
+    ``y0s``: (B,) with B a multiple of 8 — the ensemble tiles the full
+    (8, B/8) register height. Returns the `dg_estimate_batched` contract:
+    ``u`` (B, K, Np), ``v`` (B, K, Np+1), ``err`` (B, K). ``f``/``f_u``/
+    ``g_u`` are elementwise jnp callables; ``f_u=None`` derives ∂f/∂u by a
+    forward-mode jvp with a ones tangent (valid because f is elementwise).
     """
     if f_u is None:
         def f_u(u, t):  # noqa: F811 - deliberate default
@@ -281,6 +288,22 @@ def make_pallas_dg_estimate_ensemble(
                     blk = b8
         n_blocks = b8 // blk
         y0_t = jnp.asarray(y0s, jnp.float32).reshape(8, b8)
+        times = jnp.asarray(times, jnp.float32)
+        if times.ndim == 2:
+            if times.shape != (b, k_el + 1):
+                raise ValueError(
+                    f"per-member times {times.shape} != (B={b}, K+1={k_el + 1})"
+                )
+            # (B, K+1) -> (K+1, 8, b8): same member->(sublane, lane) map
+            # as y0; each program gets its lane block of the geometry
+            times_op = times.T.reshape(k_el + 1, 8, b8)
+            times_spec = pl.BlockSpec(
+                (k_el + 1, 8, blk), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            times_op = times
+            times_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         u, v, err = pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -290,7 +313,7 @@ def make_pallas_dg_estimate_ensemble(
                 jax.ShapeDtypeStruct((k_el, 8, b8), jnp.float32),
             ),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                times_spec,
                 pl.BlockSpec((8, blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
@@ -303,7 +326,7 @@ def make_pallas_dg_estimate_ensemble(
                              memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(jnp.asarray(times, jnp.float32), y0_t)
+        )(times_op, y0_t)
         # (K, Np, 8, b8) -> (B, K, Np)
         u = jnp.transpose(u.reshape(k_el, np_p, b), (2, 0, 1))
         v = jnp.transpose(v.reshape(k_el, np_a, b), (2, 0, 1))

@@ -45,7 +45,8 @@ def ensemble_vmap(fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
 
 
 def ensemble_batched(
-    batched_fn: Callable, mesh: Mesh, axis: str = "data"
+    batched_fn: Callable, mesh: Mesh, axis: str = "data",
+    shard_extras: frozenset | set = frozenset(),
 ) -> Callable:
     """Shard a NATIVELY-batched ensemble function over the member axis.
 
@@ -58,13 +59,20 @@ def ensemble_batched(
     study), so no collectives are needed; outputs stay member-sharded.
 
     The wrapped function takes ``(u0s, *extras)`` with ``u0s`` sharded on
-    its leading axis and extras replicated. Per-shard constraints of
-    ``batched_fn`` apply shard-wise (the Pallas slab kernel needs the
-    LOCAL batch — ``B / n_devices`` — to be a multiple of 8).
+    its leading axis and extras replicated — except extras whose position
+    is listed in ``shard_extras``, which shard on THEIR leading axis too
+    (per-member data riding alongside the members, e.g. the (B, K+1)
+    per-member partitions of the per-member adaptive loop). Per-shard
+    constraints of ``batched_fn`` apply shard-wise (the Pallas slab
+    kernel needs the LOCAL batch — ``B / n_devices`` — to be a multiple
+    of 8).
     """
 
     def wrapper(u0s, *extras):
-        in_specs = (P(axis),) + tuple(P() for _ in extras)
+        in_specs = (P(axis),) + tuple(
+            P(axis) if i in shard_extras else P()
+            for i in range(len(extras))
+        )
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # annotation, and the batched fns this composes are pure dp
         return shard_map(

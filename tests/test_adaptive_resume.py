@@ -195,3 +195,37 @@ class TestDGEnsembleResume:
                 abs(resumed[i].est_total_mean - ref[i - 1].est_total_mean)
                 < 1e-12
             )
+
+
+class TestDGPerMemberResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        # per-member loop: the checkpoint carries each member's partition
+        # AND its refining mask; a resumed run (with re-padding for the
+        # larger maxit) must reproduce the uninterrupted history exactly
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(13).uniform(0.5, 2.0, 8)
+        kw = dict(k0=3, tol=3e-5, newton_iters=8)
+        ref = run_adaptive_dg_per_member(F_SIN, y0s, (0.0, 2.0), maxit=6, **kw)
+
+        ck = str(tmp_path / "dgpm")
+        part = run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=2, checkpoint_dir=ck, **kw
+        )
+        assert len(part) == 3
+        full = run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=6, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            n_pad = min(r_res.times.shape[1], r_ref.times.shape[1])
+            np.testing.assert_allclose(
+                r_res.times[:, :n_pad], r_ref.times[:, :n_pad], atol=1e-12
+            )
+            np.testing.assert_array_equal(r_res.n_active, r_ref.n_active)
+            np.testing.assert_allclose(
+                r_res.est_total, r_ref.est_total, atol=1e-12
+            )
+            assert r_res.n_refining == r_ref.n_refining

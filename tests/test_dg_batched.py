@@ -253,6 +253,70 @@ class TestEnsembleAdaptiveLoop:
         assert len(hist[-1].times) == len(hist[0].times) + 6
 
 
+class TestPerMemberAdaptiveLoop:
+    """Per-member partitions: the reference's one-adaptive-run-per-IC job
+    farm (Submit_schedule_frontera/main_serial.sh) in one compile-once jit."""
+
+    def test_matches_independent_runs(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.array([0.7, 1.3, 2.1])
+        kw = dict(k0=3, maxit=3, tol=0.0, newton_iters=8)
+        hp = run_adaptive_dg_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+        assert len(hp) == 4
+        # oracle: each member as an independent B=1 ensemble-loop run
+        # (identical batched pipeline, so identical to roundoff)
+        for b in range(3):
+            h1 = run_adaptive_dg_ensemble(F_SIN, y0s[b : b + 1], (0.0, 2.0), **kw)
+            for it in range(len(hp)):
+                na = hp[it].n_active[b]
+                np.testing.assert_allclose(
+                    hp[it].times[b, : na + 1], h1[it].times, atol=1e-13
+                )
+                np.testing.assert_allclose(
+                    hp[it].est_total[b], h1[it].est_total_mean, rtol=1e-10
+                )
+
+    def test_tol_freezes_members_independently(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.array([0.7, 1.3, 2.1])
+        h = run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), k0=3, maxit=8, tol=3e-5, newton_iters=8
+        )
+        last = h[-1]
+        # members converge at different iterations -> different K
+        assert len(set(last.n_active.tolist())) > 1
+        for b in range(3):
+            na = last.n_active[b]
+            # live slabs strictly increasing, padded tail exactly frozen
+            assert np.all(np.diff(last.times[b, : na + 1]) > 0)
+            np.testing.assert_array_equal(
+                last.times[b, na:], np.full(last.times.shape[1] - na, 2.0)
+            )
+        # a frozen member's estimate stops changing across iterations
+        frozen_b = int(np.argmin(last.n_active))
+        est_seq = [r.est_total[frozen_b] for r in h]
+        assert est_seq[-1] == est_seq[-2]
+
+    def test_all_members_converged_stops_early(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        h = run_adaptive_dg_per_member(
+            F_SIN, np.array([1.0, 1.5]), (0.0, 2.0), k0=3, maxit=20,
+            tol=1e-4, newton_iters=8,
+        )
+        assert h[-1].n_refining == 0
+        assert len(h) < 21
+
+
 class TestBatchedIFT:
     """Batched implicit-function-theorem slab solver: jax.grad through the
     ensemble Newton march (the batched form of make_dg_slab_solver)."""

@@ -133,6 +133,21 @@ class TestDGEnsembleDriverMode:
             history[0].est_total_mean
         )
 
+    def test_per_member_cli(self, capsys):
+        # --per-member: each IC adapts its own partition; with a loose
+        # tol all members must freeze before maxit
+        from adjoint_ode_adaptivity_tpu.drivers.dg_adaptive import main
+
+        history = main(
+            ["--ensemble", "8", "--per-member", "--k0", "3", "--maxit",
+             "12", "--tol", "1e-4", "--engine", "xla"]
+        )
+        out = capsys.readouterr().out
+        assert "per-member" in out
+        assert "refining=" in out
+        assert history[-1].n_refining == 0
+        assert history[-1].times.shape[0] == 8
+
     def test_ensemble_dp_matches_unsharded(self, capsys):
         # --dp shards the members over all 8 virtual devices; the refined
         # partitions and estimates must match the unsharded run

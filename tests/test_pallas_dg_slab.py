@@ -130,6 +130,40 @@ class TestDGSlabKernel:
                 dg_time_operators(8), dg_time_operators(9), F, F_U, 4
             )
 
+    def test_per_member_times_matches_xla(self):
+        # (B, K+1) per-member partitions as (8, B/8) geometry tiles —
+        # random interior nodes per member plus a zero-width tail slab
+        K, B = 6, 16
+        rng = np.random.default_rng(11)
+        t_core = np.sort(rng.uniform(0.1, 1.9, (B, K - 2)), axis=1)
+        times = np.concatenate(
+            [
+                np.zeros((B, 1)), t_core,
+                np.full((B, 1), 2.0), np.full((B, 1), 2.0),
+            ],
+            axis=1,
+        )
+        y0s = rng.uniform(0.5, 2.0, B)
+        ops_p, ops_a = dg_time_operators(1), dg_time_operators(2)
+        run = make_pallas_dg_estimate_ensemble(
+            ops_p, ops_a, F, F_U, K, newton_iters=6, interpret=True
+        )
+        t32 = jnp.asarray(times, jnp.float32)
+        y32 = jnp.asarray(y0s, jnp.float32)
+        u, v, err = run(t32, y32)
+        u_r, v_r, err_r = dg_estimate_batched(
+            ops_p, ops_a, F, t32, y32, newton_iters=6
+        )
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_r), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(err), np.asarray(err_r), atol=5e-6
+        )
+        # each member's zero-width tail contributes exactly zero
+        np.testing.assert_array_equal(np.asarray(err[:, -1]), 0.0)
+        with pytest.raises(ValueError, match="per-member times"):
+            run(t32[:, :-1], y32)
+
     @pytest.mark.parametrize("n_order", [4, 6])
     def test_high_order_matches_xla(self, n_order):
         # Np = 5/6 and 7/8: the in-kernel branch-free pivoted-GE solves
@@ -209,3 +243,45 @@ class TestAdaptiveLoopPallasEngine:
             np.testing.assert_allclose(
                 rm.est_total_mean, r1.est_total_mean, atol=1e-5
             )
+
+
+class TestPerMemberLoopPallasEngine:
+    def test_matches_xla_engine(self):
+        # the fused kernel with per-member geometry tiles must reproduce
+        # the XLA engine's per-member refinement decisions exactly
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(8).uniform(0.5, 2.0, 8).astype(np.float32)
+        kw = dict(k0=3, maxit=3, tol=0.0, newton_iters=8)
+        h_x = run_adaptive_dg_per_member(F, y0s, (0.0, 2.0), engine="xla", **kw)
+        h_p = run_adaptive_dg_per_member(
+            F, y0s, (0.0, 2.0), engine="pallas", **kw
+        )
+        assert len(h_p) == len(h_x)
+        for rp, rx in zip(h_p, h_x):
+            np.testing.assert_allclose(rp.times, rx.times, atol=1e-6)
+            np.testing.assert_array_equal(rp.n_active, rx.n_active)
+            np.testing.assert_allclose(rp.est_total, rx.est_total, atol=1e-5)
+
+    def test_mesh_dp_matches_single_device(self):
+        # per-member times shard WITH the members (ensemble_batched
+        # shard_extras); decisions must match the unsharded loop
+        import jax
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(9).uniform(0.5, 2.0, 64).astype(
+            np.float32
+        )
+        kw = dict(k0=3, maxit=2, tol=0.0, newton_iters=8, engine="pallas")
+        h_1 = run_adaptive_dg_per_member(F, y0s, (0.0, 2.0), **kw)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        h_m = run_adaptive_dg_per_member(F, y0s, (0.0, 2.0), mesh=mesh, **kw)
+        assert len(h_m) == len(h_1)
+        np.testing.assert_allclose(h_m[-1].times, h_1[-1].times, atol=1e-6)
+        np.testing.assert_array_equal(h_m[-1].n_active, h_1[-1].n_active)

@@ -381,6 +381,36 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_high_order_Np5_B1024_K16", e)
 
+    # 17d. per-member slab geometry: (B, K+1) partitions as (8, B/8)
+    # width/left-edge tiles with dynamic element indexing of the VMEM
+    # times operand — the per-member adaptive loop's fused path
+    try:
+        rngpm = np.random.default_rng(5)
+        b_pm = 1024
+        t_core = np.sort(rngpm.uniform(0.1, 1.9, (b_pm, dg_k - 2)), axis=1)
+        t_pm = jnp.asarray(
+            np.concatenate(
+                [
+                    np.zeros((b_pm, 1)), t_core,
+                    np.full((b_pm, 1), 2.0), np.full((b_pm, 1), 2.0),
+                ],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+        y_pm = jnp.asarray(rngpm.uniform(0.5, 2.0, b_pm), jnp.float32)
+        dg_run_pm = make_pallas_dg_estimate_ensemble(
+            ops_p1, ops_a1, f_sin, lambda u, t: jnp.cos(u), dg_k,
+            newton_iters=5, interpret=interp,
+        )
+        _, _, err_pp = dg_run_pm(t_pm, y_pm)
+        _, _, err_xp = dg_estimate_batched(
+            ops_p1, ops_a1, f_sin, t_pm, y_pm, newton_iters=5
+        )
+        check("dg_slab_per_member_times_B1024_K16", err_pp, err_xp, 1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_per_member_times_B1024_K16", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
