@@ -358,6 +358,7 @@ def run_adaptive_dg_per_member(
     mesh_axis: str = "data",
     checkpoint_dir: str | None = None,
     iteration=None,
+    device_loop: bool = False,
 ) -> list[DGPerMemberAdaptResult]:
     """PER-MEMBER adaptive DG-in-time: every ensemble member owns its own
     partition, bisects its own largest-|AWR| element, and freezes
@@ -381,6 +382,19 @@ def run_adaptive_dg_per_member(
     are per-member, so dp needs no cross-device reduction at all.
     Checkpoint/resume mirrors the ensemble loop (orbax round-trip of the
     padded partitions + per-member masks each iteration).
+
+    ``device_loop=True`` runs the ENTIRE adaptive loop on device: a
+    ``lax.while_loop`` over adaptive iterations carries (times, refining)
+    and writes each iteration's packed diagnostics row into a
+    preallocated (maxit+1, B, ·) buffer with ``dynamic_update_slice``,
+    stopping early on device when no member is still refining. One
+    dispatch and ONE host fetch replace the per-iteration
+    dispatch+fetch round trips — on this harness those cost ~52 ms each,
+    more than the per-iteration compute itself at B≲10³. History is
+    reconstructed on the host from the buffer, bit-identical to the
+    per-iteration mode (pinned in tests). Checkpointing degrades to a
+    single save at the end of the run (resume still works; there are no
+    intermediate host syncs to checkpoint from).
     """
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_adjoint_march_batched,
@@ -535,6 +549,82 @@ def run_adaptive_dg_per_member(
     if sharding is not None:
         times = jax.device_put(times, sharding)
         refining = jax.device_put(refining, sharding)
+
+    if device_loop:
+        ncols = n_pad + max_k + 3
+
+        @jax.jit
+        def _run_fused(times, refining):
+            diag_buf = jnp.zeros((maxit + 1, b, ncols), times.dtype)
+            if sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                diag_buf = jax.lax.with_sharding_constraint(
+                    diag_buf,
+                    NamedSharding(mesh, PartitionSpec(None, mesh_axis)),
+                )
+
+            def body(carry):
+                t, r, buf, it, _ = carry
+                t_new, r_new, diag = iteration(t, r)
+                zero = jnp.zeros_like(it)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, diag[None].astype(buf.dtype), (it, zero, zero)
+                )
+                return (t_new, r_new, buf, it + 1, jnp.sum(r_new) > 0)
+
+            def cond(carry):
+                _, _, _, it, cont = carry
+                return (it < maxit + 1) & cont
+
+            t_f, r_f, diag_buf, n_done, _ = jax.lax.while_loop(
+                cond, body,
+                (times, refining, diag_buf, jnp.int32(it0), jnp.array(True)),
+            )
+            return t_f, r_f, diag_buf, n_done
+
+        times_f, refining_f, diag_buf, n_done = _run_fused(times, refining)
+        n_done = int(n_done)
+        diag_buf = np.asarray(diag_buf)
+        for i in range(it0, n_done):
+            d = diag_buf[i]
+            refine_h = d[:, n_pad + max_k + 2] != 0
+            history.append(
+                DGPerMemberAdaptResult(
+                    times=d[:, :n_pad].copy(),
+                    n_active=n_active.copy(),
+                    err=d[:, n_pad : n_pad + max_k].copy(),
+                    j=d[:, n_pad + max_k].copy(),
+                    est_total=d[:, n_pad + max_k + 1].copy(),
+                    n_refining=int(refine_h.sum()),
+                )
+            )
+            # a zero-refining row adds zeros -> identical to the host
+            # loop's conditional update
+            n_active = n_active + refine_h.astype(np.int64)
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(times_f),
+                    "refining": np.asarray(refining_f).astype(np.int32),
+                    "n_active": n_active,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+
+        class _FusedHistory(list):
+            pass
+
+        out = _FusedHistory(history)
+        out.iteration = iteration
+        out.run_fused = _run_fused
+        return out
 
     for _ in range(it0, maxit + 1):
         times_new, refine_new, diag = iteration(times, refining)

@@ -63,6 +63,12 @@ def main(argv=None):
              "the reference's one-adaptive-job-per-IC farm "
              "(Submit_schedule_frontera) in one compile-once loop",
     )
+    p.add_argument(
+        "--device-loop", action="store_true",
+        help="--per-member only: run the WHOLE adaptive loop on device "
+             "(lax.while_loop over iterations, early exit when all "
+             "members freeze, one dispatch + one fetch for the run)",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -123,6 +129,7 @@ def main(argv=None):
                 n_order=args.order, k0=args.k0, tol=args.tol,
                 maxit=args.maxit, newton_iters=8, engine=engine,
                 mesh=mesh, checkpoint_dir=args.checkpoint_dir,
+                device_loop=args.device_loop,
             )
             for it, r in enumerate(history):
                 print(
@@ -131,8 +138,10 @@ def main(argv=None):
                     f"mean |Adj-W Res|={np.abs(r.est_total).mean():.10e}  "
                     f"refining={r.n_refining}/{args.ensemble}"
                 )
+            mode = "per-member, device-loop" if args.device_loop \
+                else "per-member"
             print(f"finished after {len(history)} iterations "
-                  f"(B={args.ensemble}, per-member, engine={engine})")
+                  f"(B={args.ensemble}, {mode}, engine={engine})")
             return history
         history = run_adaptive_dg_ensemble(
             ode.f, y0s, (args.t0, args.t1),

@@ -413,6 +413,7 @@ def main():
     # reference does — element-by-element, member-by-member.
     from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
         run_adaptive_dg_ensemble,
+        run_adaptive_dg_per_member,
     )
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_estimate_batched,
@@ -507,6 +508,58 @@ def main():
         2 * (len(h.times) - 1) * dg_ab for h in dg_hist
     )
     dg_adaptive_baseline_est = dg_adaptive_slabs / dg_base_rate
+
+    # PER-MEMBER adaptive loop, fused on device (device_loop=True): every
+    # member refines its own partition (the reference's one-job-per-IC
+    # farm), and the WHOLE maxit-iteration study runs as one
+    # lax.while_loop dispatch with a single diagnostics fetch. Timed
+    # steady-state via the prebuilt run_fused / iteration callables (same
+    # no-retrace methodology as above); histories are pinned identical in
+    # tests, so host-vs-fused is a pure dispatch/fetch comparison.
+    pm_engine = "pallas" if on_tpu else "xla"
+    pm_kwargs = dict(kwargs, engine=pm_engine)
+    h_pm_host = run_adaptive_dg_per_member(
+        f_sin, dg_ay0, (0.0, 2.0), **pm_kwargs
+    )
+    h_pm_fused = run_adaptive_dg_per_member(
+        f_sin, dg_ay0, (0.0, 2.0), device_loop=True, **pm_kwargs
+    )
+    n_pad_pm = h_pm_host[0].times.shape[1]
+    row_pm = np.linspace(0.0, 2.0, dg_k0 + 1)
+    row_pm = np.concatenate(
+        [row_pm, np.full(n_pad_pm - dg_k0 - 1, row_pm[-1])]
+    )
+    pm_times0 = jnp.asarray(
+        np.broadcast_to(row_pm, (dg_ab, n_pad_pm)).copy(), jnp.float32
+    )
+    pm_ref0 = jnp.ones((dg_ab,), bool)
+
+    def _pm_host_run():
+        t, r = pm_times0, pm_ref0
+        for _ in range(dg_maxit + 1):
+            t_new, r_new, diag = h_pm_host.iteration(t, r)
+            d = np.asarray(diag)  # the per-iteration host fetch
+            if not (d[:, -1] != 0).any():
+                break
+            t, r = t_new, r_new
+        return d
+
+    def _pm_fused_run():
+        _, _, buf, n_done = h_pm_fused.run_fused(pm_times0, pm_ref0)
+        return np.asarray(buf)
+
+    def _timeit(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    _pm_host_run(); _pm_fused_run()  # warm
+    pm_host_s = min(_timeit(_pm_host_run) for _ in range(3))
+    pm_fused_s = min(_timeit(_pm_fused_run) for _ in range(3))
+    # baseline: the farm runs each member's adaptive study on the host
+    # pipeline — slab count = live coarse+fine slabs actually marched
+    pm_slabs = sum(2 * int(h.n_active.sum()) for h in h_pm_host)
+    pm_baseline_est = pm_slabs / dg_base_rate
 
     # ---- 100k-IC DG slab ensemble (the reference's Main_variable_params
     # scale, python/Main_variable_params.py:234): the member-blocked grid
@@ -629,6 +682,13 @@ def main():
                 / dg_adaptive_wallclock,
                 "dg_adaptive_ensemble": dg_ab,
                 "dg_adaptive_iterations": len(dg_hist),
+                "dg_adaptive_pm_host_wall_s": round(pm_host_s, 4),
+                "dg_adaptive_pm_fused_wall_s": round(pm_fused_s, 4),
+                "dg_adaptive_pm_fused_speedup": round(
+                    pm_host_s / pm_fused_s, 2
+                ),
+                "dg_adaptive_pm_vs_baseline": pm_baseline_est / pm_fused_s,
+                "dg_adaptive_pm_engine": pm_engine,
                 "dg_slab_100k_solves_per_sec": dg100k_rate,
                 "dg_slab_100k_batch": dg100k_b,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,

@@ -317,6 +317,70 @@ class TestPerMemberAdaptiveLoop:
         assert len(h) < 21
 
 
+class TestPerMemberDeviceLoop:
+    """device_loop=True: the whole adaptive loop as ONE lax.while_loop
+    dispatch with on-device early exit; history must be bit-identical to
+    the per-iteration host loop."""
+
+    def test_matches_host_loop(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(4).uniform(0.5, 2.0, 8)
+        kw = dict(k0=3, maxit=5, tol=3e-5, newton_iters=8)
+        h_host = run_adaptive_dg_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+        h_dev = run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_dev) == len(h_host)
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(rd.times, rh.times)
+            np.testing.assert_array_equal(rd.n_active, rh.n_active)
+            np.testing.assert_array_equal(rd.err, rh.err)
+            np.testing.assert_array_equal(rd.est_total, rh.est_total)
+            assert rd.n_refining == rh.n_refining
+
+    def test_early_exit_on_device(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        h = run_adaptive_dg_per_member(
+            F_SIN, np.array([1.0, 1.5]), (0.0, 2.0), k0=3, maxit=25,
+            tol=1e-4, newton_iters=8, device_loop=True,
+        )
+        assert h[-1].n_refining == 0
+        assert len(h) < 26
+
+    def test_checkpoint_resume_fused(self, tmp_path):
+        # a fused run saves ONE end-of-run checkpoint; a second fused run
+        # with larger maxit resumes from it and matches the uninterrupted
+        # history
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(6).uniform(0.5, 2.0, 4)
+        kw = dict(k0=3, tol=3e-5, newton_iters=8, device_loop=True)
+        ref = run_adaptive_dg_per_member(F_SIN, y0s, (0.0, 2.0), maxit=6, **kw)
+        ck = str(tmp_path / "dgpm_fused")
+        run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=2, checkpoint_dir=ck, **kw
+        )
+        full = run_adaptive_dg_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=6, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            n_pad = min(r_res.times.shape[1], r_ref.times.shape[1])
+            np.testing.assert_allclose(
+                r_res.times[:, :n_pad], r_ref.times[:, :n_pad], atol=1e-12
+            )
+            np.testing.assert_array_equal(r_res.n_active, r_ref.n_active)
+            assert r_res.n_refining == r_ref.n_refining
+
+
 class TestBatchedIFT:
     """Batched implicit-function-theorem slab solver: jax.grad through the
     ensemble Newton march (the batched form of make_dg_slab_solver)."""

@@ -148,6 +148,20 @@ class TestDGEnsembleDriverMode:
         assert history[-1].n_refining == 0
         assert history[-1].times.shape[0] == 8
 
+    def test_per_member_device_loop_cli(self, capsys):
+        # --device-loop: whole loop as one while_loop dispatch; same
+        # history as the host-loop CLI run
+        from adjoint_ode_adaptivity_tpu.drivers.dg_adaptive import main
+
+        argv = ["--ensemble", "8", "--per-member", "--k0", "3", "--maxit",
+                "12", "--tol", "1e-4", "--engine", "xla"]
+        h_host = main(argv)
+        h_dev = main(argv + ["--device-loop"])
+        out = capsys.readouterr().out
+        assert "device-loop" in out
+        assert len(h_dev) == len(h_host)
+        np.testing.assert_array_equal(h_dev[-1].times, h_host[-1].times)
+
     def test_ensemble_dp_matches_unsharded(self, capsys):
         # --dp shards the members over all 8 virtual devices; the refined
         # partitions and estimates must match the unsharded run

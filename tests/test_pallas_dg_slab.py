@@ -265,6 +265,24 @@ class TestPerMemberLoopPallasEngine:
             np.testing.assert_array_equal(rp.n_active, rx.n_active)
             np.testing.assert_allclose(rp.est_total, rx.est_total, atol=1e-5)
 
+    def test_device_loop_matches_host_loop(self):
+        # the fused while_loop must drive the Pallas kernel identically
+        # to the per-iteration host loop (interpret mode on CPU)
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y0s = np.random.default_rng(3).uniform(0.5, 2.0, 8).astype(np.float32)
+        kw = dict(k0=3, maxit=3, tol=0.0, newton_iters=8, engine="pallas")
+        h_host = run_adaptive_dg_per_member(F, y0s, (0.0, 2.0), **kw)
+        h_dev = run_adaptive_dg_per_member(
+            F, y0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_dev) == len(h_host)
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(rd.times, rh.times)
+            np.testing.assert_array_equal(rd.est_total, rh.est_total)
+
     def test_mesh_dp_matches_single_device(self):
         # per-member times shard WITH the members (ensemble_batched
         # shard_extras); decisions must match the unsharded loop
@@ -285,3 +303,10 @@ class TestPerMemberLoopPallasEngine:
         assert len(h_m) == len(h_1)
         np.testing.assert_allclose(h_m[-1].times, h_1[-1].times, atol=1e-6)
         np.testing.assert_array_equal(h_m[-1].n_active, h_1[-1].n_active)
+        # fused device loop under the same dp mesh: identical decisions
+        h_f = run_adaptive_dg_per_member(
+            F, y0s, (0.0, 2.0), mesh=mesh, device_loop=True, **kw
+        )
+        assert len(h_f) == len(h_m)
+        np.testing.assert_array_equal(h_f[-1].times, h_m[-1].times)
+        np.testing.assert_array_equal(h_f[-1].n_active, h_m[-1].n_active)
