@@ -692,6 +692,7 @@ def run_adaptive_dg(
     padded: bool = False,
     adjoint_mode: str = "solve",
     checkpoint_dir: str | None = None,
+    device_loop: bool = False,
 ) -> list[DGAdaptResult]:
     """Adaptive h-refinement of the DG-in-time partition driven by the
     adjoint-weighted residual, with MAIN.m's effectivity telemetry.
@@ -702,7 +703,19 @@ def run_adaptive_dg(
     ``checkpoint_dir``: orbax-checkpoint partition + history each
     iteration and resume from the latest checkpoint when present (the
     callback is not re-invoked for restored iterations).
+
+    ``device_loop=True`` (requires ``padded=True``): the whole MAIN.m
+    study — solve, estimate, refine, stopping test — runs as ONE
+    ``lax.while_loop`` dispatch; per-iteration results land in
+    preallocated buffers and the host fetches once at the end. History
+    is bit-identical to the per-iteration mode (tested). Checkpointing
+    degrades to a single end-of-run save; the callback fires after the
+    run, in order.
     """
+    if device_loop and not padded:
+        raise ValueError("device_loop=True requires padded=True "
+                         "(static shapes are what make the fused loop "
+                         "compile once)")
     ops_p = dg_time_operators(n_order, n_gq)
     ops_a = dg_time_operators(n_order + 1, None if n_gq is None else n_gq + 2)
     ops_f = dg_time_operators(n_order + fine_offset)
@@ -748,6 +761,90 @@ def run_adaptive_dg(
             it0 = len(history)
             if abs(history[-1].est_total) < tol:
                 return history
+    if device_loop:
+        shapes = jax.eval_shape(iteration, jnp.asarray(times), y0)
+        n_nodes = times.shape[0]
+
+        @jax.jit
+        def _run_fused(times):
+            t_dtype = jnp.asarray(times).dtype
+            bufs = tuple(
+                jnp.zeros((maxit + 1,) + s.shape, s.dtype) for s in shapes[:5]
+            ) + (
+                jnp.zeros((maxit + 1, n_nodes), t_dtype),
+                jnp.zeros((maxit + 1,), shapes[2].dtype),  # device-side Σerr
+            )
+
+            def body(carry):
+                t, bufs, it, _ = carry
+                u, v, err, j_c, j_f, t_new = iteration(t, y0)
+                # same device reduction as the host loop's
+                # float(jnp.sum(err)) — keeps est_total bit-identical
+                est = jnp.sum(err)
+                done = jnp.abs(est) < tol
+                slot = it
+                zero = jnp.zeros_like(slot)
+                rows = (u, v, err, j_c, j_f, t, est)
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice(
+                        b,
+                        jnp.asarray(r, b.dtype)[None],
+                        (slot,) + (zero,) * (b.ndim - 1),
+                    )
+                    for b, r in zip(bufs, rows)
+                )
+                t = jnp.where(done, t, t_new)
+                return (t, bufs, it + 1, ~done)
+
+            def cond(carry):
+                _, _, it, cont = carry
+                return (it <= maxit) & cont
+
+            t_f, bufs, n_done, _ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(times), bufs, jnp.int32(it0),
+                             jnp.array(True)),
+            )
+            return t_f, bufs, n_done
+
+        t_f, bufs, n_done = _run_fused(times)
+        n_done = int(n_done)
+        bufs = [np.asarray(b) for b in bufs]
+        for i in range(it0, n_done):
+            na = n_active + (i - it0)
+            est_total = float(bufs[6][i])
+            result = DGAdaptResult(
+                times=bufs[5][i][: na + 1].copy(),
+                u=bufs[0][i][:na],
+                v=bufs[1][i][:na],
+                err=bufs[2][i][:na],
+                j_coarse=float(bufs[3][i]),
+                j_fine=float(bufs[4][i]),
+                effectivity_gap=float(bufs[3][i]) - float(bufs[4][i]),
+                est_total=est_total,
+            )
+            history.append(result)
+            if callback is not None:
+                callback(result)
+        if checkpoint_dir is not None and n_done > it0:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            done_final = abs(history[-1].est_total) < tol
+            n_active_final = n_active + (n_done - 1 - it0) + (
+                0 if done_final else 1
+            )
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(t_f),
+                    "n_active": n_active_final,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        return history
+
     for it in range(it0, maxit + 1):
         t_j = jnp.asarray(times)
         u, v, err, j_coarse, j_fine, times_new = iteration(t_j, y0)

@@ -125,6 +125,7 @@ def run_adaptive_fd(
     callback: Callable | None = None,
     dtype=None,
     checkpoint_dir: str | None = None,
+    device_loop: bool = False,
 ) -> list[AdaptResult]:
     """Run the adaptive loop until Σerr < tol or maxit — the complete
     Main_finite_difference.py driver, minus plotting (see utils.plotting).
@@ -138,6 +139,15 @@ def run_adaptive_fd(
     stopped (the reference restarts from scratch, SURVEY.md §5). Resumed
     iterations are bitwise-identical to an uninterrupted run (tested);
     the callback is not re-invoked for restored iterations.
+
+    ``device_loop=True`` runs the WHOLE study as one ``lax.while_loop``
+    dispatch: the scalar stopping test (Σerr vs tol) happens on device,
+    every iteration's full :class:`AdaptResult` fields are written into
+    preallocated (maxit+1, ·) buffers with ``dynamic_update_slice``, and
+    the host fetches once at the end — history bit-identical to the
+    per-iteration mode (pinned in tests). Checkpointing degrades to a
+    single end-of-run save (resume still works); the callback fires
+    after the run, in order.
     """
     if max_nodes is None:
         max_nodes = n_steps0 + maxit + 2
@@ -195,6 +205,97 @@ def run_adaptive_fd(
                 )
             err = float(history[-1].err_total)
             it = len(history)
+
+    if device_loop:
+        n_fine = (max_nodes - 1) * ref_factor + 1
+        err0 = jnp.asarray(err, dtype)
+
+        @jax.jit
+        def _run_fused(state, err0):
+            bufs = (
+                jnp.zeros((maxit + 1, max_nodes), dtype),  # times_used
+                jnp.zeros((maxit + 1,), jnp.int32),  # n_steps_used
+                jnp.zeros((maxit + 1, max_nodes), dtype),  # u
+                jnp.zeros((maxit + 1, n_fine), dtype),  # v
+                jnp.zeros((maxit + 1, max_nodes - 1), dtype),  # err_steps
+                jnp.zeros((maxit + 1,), dtype),  # err_total
+                jnp.zeros((maxit + 1,), dtype),  # j_coarse
+                jnp.zeros((maxit + 1, max_nodes), dtype),  # post times
+                jnp.zeros((maxit + 1,), jnp.int32),  # post n_active
+            )
+
+            def body(carry):
+                st, e, bufs = carry
+                r = adapt_iteration(
+                    st, u0, step_fn, functional_name, ref_factor, convention
+                )
+                slot = st.it
+                zero = jnp.zeros_like(slot)
+                rows = (
+                    r.times_used, r.n_steps_used, r.u, r.v, r.err_steps,
+                    r.err_total, r.j_coarse, r.state.times, r.state.n_active,
+                )
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice(
+                        b,
+                        jnp.asarray(row, b.dtype)[None]
+                        if b.ndim == 1
+                        else jnp.asarray(row, b.dtype)[None, :],
+                        (slot,) if b.ndim == 1 else (slot, zero),
+                    )
+                    for b, row in zip(bufs, rows)
+                )
+                return (r.state, jnp.asarray(r.err_total, dtype), bufs)
+
+            def cond(carry):
+                st, e, _ = carry
+                return (st.it <= maxit) & (e > tol)
+
+            state_f, _, bufs = jax.lax.while_loop(
+                cond, body, (state, err0, bufs)
+            )
+            return state_f, bufs
+
+        state_f, bufs = _run_fused(state, err0)
+        n_done = int(state_f.it)
+        bufs = [np.asarray(b) for b in bufs]
+        for i in range(it, n_done):
+            result = AdaptResult(
+                state=AdaptState(
+                    times=jnp.asarray(bufs[7][i]),
+                    n_active=jnp.asarray(bufs[8][i], jnp.int32),
+                    it=jnp.asarray(i + 1, jnp.int32),
+                ),
+                times_used=jnp.asarray(bufs[0][i]),
+                n_steps_used=jnp.asarray(bufs[1][i], jnp.int32),
+                u=jnp.asarray(bufs[2][i]),
+                v=jnp.asarray(bufs[3][i]),
+                err_steps=jnp.asarray(bufs[4][i]),
+                err_total=jnp.asarray(bufs[5][i]),
+                j_coarse=jnp.asarray(bufs[6][i]),
+            )
+            history.append(result)
+            if callback is not None:
+                callback(result)
+        if checkpoint_dir is not None and n_done > it:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            def _sd(s):
+                return dict(s._asdict())
+
+            save_checkpoint(
+                checkpoint_dir,
+                n_done,
+                {
+                    "state": _sd(history[-1].state),
+                    "history": [
+                        {**_sd(r), "state": _sd(r.state)} for r in history
+                    ],
+                },
+            )
+        return history
 
     while it <= maxit and err > tol:
         result = adapt_iteration(

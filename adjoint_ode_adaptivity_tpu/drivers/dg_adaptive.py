@@ -65,9 +65,10 @@ def main(argv=None):
     )
     p.add_argument(
         "--device-loop", action="store_true",
-        help="--per-member only: run the WHOLE adaptive loop on device "
-             "(lax.while_loop over iterations, early exit when all "
-             "members freeze, one dispatch + one fetch for the run)",
+        help="run the WHOLE adaptive loop on device (lax.while_loop over "
+             "iterations, on-device stopping test, one dispatch + one "
+             "fetch for the run); applies to the single-run padded loop "
+             "and to --per-member",
     )
     args = p.parse_args(argv)
 
@@ -161,7 +162,7 @@ def main(argv=None):
 
     padded = args.padded
     if padded is None:
-        padded = jax.default_backend() == "tpu"
+        padded = jax.default_backend() == "tpu" or args.device_loop
     history = run_adaptive_dg(
         ode.f,
         args.y0,
@@ -174,6 +175,7 @@ def main(argv=None):
         padded=padded,
         adjoint_mode=args.adjoint,
         checkpoint_dir=args.checkpoint_dir,
+        device_loop=args.device_loop,
     )
     print(f"finished after {len(history)} iterations, "
           f"K={len(history[-1].times) - 1} elements")

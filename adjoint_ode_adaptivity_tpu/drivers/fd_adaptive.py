@@ -28,6 +28,12 @@ def main(argv=None):
                    help="orbax-checkpoint each iteration; resume if present "
                         "(greedy schedule only)")
     p.add_argument("--animate", action="store_true")
+    p.add_argument(
+        "--device-loop", action="store_true",
+        help="run the WHOLE adaptive study as one lax.while_loop "
+             "dispatch (on-device stopping test, single fetch); "
+             "greedy schedule only",
+    )
     p.add_argument("--x64", action="store_true")
     p.add_argument("--schedule", default="greedy", choices=["greedy", "backtrack"],
                    help="greedy: always bisect the argmax; backtrack: undo+block "
@@ -138,6 +144,7 @@ def main(argv=None):
         maxit=args.maxit,
         callback=callback,
         checkpoint_dir=args.checkpoint_dir,
+        device_loop=args.device_loop,
     )
     print(f"finished after {len(history)} iterations; final Σerr = "
           f"{float(history[-1].err_total):.6e}")

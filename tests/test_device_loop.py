@@ -1,0 +1,149 @@
+"""Fully on-device adaptive loops (device_loop=True): the whole
+study — solve, estimate, refine, stopping test — as ONE lax.while_loop
+dispatch with preallocated history buffers and on-device early exit.
+History must be bit-identical to the per-iteration host-loop mode.
+
+(The per-member DG ensemble variant is covered in test_dg_batched.py /
+test_pallas_dg_slab.py.)"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+F_SIN = lambda u, t: jnp.sin(u)  # noqa: E731
+
+
+class TestFDDeviceLoop:
+    def _kw(self, **over):
+        kw = dict(
+            n_steps0=2, functional_name="J=int(u^2)", ref_factor=4,
+            tol=1e-4, maxit=8,
+        )
+        kw.update(over)
+        return kw
+
+    def test_matches_host_loop(self):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        h_host = run_adaptive_fd(step, 1.0, (0.0, 2.0), **self._kw())
+        h_dev = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), device_loop=True, **self._kw()
+        )
+        assert len(h_dev) == len(h_host)
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(
+                np.asarray(rd.times_used), np.asarray(rh.times_used)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rd.u), np.asarray(rh.u)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rd.v), np.asarray(rh.v)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rd.err_steps), np.asarray(rh.err_steps)
+            )
+            assert float(rd.err_total) == float(rh.err_total)
+            assert float(rd.j_coarse) == float(rh.j_coarse)
+            assert int(rd.state.n_active) == int(rh.state.n_active)
+            np.testing.assert_array_equal(
+                np.asarray(rd.state.times), np.asarray(rh.state.times)
+            )
+
+    def test_early_exit_on_device(self):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        h = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), device_loop=True,
+            **self._kw(tol=0.2, maxit=30),
+        )
+        assert float(h[-1].err_total) <= 0.2
+        assert len(h) < 31  # stopped on device before maxit
+
+    def test_callback_fires_in_order(self):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        seen = []
+        h = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), device_loop=True,
+            callback=lambda r: seen.append(int(r.n_steps_used)),
+            **self._kw(maxit=4, tol=0.0),
+        )
+        assert seen == [int(r.n_steps_used) for r in h]
+        assert seen == sorted(seen)  # refinement grows the grid
+
+    def test_checkpoint_resume_fused(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        kw = self._kw(tol=0.0)
+        ref = run_adaptive_fd(step, 1.0, (0.0, 2.0), device_loop=True,
+                              maxit=5, **{k: v for k, v in kw.items()
+                                          if k != "maxit"})
+        ck = str(tmp_path / "fd_fused")
+        kw2 = {k: v for k, v in kw.items() if k != "maxit"}
+        run_adaptive_fd(step, 1.0, (0.0, 2.0), device_loop=True, maxit=2,
+                        checkpoint_dir=ck, max_nodes=2 + 5 + 2, **kw2)
+        full = run_adaptive_fd(step, 1.0, (0.0, 2.0), device_loop=True,
+                               maxit=5, checkpoint_dir=ck, **kw2)
+        assert len(full) == len(ref) == 6
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.times_used), np.asarray(r_ref.times_used)
+            )
+            assert float(r_res.err_total) == float(r_ref.err_total)
+
+
+class TestDGDeviceLoop:
+    def test_requires_padded(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
+
+        with pytest.raises(ValueError, match="padded"):
+            run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), device_loop=True)
+
+    def test_matches_host_loop(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
+
+        kw = dict(n_order=1, k0=2, tol=0.0, maxit=4, padded=True)
+        h_host = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), **kw)
+        h_dev = run_adaptive_dg(
+            F_SIN, 1.0, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_dev) == len(h_host) == 5
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(rd.times, rh.times)
+            np.testing.assert_array_equal(rd.u, rh.u)
+            np.testing.assert_array_equal(rd.v, rh.v)
+            np.testing.assert_array_equal(rd.err, rh.err)
+            assert rd.j_coarse == rh.j_coarse
+            assert rd.j_fine == rh.j_fine
+            assert rd.est_total == rh.est_total
+
+    def test_early_exit_and_resume(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
+
+        kw = dict(n_order=1, k0=2, tol=1e-3, padded=True, device_loop=True)
+        h = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), maxit=10, **kw)
+        assert abs(h[-1].est_total) < 1e-3
+        assert len(h) < 11
+        # fused checkpoint: a partial run resumes into the full history
+        ref = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), maxit=6, **kw)
+        ck = str(tmp_path / "dg_fused")
+        run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), maxit=2,
+                        checkpoint_dir=ck, **kw)
+        full = run_adaptive_dg(F_SIN, 1.0, (0.0, 2.0), maxit=6,
+                               checkpoint_dir=ck, **kw)
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_allclose(r_res.times, r_ref.times, atol=1e-12)
+            assert abs(r_res.est_total - r_ref.est_total) < 1e-12

@@ -15,6 +15,17 @@ class TestFDDriver:
         out = capsys.readouterr().out
         assert "sum(err)" in out
 
+    def test_device_loop_cli_matches(self, capsys, tmp_path, monkeypatch):
+        # --device-loop fuses the whole study into one dispatch; history
+        # must match the host-loop run
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.fd_adaptive import main
+
+        h_host = main(["--maxit", "3", "--tol", "0"])
+        h_dev = main(["--maxit", "3", "--tol", "0", "--device-loop"])
+        assert len(h_dev) == len(h_host) == 4
+        assert float(h_dev[-1].err_total) == float(h_host[-1].err_total)
+
     def test_plot_frames_written(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from adjoint_ode_adaptivity_tpu.drivers.fd_adaptive import main
@@ -35,6 +46,17 @@ class TestDGDriver:
         assert len(history) == 3
         # element count grows by one per iteration
         assert len(history[-1].times) == len(history[0].times) + 2
+
+    def test_device_loop_cli_matches(self, capsys, tmp_path, monkeypatch):
+        # --device-loop implies padded; fused history == padded host run
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.dg_adaptive import main
+
+        h_host = main(["--maxit", "2", "--padded"])
+        h_dev = main(["--maxit", "2", "--device-loop"])
+        assert len(h_dev) == len(h_host)
+        np.testing.assert_array_equal(h_dev[-1].times, h_host[-1].times)
+        assert h_dev[-1].est_total == h_host[-1].est_total
 
 
 class TestAdvecDriver:
