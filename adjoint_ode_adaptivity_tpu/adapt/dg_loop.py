@@ -115,6 +115,7 @@ def run_adaptive_dg_ensemble(
     mesh_axis: str = "data",
     checkpoint_dir: str | None = None,
     iteration=None,
+    device_loop: bool = False,
 ) -> list[DGEnsembleAdaptResult]:
     """Ensemble-signal adaptive DG-in-time loop — the reference's
     refinement-by-ensemble-mean indicator (Main_variable_params.py:330-341)
@@ -148,6 +149,12 @@ def run_adaptive_dg_ensemble(
     :func:`~adjoint_ode_adaptivity_tpu.parallel.ensemble.ensemble_batched`
     (B / n_devices must be a multiple of 8). Decisions are pinned equal to
     the single-device loop in tests (f32 roundoff on the signal).
+
+    ``device_loop=True``: the whole study runs as one ``lax.while_loop``
+    dispatch — on-device |mean Σerr|-vs-tol stopping test, per-iteration
+    diagnostics in a preallocated buffer, one fetch at the end; history
+    bit-identical to the per-iteration mode (tested). Checkpointing
+    degrades to a single end-of-run save (resume still works).
     """
     from adjoint_ode_adaptivity_tpu.march.dg_batched import (
         dg_adjoint_march_batched,
@@ -287,6 +294,75 @@ def run_adaptive_dg_ensemble(
         )
         times = jnp.asarray(times_host)
         n_active = k0
+
+    if device_loop:
+        n_diag = n_pad + max_k + 2
+
+        @jax.jit
+        def _run_fused(times):
+            diag_buf = jnp.zeros((maxit + 1, n_diag), jnp.asarray(times).dtype)
+
+            def body(carry):
+                t, buf, it, _ = carry
+                t_new, diag = iteration(t)
+                done = jnp.abs(diag[n_pad + max_k + 1]) < tol
+                zero = jnp.zeros_like(it)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, diag[None].astype(buf.dtype), (it, zero)
+                )
+                t = jnp.where(done, t, t_new)
+                return (t, buf, it + 1, ~done)
+
+            def cond(carry):
+                _, _, it, cont = carry
+                return (it <= maxit) & cont
+
+            t_f, diag_buf, n_done, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(times), diag_buf, jnp.int32(it0),
+                 jnp.array(True)),
+            )
+            return t_f, diag_buf, n_done
+
+        t_f, diag_buf, n_done = _run_fused(times)
+        n_done = int(n_done)
+        diag_buf = np.asarray(diag_buf)
+        for i in range(it0, n_done):
+            d = diag_buf[i]
+            na = n_active + (i - it0)
+            history.append(
+                DGEnsembleAdaptResult(
+                    times=d[: na + 1].copy(),
+                    err_mean=d[n_pad : n_pad + na].copy(),
+                    j_mean=float(d[n_pad + max_k]),
+                    est_total_mean=float(d[n_pad + max_k + 1]),
+                )
+            )
+        if checkpoint_dir is not None and n_done > it0:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            done_final = abs(history[-1].est_total_mean) < tol
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(t_f),
+                    "n_active": n_active + (n_done - 1 - it0)
+                    + (0 if done_final else 1),
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+
+        class _FusedHistory(list):
+            pass
+
+        out = _FusedHistory(history)
+        out.iteration = iteration
+        out.run_fused = _run_fused
+        return out
+
     for _ in range(it0, maxit + 1):
         times_new, diag = iteration(times)
         diag = np.asarray(diag)

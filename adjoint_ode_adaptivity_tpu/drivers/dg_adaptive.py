@@ -149,6 +149,7 @@ def main(argv=None):
             n_order=args.order, k0=args.k0, tol=args.tol, maxit=args.maxit,
             newton_iters=8, engine=engine, mesh=mesh,
             checkpoint_dir=args.checkpoint_dir,
+            device_loop=args.device_loop,
         )
         for it, r in enumerate(history):
             print(

@@ -104,6 +104,49 @@ class TestFDDeviceLoop:
             assert float(r_res.err_total) == float(r_ref.err_total)
 
 
+class TestDGEnsembleDeviceLoop:
+    def test_matches_host_loop(self):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(2).uniform(0.5, 2.0, 8)
+        kw = dict(k0=3, maxit=4, tol=0.0, newton_iters=8)
+        h_host = run_adaptive_dg_ensemble(F_SIN, y0s, (0.0, 2.0), **kw)
+        h_dev = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_dev) == len(h_host) == 5
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(rd.times, rh.times)
+            np.testing.assert_array_equal(rd.err_mean, rh.err_mean)
+            assert rd.j_mean == rh.j_mean
+            assert rd.est_total_mean == rh.est_total_mean
+
+    def test_early_exit_and_resume(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_ensemble,
+        )
+
+        y0s = np.random.default_rng(5).uniform(0.5, 2.0, 4)
+        kw = dict(k0=3, tol=2e-5, newton_iters=8, device_loop=True)
+        h = run_adaptive_dg_ensemble(F_SIN, y0s, (0.0, 2.0), maxit=20, **kw)
+        assert abs(h[-1].est_total_mean) < 2e-5
+        assert len(h) < 21
+        ref = run_adaptive_dg_ensemble(F_SIN, y0s, (0.0, 2.0), maxit=8, **kw)
+        ck = str(tmp_path / "dge_fused")
+        run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), maxit=3, checkpoint_dir=ck, **kw
+        )
+        full = run_adaptive_dg_ensemble(
+            F_SIN, y0s, (0.0, 2.0), maxit=8, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_allclose(r_res.times, r_ref.times, atol=1e-12)
+            assert abs(r_res.est_total_mean - r_ref.est_total_mean) < 1e-12
+
+
 class TestDGDeviceLoop:
     def test_requires_padded(self):
         from adjoint_ode_adaptivity_tpu.adapt.dg_loop import run_adaptive_dg
