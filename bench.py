@@ -589,6 +589,62 @@ def main():
         dg100k_elapsed, _ = chained_slope(mk_dg100k, dg100k_y0, k_hi=8)
         dg100k_rate = dg100k_b * dg_k * 2 / dg100k_elapsed
 
+    # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
+    # at width 500 — the reference's LARGEST trained width
+    # (Main_new_loss.py:209) — over 10 time steps, batch 8192,
+    # terminal-MSE Adam epoch through the differentiable solver. The
+    # reference farm budget is 10,000 epochs inside a 5-12 h RTX job
+    # (Main_FD_with_net.py:57, Submit_schedule_frontera/main_shell.sh:2-4),
+    # i.e. ≤0.23-0.56 epochs/s even if a job did nothing but train.
+    # Chained: K adam epochs as one lax.scan inside one jit, slope-timed.
+    train_rate = None
+    if on_tpu:
+        import optax
+        from jax import random as jrand
+
+        from adjoint_ode_adaptivity_tpu import odes as odes_mod
+        from adjoint_ode_adaptivity_tpu.models.blocks import ResBlockSimple
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            create_train_state,
+            make_per_step_train_step,
+        )
+
+        t_net = ResBlockSimple(features=500)
+        t_steps, t_batch = 10, 8192
+        t_dt = jnp.full((t_steps,), 0.1, jnp.float32)
+        p_one = t_net.init(jrand.PRNGKey(7), jnp.ones(1), 0.0, 0.1)["params"]
+        p_st = jax.tree_util.tree_map(
+            lambda leaf: jnp.stack([leaf] * t_steps), p_one
+        )
+        t_tx = optax.adam(1e-3)
+        t_state0 = create_train_state(p_st, t_tx)
+        t_step = make_per_step_train_step(t_net, t_tx)
+        t_ode = odes_mod.get_ode("du/dt=sin(u)")
+        t_u0 = jnp.asarray(
+            np.random.default_rng(11).uniform(0.5, 2.0, t_batch), jnp.float32
+        )
+        t_true = jnp.asarray(t_ode.exact_fwd(1.0, t_u0), jnp.float32)
+
+        def mk_train(k_epochs):
+            @jax.jit
+            def g(u0b):
+                def body(st, _):
+                    st, loss = t_step(st, t_dt, u0b, t_true)
+                    return st, loss
+
+                st, losses = jax.lax.scan(
+                    body, t_state0, None, length=k_epochs
+                )
+                live = sum(
+                    jnp.sum(leaf)
+                    for leaf in jax.tree_util.tree_leaves(st.params)
+                )
+                return losses[-1] + 1e-20 * live
+            return g
+
+        t_elapsed, _ = chained_slope(mk_train, t_u0, k_hi=128)
+        train_rate = 1.0 / t_elapsed
+
     # ---- K-envelope rows (BASELINE.md): the resident blocked-single
     # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
     # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
@@ -691,6 +747,7 @@ def main():
                 "dg_adaptive_pm_engine": pm_engine,
                 "dg_slab_100k_solves_per_sec": dg100k_rate,
                 "dg_slab_100k_batch": dg100k_b,
+                "train_epochs_per_sec_w500_b8192": train_rate,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
                 "k1m_tiled_dof_steps_per_sec": k1m_rate,
             }
