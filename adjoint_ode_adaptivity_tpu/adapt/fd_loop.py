@@ -295,7 +295,13 @@ def run_adaptive_fd(
                     ],
                 },
             )
-        return history
+
+        class _FusedHistory(list):
+            pass
+
+        out = _FusedHistory(history)
+        out.run_fused = _run_fused  # reusable prebuilt jit (bench/timing)
+        return out
 
     while it <= maxit and err > tol:
         result = adapt_iteration(

@@ -411,6 +411,39 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_per_member_times_B1024_K16", e)
 
+    # 17e. the fused per-member ADAPTIVE loop (device_loop=True): a
+    # lax.while_loop driving the slab kernel with on-device refinement —
+    # while_loop-of-pallas_call is its own Mosaic/XLA compile path, so it
+    # gets its own hardware gate; oracle = the per-iteration host loop
+    # over the identical XLA-batched pipeline
+    try:
+        from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+            run_adaptive_dg_per_member,
+        )
+
+        y_al = np.random.default_rng(6).uniform(0.5, 2.0, 256).astype(
+            np.float32
+        )
+        kw_al = dict(k0=3, maxit=3, tol=0.0, newton_iters=5)
+        h_dev = run_adaptive_dg_per_member(
+            f_sin, y_al, (0.0, 2.0), engine="pallas", device_loop=True,
+            **kw_al,
+        )
+        h_ref = run_adaptive_dg_per_member(
+            f_sin, y_al, (0.0, 2.0), engine="xla", **kw_al
+        )
+        assert len(h_dev) == len(h_ref), (len(h_dev), len(h_ref))
+        assert (h_dev[-1].n_active == h_ref[-1].n_active).all(), (
+            "refinement decisions diverged"
+        )
+        check(
+            "dg_per_member_fused_loop_B256",
+            jnp.asarray(h_dev[-1].times), jnp.asarray(h_ref[-1].times),
+            1e-4, 3e-6,
+        )
+    except Exception as e:  # noqa: BLE001
+        fail("dg_per_member_fused_loop_B256", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
