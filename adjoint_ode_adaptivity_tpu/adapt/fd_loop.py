@@ -38,6 +38,8 @@ __all__ = [
     "run_adaptive_fd",
     "run_adaptive_fd_backtrack",
     "run_adaptive_fd_backtrack_padded",
+    "FDPerMemberAdaptResult",
+    "run_adaptive_fd_per_member",
 ]
 
 
@@ -575,3 +577,279 @@ def run_adaptive_fd_backtrack(
         )
         it += 1
     return history
+
+
+class FDPerMemberAdaptResult(NamedTuple):
+    """Per-iteration snapshot of a B-member per-member FD adaptive study."""
+
+    times: np.ndarray  # (B, max_nodes) padded per-member grids
+    n_active: np.ndarray  # (B,) live step count per member
+    err_steps: np.ndarray  # (B, max_nodes-1) per-coarse-step indicators
+    err_total: np.ndarray  # (B,) signed Σ err_steps per member
+    j_coarse: np.ndarray  # (B,) functional per member
+    n_refining: int  # members still above tol AFTER this iteration
+
+
+def run_adaptive_fd_per_member(
+    step_fn: Callable,
+    u0s,  # (B,) initial-condition ensemble
+    t_span: tuple[float, float],
+    n_steps0: int = 2,
+    *,
+    functional_name: str = "J=int(u^2)",
+    ref_factor: int = 4,
+    tol: float = 1e-5,
+    maxit: int = 100,
+    convention: str = "strided",
+    max_nodes: int | None = None,
+    dtype=None,
+    mesh=None,
+    mesh_axis: str = "data",
+    checkpoint_dir: str | None = None,
+    device_loop: bool = False,
+) -> list[FDPerMemberAdaptResult]:
+    """PER-MEMBER adaptive FD study: B independent
+    Main_finite_difference.py loops — each initial condition owns its own
+    padded time grid, bisects its own worst step, and freezes
+    independently once its Σerr drops to ``tol`` (the same signed
+    ``err > tol`` stopping test as :func:`run_adaptive_fd`) — collapsed
+    into ONE compile-once jit via ``vmap`` of :func:`adapt_iteration`
+    over the member axis. The reference runs exactly one such study per
+    SLURM job (Submit_schedule_frontera); here thousands ride the TPU
+    vector lanes together. Frozen members are masked by a ``where`` on
+    the member axis, so shapes never change across iterations.
+
+    History stores the per-member grids/indicators/functionals (the
+    single-run loop additionally keeps u and v — per-member trajectories
+    at ensemble scale would dominate the fetch).
+
+    ``mesh`` data-parallelizes members over ``mesh_axis`` (pure dp, no
+    collectives — decisions are per-member). ``device_loop=True`` fuses
+    the whole study into one ``lax.while_loop`` dispatch with on-device
+    early exit when every member freezes (checkpointing degrades to one
+    end-of-run save). Checkpoint/resume mirrors the DG per-member loop.
+    """
+    u0s = jnp.asarray(u0s)
+    b = u0s.shape[0]
+    if max_nodes is None:
+        max_nodes = n_steps0 + maxit + 2
+    dtype = dtype or jnp.asarray(0.0).dtype
+    u0s = u0s.astype(dtype)
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[mesh_axis]
+        if b % n_dev:
+            raise ValueError(f"B={b} must divide over {n_dev} mesh devices")
+        sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        u0s = jax.device_put(u0s, sharding)
+
+    history: list[FDPerMemberAdaptResult] = []
+    it0 = 0
+    restored = None
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                FDPerMemberAdaptResult(
+                    times=np.asarray(h["times"]),
+                    n_active=np.asarray(h["n_active"]),
+                    err_steps=np.asarray(h["err_steps"]),
+                    err_total=np.asarray(h["err_total"]),
+                    j_coarse=np.asarray(h["j_coarse"]),
+                    n_refining=int(h["n_refining"]),
+                )
+                for h in raw["history"]
+            ]
+            restored = raw
+            it0 = len(history)
+            if history[-1].n_refining == 0:
+                return history
+            max_nodes = max(max_nodes, np.asarray(raw["times"]).shape[1])
+            if history[0].times.shape[1] < max_nodes:
+                # re-pad restored rows to this run's width so the whole
+                # history is shape-uniform (padding = zero-width steps at
+                # t_end, exact identities; indicator padding is exactly 0)
+                def _repad(r):
+                    wt = max_nodes - r.times.shape[1]
+                    return r._replace(
+                        times=np.concatenate(
+                            [r.times, np.repeat(r.times[:, -1:], wt, 1)], 1
+                        ),
+                        err_steps=np.concatenate(
+                            [
+                                r.err_steps,
+                                np.zeros((r.err_steps.shape[0], wt)),
+                            ],
+                            1,
+                        ),
+                    )
+
+                history = [_repad(r) for r in history]
+
+    def _one(state, u0):
+        return adapt_iteration(
+            state, u0, step_fn, functional_name, ref_factor, convention
+        )
+
+    @jax.jit
+    def _iteration(times, n_active, refining):
+        st = AdaptState(
+            times=times, n_active=n_active,
+            it=jnp.zeros((b,), jnp.int32),
+        )
+        r = jax.vmap(_one)(st, u0s)
+        # signed stopping test, per member (run_adaptive_fd semantics)
+        refine_now = refining & (r.err_total > tol)  # (B,)
+        times_next = jnp.where(refine_now[:, None], r.state.times, times)
+        n_active_next = jnp.where(refine_now, r.state.n_active, n_active)
+        diag = jnp.concatenate(
+            [
+                times,
+                r.err_steps.astype(times.dtype),
+                r.err_total[:, None].astype(times.dtype),
+                r.j_coarse[:, None].astype(times.dtype),
+                refine_now[:, None].astype(times.dtype),
+            ],
+            axis=1,
+        )  # (B, max_nodes + max_nodes-1 + 3)
+        return times_next, n_active_next, refine_now, diag
+
+    if restored is not None:
+        t_res = np.asarray(restored["times"])
+        if t_res.shape[1] < max_nodes:  # re-pad: zero-width steps
+            t_res = np.concatenate(
+                [
+                    t_res,
+                    np.repeat(
+                        t_res[:, -1:], max_nodes - t_res.shape[1], axis=1
+                    ),
+                ],
+                axis=1,
+            )
+        times = jnp.asarray(t_res, dtype)
+        n_active = jnp.asarray(restored["n_active"], jnp.int32)
+        refining = jnp.asarray(np.asarray(restored["refining"]) != 0)
+    else:
+        row = np.linspace(t_span[0], t_span[1], n_steps0 + 1)
+        row = np.concatenate(
+            [row, np.full(max_nodes - n_steps0 - 1, row[-1])]
+        )
+        times = jnp.asarray(np.broadcast_to(row, (b, max_nodes)).copy(), dtype)
+        n_active = jnp.full((b,), n_steps0, jnp.int32)
+        refining = jnp.ones((b,), bool)
+    if sharding is not None:
+        times = jax.device_put(times, sharding)
+        n_active = jax.device_put(n_active, sharding)
+        refining = jax.device_put(refining, sharding)
+
+    n_cols = 2 * max_nodes + 2  # diag row width
+
+    def _append(d_row, na_row):
+        refine_h = d_row[:, -1] != 0
+        history.append(
+            FDPerMemberAdaptResult(
+                times=d_row[:, :max_nodes].copy(),
+                n_active=np.asarray(na_row).copy(),
+                err_steps=d_row[:, max_nodes : 2 * max_nodes - 1].copy(),
+                err_total=d_row[:, 2 * max_nodes - 1].copy(),
+                j_coarse=d_row[:, 2 * max_nodes].copy(),
+                n_refining=int(refine_h.sum()),
+            )
+        )
+        return refine_h
+
+    def _save(times_f, n_active_f, refining_f):
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            checkpoint_dir,
+            len(history),
+            {
+                "times": np.asarray(times_f),
+                "n_active": np.asarray(n_active_f),
+                "refining": np.asarray(refining_f).astype(np.int32),
+                "history": [dict(r._asdict()) for r in history],
+            },
+        )
+
+    if device_loop:
+        @jax.jit
+        def _run_fused(times, n_active, refining):
+            diag_buf = jnp.zeros((maxit + 1, b, n_cols), times.dtype)
+            na_buf = jnp.zeros((maxit + 1, b), jnp.int32)
+            if sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = NamedSharding(mesh, PartitionSpec(None, mesh_axis))
+                diag_buf = jax.lax.with_sharding_constraint(diag_buf, spec)
+                na_buf = jax.lax.with_sharding_constraint(na_buf, spec)
+
+            def body(carry):
+                t, na, r, dbuf, nbuf, it, _ = carry
+                t_n, na_n, r_n, diag = _iteration(t, na, r)
+                zero = jnp.zeros_like(it)
+                dbuf = jax.lax.dynamic_update_slice(
+                    dbuf, diag[None].astype(dbuf.dtype), (it, zero, zero)
+                )
+                nbuf = jax.lax.dynamic_update_slice(
+                    nbuf, na[None], (it, zero)
+                )
+                return (t_n, na_n, r_n, dbuf, nbuf, it + 1,
+                        jnp.sum(r_n) > 0)
+
+            def cond(carry):
+                it, cont = carry[5], carry[6]
+                return (it <= maxit) & cont
+
+            t_f, na_f, r_f, dbuf, nbuf, n_done, _ = jax.lax.while_loop(
+                cond, body,
+                (times, n_active, refining, diag_buf, na_buf,
+                 jnp.int32(it0), jnp.array(True)),
+            )
+            return t_f, na_f, r_f, dbuf, nbuf, n_done
+
+        t_f, na_f, r_f, dbuf, nbuf, n_done = _run_fused(
+            times, n_active, refining
+        )
+        n_done = int(n_done)
+        dbuf, nbuf = np.asarray(dbuf), np.asarray(nbuf)
+        for i in range(it0, n_done):
+            _append(dbuf[i], nbuf[i])
+        if checkpoint_dir is not None and n_done > it0:
+            _save(t_f, na_f, r_f)
+
+        class _FusedHistory(list):
+            pass
+
+        out = _FusedHistory(history)
+        out.iteration = _iteration
+        out.run_fused = _run_fused
+        return out
+
+    for _ in range(it0, maxit + 1):
+        times_new, n_active_new, refine_new, diag = _iteration(
+            times, n_active, refining
+        )
+        _append(np.asarray(diag), n_active)
+        if history[-1].n_refining > 0:
+            times, n_active, refining = times_new, n_active_new, refine_new
+        if checkpoint_dir is not None:
+            _save(times, n_active, refining)
+        if history[-1].n_refining == 0:
+            break
+
+    class _History(list):
+        pass
+
+    out = _History(history)
+    out.iteration = _iteration
+    return out

@@ -42,6 +42,14 @@ def main(argv=None):
     p.add_argument("--coarsen-tol", type=float, default=None,
                    help="backtrack schedule only: merge adjacent step pairs whose "
                         "combined contribution is below this")
+    p.add_argument(
+        "--ensemble", type=int, default=0,
+        help="B>0: PER-MEMBER ensemble — B initial conditions drawn "
+             "U(u0/2, 2*u0) with --seed, each adapting its OWN time grid "
+             "and freezing at --tol independently (the reference's "
+             "one-adaptive-job-per-config farm in one vmapped jit)",
+    )
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     if args.x64:
@@ -59,6 +67,33 @@ def main(argv=None):
     ode = odes.get_ode(args.ode)
     functional = get_functional(args.functional)
     step = euler_step(ode.f)
+
+    if args.ensemble > 0:
+        import numpy as _np
+
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        rng = _np.random.default_rng(args.seed)
+        u0s = rng.uniform(args.u0 / 2.0, 2.0 * args.u0, args.ensemble)
+        history = run_adaptive_fd_per_member(
+            step, u0s, (args.t0, args.t1), n_steps0=args.n_steps0,
+            functional_name=args.functional, ref_factor=args.ref_factor,
+            tol=args.tol, maxit=args.maxit,
+            checkpoint_dir=args.checkpoint_dir,
+            device_loop=args.device_loop,
+        )
+        for it, r in enumerate(history):
+            print(
+                f"it {it:3d}  steps [{r.n_active.min()}..{r.n_active.max()}]"
+                f"  J_mean={r.j_coarse.mean():+.10e}  "
+                f"mean sum(err)={r.err_total.mean():.6e}  "
+                f"refining={r.n_refining}/{args.ensemble}"
+            )
+        print(f"finished after {len(history)} iterations "
+              f"(B={args.ensemble}, per-member)")
+        return history
 
     if args.schedule == "backtrack" and (args.plot or args.animate):
         print("--plot/--animate are not supported with --schedule backtrack; "

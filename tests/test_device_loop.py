@@ -104,6 +104,128 @@ class TestFDDeviceLoop:
             assert float(r_res.err_total) == float(r_ref.err_total)
 
 
+class TestFDPerMember:
+    """Per-member FD adaptive: B independent Main_finite_difference.py
+    studies (one per IC — the reference's one-job-per-config farm) in one
+    vmapped compile-once jit."""
+
+    def _step(self):
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        return euler_step(odes.get_ode("du/dt=sin(u)").f)
+
+    def test_matches_independent_runs(self):
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd,
+            run_adaptive_fd_per_member,
+        )
+
+        step = self._step()
+        u0s = np.array([0.7, 1.0, 1.6])
+        kw = dict(
+            n_steps0=2, functional_name="J=int(u^2)", ref_factor=4,
+            tol=0.15, maxit=8,
+        )
+        hp = run_adaptive_fd_per_member(step, u0s, (0.0, 2.0), **kw)
+        for bm in range(3):
+            h1 = run_adaptive_fd(step, float(u0s[bm]), (0.0, 2.0), **kw)
+            # until member bm freezes, its rows equal the solo study
+            for it in range(len(h1)):
+                r1, rp = h1[it], hp[it]
+                np.testing.assert_array_equal(
+                    np.asarray(r1.times_used), rp.times[bm]
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(r1.err_steps), rp.err_steps[bm]
+                )
+                assert float(r1.err_total) == rp.err_total[bm]
+                assert float(r1.j_coarse) == rp.j_coarse[bm]
+                assert int(r1.n_steps_used) == rp.n_active[bm]
+            # after it freezes, its grid stops changing
+            for it in range(len(h1), len(hp)):
+                np.testing.assert_array_equal(
+                    hp[it].times[bm], hp[len(h1) - 1].times[bm]
+                )
+
+    def test_members_freeze_independently(self):
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        hp = run_adaptive_fd_per_member(
+            self._step(), np.array([0.4, 1.0, 1.6, 2.2]), (0.0, 2.0),
+            n_steps0=2, tol=0.15, maxit=12,
+        )
+        last = hp[-1]
+        assert last.n_refining == 0
+        assert len(set(last.n_active.tolist())) > 1
+        assert len(hp) < 13
+
+    def test_device_loop_matches_host(self):
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        u0s = np.array([0.7, 1.0, 1.6])
+        kw = dict(n_steps0=2, tol=0.15, maxit=8)
+        h_host = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), **kw
+        )
+        h_dev = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_dev) == len(h_host)
+        for rd, rh in zip(h_dev, h_host):
+            np.testing.assert_array_equal(rd.times, rh.times)
+            np.testing.assert_array_equal(rd.n_active, rh.n_active)
+            np.testing.assert_array_equal(rd.err_total, rh.err_total)
+            assert rd.n_refining == rh.n_refining
+
+    def test_checkpoint_resume(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        u0s = np.array([0.7, 1.0, 1.6, 2.2])
+        kw = dict(n_steps0=2, tol=0.15)
+        step = self._step()
+        ref = run_adaptive_fd_per_member(step, u0s, (0.0, 2.0), maxit=8, **kw)
+        ck = str(tmp_path / "fd_pm")
+        run_adaptive_fd_per_member(
+            step, u0s, (0.0, 2.0), maxit=2, checkpoint_dir=ck, **kw
+        )
+        full = run_adaptive_fd_per_member(
+            step, u0s, (0.0, 2.0), maxit=8, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(r_res.times, r_ref.times)
+            np.testing.assert_array_equal(r_res.n_active, r_ref.n_active)
+            assert r_res.n_refining == r_ref.n_refining
+
+    def test_mesh_dp_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        u0s = np.random.default_rng(3).uniform(0.5, 2.0, 16)
+        kw = dict(n_steps0=2, tol=0.15, maxit=4, device_loop=True)
+        h_1 = run_adaptive_fd_per_member(self._step(), u0s, (0.0, 2.0), **kw)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        h_m = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), mesh=mesh, **kw
+        )
+        assert len(h_m) == len(h_1)
+        np.testing.assert_allclose(
+            h_m[-1].times, h_1[-1].times, atol=1e-12
+        )
+        np.testing.assert_array_equal(h_m[-1].n_active, h_1[-1].n_active)
+
+
 class TestDGEnsembleDeviceLoop:
     def test_matches_host_loop(self):
         from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (

@@ -26,6 +26,18 @@ class TestFDDriver:
         assert len(h_dev) == len(h_host) == 4
         assert float(h_dev[-1].err_total) == float(h_host[-1].err_total)
 
+    def test_per_member_ensemble_cli(self, capsys, tmp_path, monkeypatch):
+        # --ensemble B: B independent adaptive studies, one vmapped jit;
+        # members freeze independently at --tol
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.fd_adaptive import main
+
+        h = main(["--ensemble", "8", "--tol", "0.15", "--maxit", "10"])
+        out = capsys.readouterr().out
+        assert "per-member" in out and "refining=" in out
+        assert h[-1].n_refining == 0
+        assert len(set(h[-1].n_active.tolist())) > 1
+
     def test_plot_frames_written(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from adjoint_ode_adaptivity_tpu.drivers.fd_adaptive import main
