@@ -603,6 +603,8 @@ def run_adaptive_fd_per_member(
     convention: str = "strided",
     max_nodes: int | None = None,
     dtype=None,
+    engine: str = "xla",
+    ode_f: Callable | None = None,
     mesh=None,
     mesh_axis: str = "data",
     checkpoint_dir: str | None = None,
@@ -628,6 +630,16 @@ def run_adaptive_fd_per_member(
     the whole study into one ``lax.while_loop`` dispatch with on-device
     early exit when every member freezes (checkpointing degrades to one
     end-of-run save). Checkpoint/resume mirrors the DG per-member loop.
+
+    ``engine="pallas"`` runs every member's whole fwd+adjoint+indicator
+    estimate in ONE fused kernel launch
+    (:func:`~adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble.make_pallas_fd_estimate_per_member`
+    — per-member step widths ride as traced VMEM operands, so the loop
+    never recompiles); refinement stays a vmapped
+    :func:`~adjoint_ode_adaptivity_tpu.adapt.policy.bisect_refine_padded`.
+    Requires the Euler march (pass the raw ODE right-hand side as
+    ``ode_f``), ``functional_name="J=int(u^2)"``, and B a multiple of 8;
+    pinned equal to the XLA engine in tests.
     """
     u0s = jnp.asarray(u0s)
     b = u0s.shape[0]
@@ -693,6 +705,41 @@ def run_adaptive_fd_per_member(
 
                 history = [_repad(r) for r in history]
 
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
+    if engine == "pallas":
+        if ode_f is None:
+            raise ValueError(
+                "engine='pallas' needs the raw ODE right-hand side as "
+                "ode_f (the fused kernel traces f/f_u itself)"
+            )
+        if functional_name != "J=int(u^2)":
+            raise ValueError(
+                "engine='pallas' supports functional_name='J=int(u^2)'"
+            )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_estimate_per_member,
+        )
+
+        def _f_u(u, t, _f=ode_f):
+            return jax.jvp(lambda uu: _f(uu, t), (u,), (jnp.ones_like(u),))[1]
+
+        pallas_run = make_pallas_fd_estimate_per_member(
+            ode_f, _f_u, max_nodes - 1, ref_factor, convention=convention,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if mesh is not None:
+            from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+                ensemble_batched,
+            )
+
+            # per-member dt shards WITH the members (extra 0)
+            pallas_run_dp = ensemble_batched(
+                lambda u0b, dtb, _run=pallas_run: _run(dtb, u0b),
+                mesh, axis=mesh_axis, shard_extras={0},
+            )
+            pallas_run = lambda dtb, u0b: pallas_run_dp(u0b, dtb)  # noqa: E731
+
     def _one(state, u0):
         return adapt_iteration(
             state, u0, step_fn, functional_name, ref_factor, convention
@@ -700,21 +747,33 @@ def run_adaptive_fd_per_member(
 
     @jax.jit
     def _iteration(times, n_active, refining):
-        st = AdaptState(
-            times=times, n_active=n_active,
-            it=jnp.zeros((b,), jnp.int32),
-        )
-        r = jax.vmap(_one)(st, u0s)
+        if engine == "pallas":
+            err_steps, j_coarse = pallas_run(
+                jnp.diff(times, axis=1), u0s
+            )
+            err_total = jnp.sum(err_steps, axis=1)
+            t_new, na_new = jax.vmap(bisect_refine_padded)(
+                times, n_active, err_steps
+            )
+        else:
+            st = AdaptState(
+                times=times, n_active=n_active,
+                it=jnp.zeros((b,), jnp.int32),
+            )
+            r = jax.vmap(_one)(st, u0s)
+            err_steps, err_total = r.err_steps, r.err_total
+            j_coarse = r.j_coarse
+            t_new, na_new = r.state.times, r.state.n_active
         # signed stopping test, per member (run_adaptive_fd semantics)
-        refine_now = refining & (r.err_total > tol)  # (B,)
-        times_next = jnp.where(refine_now[:, None], r.state.times, times)
-        n_active_next = jnp.where(refine_now, r.state.n_active, n_active)
+        refine_now = refining & (err_total > tol)  # (B,)
+        times_next = jnp.where(refine_now[:, None], t_new, times)
+        n_active_next = jnp.where(refine_now, na_new, n_active)
         diag = jnp.concatenate(
             [
                 times,
-                r.err_steps.astype(times.dtype),
-                r.err_total[:, None].astype(times.dtype),
-                r.j_coarse[:, None].astype(times.dtype),
+                err_steps.astype(times.dtype),
+                err_total[:, None].astype(times.dtype),
+                j_coarse[:, None].astype(times.dtype),
                 refine_now[:, None].astype(times.dtype),
             ],
             axis=1,

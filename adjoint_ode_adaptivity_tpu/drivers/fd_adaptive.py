@@ -50,6 +50,12 @@ def main(argv=None):
              "one-adaptive-job-per-config farm in one vmapped jit)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--engine", choices=["xla", "pallas"], default=None,
+        help="--ensemble only: estimate engine (default: pallas on TPU "
+             "— the whole per-member fwd+adjoint+indicator in one fused "
+             "kernel launch)",
+    )
     args = p.parse_args(argv)
 
     if args.x64:
@@ -75,12 +81,21 @@ def main(argv=None):
             run_adaptive_fd_per_member,
         )
 
+        import jax
+
         rng = _np.random.default_rng(args.seed)
         u0s = rng.uniform(args.u0 / 2.0, 2.0 * args.u0, args.ensemble)
+        engine = args.engine or (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+        if engine == "pallas" and args.functional != "J=int(u^2)":
+            print(f"engine=pallas supports J=int(u^2) only; using xla "
+                  f"for {args.functional}")
+            engine = "xla"
         history = run_adaptive_fd_per_member(
             step, u0s, (args.t0, args.t1), n_steps0=args.n_steps0,
             functional_name=args.functional, ref_factor=args.ref_factor,
-            tol=args.tol, maxit=args.maxit,
+            tol=args.tol, maxit=args.maxit, engine=engine, ode_f=ode.f,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,
         )
@@ -92,7 +107,7 @@ def main(argv=None):
                 f"refining={r.n_refining}/{args.ensemble}"
             )
         print(f"finished after {len(history)} iterations "
-              f"(B={args.ensemble}, per-member)")
+              f"(B={args.ensemble}, per-member, engine={engine})")
         return history
 
     if args.schedule == "backtrack" and (args.plot or args.animate):

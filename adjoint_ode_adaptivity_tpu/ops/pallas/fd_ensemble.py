@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_pallas_fd_ensemble"]
+__all__ = ["make_pallas_fd_ensemble", "make_pallas_fd_estimate_per_member"]
 
 
 def _is_scalar(x) -> bool:
@@ -161,5 +161,142 @@ def make_pallas_fd_ensemble(
             interpret=interpret,
         )(u0t)
         return err.reshape(n_steps, n)
+
+    return run
+
+
+def _pm_kernel(f, f_u, n_steps, rf, convention, dt_ref, u0_ref, err_out,
+               j_out):
+    # dt_ref: (n_steps, 8, L) per-member coarse widths — TRACED (the
+    # adaptive loop changes them every iteration without recompiling);
+    # zero-width padding steps are exact identities and contribute
+    # exactly 0 (the repo-wide padding contract, verified in tests)
+    dts = [dt_ref[n] for n in range(n_steps)]
+    tc = [jnp.zeros_like(dts[0])]
+    for d in dts:
+        tc.append(tc[-1] + d)
+    u = u0_ref[:]
+    traj = [u]
+    j_val = jnp.zeros_like(u)
+    for n in range(n_steps):
+        j_val = j_val + u * u * dts[n]  # J = Σ u_n² dt_n (left rule)
+        u = u + f(u, tc[n]) * dts[n]
+        traj.append(u)
+    j_out[:] = j_val
+
+    def u_fine(j):
+        i, q = divmod(j, rf)
+        if q == 0:
+            return traj[i]
+        w = q / rf
+        return traj[i] + w * (traj[i + 1] - traj[i])
+
+    def t_fine(j):
+        i, q = divmod(j, rf)
+        return tc[i] + (q / rf) * dts[i]
+
+    def dt_fine(j):
+        return dts[j // rf] * (1.0 / rf)
+
+    n_fine = n_steps * rf
+    v = jnp.zeros_like(u)  # v_{n_fine} = k_{n_fine} = 0
+    blocks = [None] * n_steps
+    for j in range(n_fine, 0, -1):
+        u_j = u_fine(j)
+        u_jm1 = u_fine(j - 1)
+        if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
+            dtf = dt_fine(j)
+            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_fine(j)) * dtf) * v
+        dtf_m = dt_fine(j - 1)
+        r = u_j - (u_jm1 + f(u_jm1, t_fine(j - 1)) * dtf_m)
+        err = r * v
+        i = (j - 1) // rf
+        if convention == "strided":
+            # step i sums |err_fine| at fine nodes i·rf+2 .. i·rf+rf
+            # (drops the first fine node of every step, incl. node 1)
+            if (j - 1) % rf != 0:
+                a = jnp.abs(err)
+                blocks[i] = a if blocks[i] is None else blocks[i] + a
+            elif blocks[i] is None:
+                blocks[i] = jnp.zeros_like(err)
+        else:  # block: signed sums then abs
+            blocks[i] = err if blocks[i] is None else blocks[i] + err
+
+    for i in range(n_steps):
+        err_out[i] = (
+            blocks[i] if convention == "strided" else jnp.abs(blocks[i])
+        )
+
+
+def make_pallas_fd_estimate_per_member(
+    f: Callable,
+    f_u: Callable,
+    n_steps: int,
+    ref_factor: int,
+    convention: str = "strided",
+    interpret: bool = False,
+):
+    """Fused per-member FD estimate: ``run(dt_b, u0s) -> (err_steps, j)``
+    with PER-MEMBER (B, n_steps) coarse step widths riding as traced VMEM
+    operands — the engine of
+    ``adapt.fd_loop.run_adaptive_fd_per_member(engine="pallas")``. One
+    launch runs every member's coarse march + fine interpolation + J=∫u²
+    adjoint + residual + coarse indicator (``convention`` ∈
+    {"strided", "block"}, adjoint/estimate.py:88-116 semantics).
+    Zero-width (padding) steps are exact identities with exactly-zero
+    contributions, so the adaptive loop's frozen members and padded tails
+    cost nothing and can never win an argmax. ``B`` must be a multiple of
+    8; the member axis blocks into grid programs above 2560 lanes."""
+    if convention not in ("strided", "block"):
+        raise ValueError(convention)
+
+    def run(dt_b, u0s):
+        (n,) = u0s.shape
+        if n % 8:
+            raise ValueError(f"B={n} must be a multiple of 8")
+        if dt_b.shape != (n, n_steps):
+            raise ValueError(
+                f"per-member dt {dt_b.shape} != (B={n}, n_steps={n_steps})"
+            )
+        width = n // 8
+        blk = width
+        if width > 2560:
+            for cand in (2560, 2048, 1280, 1024, 640, 512):
+                if width % cand == 0:
+                    blk = cand
+                    break
+        n_blocks = width // blk
+        u0t = u0s.reshape(8, width)
+        # (B, n_steps) -> (n_steps, 8, width): same member->(sublane,
+        # lane) map as u0
+        dt_t = dt_b.T.reshape(n_steps, 8, width)
+        kern = functools.partial(
+            _pm_kernel, f, f_u, n_steps, ref_factor, convention
+        )
+        err, j_val = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_steps, 8, width), u0s.dtype),
+                jax.ShapeDtypeStruct((8, width), u0s.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec((n_steps, 8, blk), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((n_steps, 8, blk), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(dt_t, u0t)
+        return (
+            jnp.transpose(err.reshape(n_steps, n)),  # (B, n_steps)
+            j_val.reshape(n)
+        )
 
     return run

@@ -225,6 +225,60 @@ class TestFDPerMember:
         )
         np.testing.assert_array_equal(h_m[-1].n_active, h_1[-1].n_active)
 
+    def test_pallas_engine_matches_xla(self):
+        # the fused per-member FD estimate kernel (per-member dt as
+        # traced VMEM operands) must reproduce the vmapped XLA
+        # iteration's decisions exactly
+        import jax.numpy as jnp
+
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        u0s = np.random.default_rng(7).uniform(0.5, 2.0, 8)
+        kw = dict(n_steps0=2, tol=0.15, maxit=6)
+        h_x = run_adaptive_fd_per_member(self._step(), u0s, (0.0, 2.0), **kw)
+        h_p = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), engine="pallas", ode_f=ode.f, **kw
+        )
+        assert len(h_p) == len(h_x)
+        for rp, rx in zip(h_p, h_x):
+            np.testing.assert_allclose(rp.times, rx.times, atol=1e-12)
+            np.testing.assert_array_equal(rp.n_active, rx.n_active)
+            np.testing.assert_allclose(rp.err_total, rx.err_total,
+                                       atol=1e-12)
+            np.testing.assert_allclose(rp.j_coarse, rx.j_coarse, atol=1e-12)
+
+    def test_pallas_engine_device_loop_and_dp(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+
+        ode = odes.get_ode("du/dt=sin(u)")
+        u0s = np.random.default_rng(9).uniform(0.5, 2.0, 64)
+        kw = dict(n_steps0=2, tol=0.15, maxit=4, engine="pallas",
+                  ode_f=ode.f)
+        h_1 = run_adaptive_fd_per_member(self._step(), u0s, (0.0, 2.0), **kw)
+        h_f = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(h_f) == len(h_1)
+        np.testing.assert_array_equal(h_f[-1].times, h_1[-1].times)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        h_m = run_adaptive_fd_per_member(
+            self._step(), u0s, (0.0, 2.0), mesh=mesh, device_loop=True, **kw
+        )
+        assert len(h_m) == len(h_1)
+        np.testing.assert_allclose(h_m[-1].times, h_1[-1].times, atol=1e-12)
+        np.testing.assert_array_equal(h_m[-1].n_active, h_1[-1].n_active)
+
 
 class TestDGEnsembleDeviceLoop:
     def test_matches_host_loop(self):

@@ -444,6 +444,49 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("dg_per_member_fused_loop_B256", e)
 
+    # 17f. the per-member FD estimate kernel (per-member step widths as
+    # traced VMEM operands — the FD per-member adaptive loop's engine)
+    # at B=20480/44 padded steps vs the vmapped XLA iteration
+    try:
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            AdaptState as _FDState,
+            adapt_iteration as _fd_iter,
+        )
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_estimate_per_member,
+        )
+
+        b_fd, ns_fd, rf_fd = 20_480, 44, 4
+        rngfd = np.random.default_rng(7)
+        tc_fd = np.sort(rngfd.uniform(0.1, 1.9, (b_fd, 39)), axis=1)
+        t_fd = np.concatenate(
+            [np.zeros((b_fd, 1)), tc_fd, np.full((b_fd, 1), 2.0),
+             np.full((b_fd, 4), 2.0)], axis=1,
+        ).astype(np.float32)
+        u_fd = rngfd.uniform(0.5, 2.0, b_fd).astype(np.float32)
+        fd_run = make_pallas_fd_estimate_per_member(
+            f_sin, lambda u, t: jnp.cos(u), ns_fd, rf_fd,
+            convention="strided", interpret=interp,
+        )
+        err_fd, j_fd = fd_run(
+            jnp.asarray(np.diff(t_fd, axis=1)), jnp.asarray(u_fd)
+        )
+        st_fd = _FDState(
+            times=jnp.asarray(t_fd),
+            n_active=jnp.full((b_fd,), 40, jnp.int32),
+            it=jnp.zeros((b_fd,), jnp.int32),
+        )
+        step_fd = euler_step(f_sin)
+        r_fd = jax.jit(jax.vmap(
+            lambda s, u0: _fd_iter(s, u0, step_fd, "J=int(u^2)", rf_fd,
+                                   "strided")
+        ))(st_fd, jnp.asarray(u_fd))
+        check("fd_per_member_estimate_B20480", err_fd, r_fd.err_steps,
+              1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("fd_per_member_estimate_B20480", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
