@@ -589,6 +589,51 @@ def main():
         dg100k_elapsed, _ = chained_slope(mk_dg100k, dg100k_y0, k_hi=8)
         dg100k_rate = dg100k_b * dg_k * 2 / dg100k_elapsed
 
+    # ---- PER-MEMBER FD adaptive ensemble, fully fused: B=1024
+    # independent Main_finite_difference.py studies (each IC its own
+    # padded grid + bisections + freeze), engine="pallas" (each
+    # iteration's whole per-member fwd+adjoint+indicator is one kernel
+    # launch with per-member step widths as traced VMEM operands) and
+    # device_loop=True (the 41-iteration study is one lax.while_loop
+    # dispatch). Steady-state via the returned run_fused.
+    fd_pm_wall = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu import odes as _odes
+        from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
+            run_adaptive_fd_per_member,
+        )
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        fd_ode = _odes.get_ode("du/dt=sin(u)")
+        fd_b, fd_maxit = 1024, 40
+        fd_u0 = np.random.default_rng(0).uniform(0.5, 2.0, fd_b).astype(
+            np.float32
+        )
+        h_fdpm = run_adaptive_fd_per_member(
+            euler_step(fd_ode.f), fd_u0, (0.0, 2.0), n_steps0=2, tol=0.0,
+            maxit=fd_maxit, engine="pallas", ode_f=fd_ode.f,
+            device_loop=True,
+        )
+        fd_nodes = 2 + fd_maxit + 2
+        fd_row = np.linspace(0.0, 2.0, 3)
+        fd_row = np.concatenate([fd_row, np.full(fd_nodes - 3, fd_row[-1])])
+        fd_t0 = jnp.asarray(
+            np.broadcast_to(fd_row, (fd_b, fd_nodes)).copy(), jnp.float32
+        )
+        fd_na0 = jnp.full((fd_b,), 2, jnp.int32)
+        fd_r0 = jnp.ones((fd_b,), bool)
+
+        def _fd_pm_run():
+            out = h_fdpm.run_fused(fd_t0, fd_na0, fd_r0)
+            return np.asarray(out[3])
+
+        _fd_pm_run()
+        fd_pm_wall = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fd_pm_run()
+            fd_pm_wall = min(fd_pm_wall, time.perf_counter() - t0)
+
     # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
     # at width 500 — the reference's LARGEST trained width
     # (Main_new_loss.py:209) — over 10 time steps, batch 8192,
@@ -748,6 +793,10 @@ def main():
                 "dg_slab_100k_solves_per_sec": dg100k_rate,
                 "dg_slab_100k_batch": dg100k_b,
                 "train_epochs_per_sec_w500_b8192": train_rate,
+                "fd_adaptive_pm_fused_wall_s": None
+                if fd_pm_wall is None else round(fd_pm_wall, 4),
+                "fd_adaptive_pm_per_study_ms": None
+                if fd_pm_wall is None else round(fd_pm_wall / 1024 * 1e3, 4),
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
                 "k1m_tiled_dof_steps_per_sec": k1m_rate,
             }
