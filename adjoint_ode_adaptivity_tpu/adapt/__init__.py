@@ -15,6 +15,10 @@ from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
     run_adaptive_dg,
     run_adaptive_dg_per_member,
 )
+from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+    HPAdaptResult,
+    run_adaptive_dg_hp,
+)
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
     bisect_refine_masked,
@@ -32,6 +36,8 @@ __all__ = [
     "DGPerMemberAdaptResult",
     "run_adaptive_dg",
     "run_adaptive_dg_per_member",
+    "HPAdaptResult",
+    "run_adaptive_dg_hp",
     "AdaptState",
     "AdaptResult",
     "adapt_iteration",

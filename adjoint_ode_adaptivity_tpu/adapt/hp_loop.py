@@ -1,0 +1,176 @@
+"""Goal-oriented hp-adaptive DG-in-time loop: refine the ORDER (p) or
+bisect the slab (h) at the largest |adjoint-weighted residual|.
+
+The reference's ``MAIN.m:29-166`` loop only ever bisects (h) at a uniform
+order, but its ``dg_march(Ns, ...)`` signature carries a per-element order
+vector (dg_march.m:1,29) — this module drives that latent capability as a
+real adaptivity axis on top of the mixed-order solvers
+(:mod:`~adjoint_ode_adaptivity_tpu.march.dg_mixed`,
+:mod:`~adjoint_ode_adaptivity_tpu.adjoint.dg_mixed`).
+
+TPU-first design: the whole iteration — coarse march at ``ns``, fine march
+at ``ns + fine_offset``, adjoint at ``ns + 1``, both functionals, the
+refinement decision — is ONE jit compiled once at a padded partition:
+``times`` is padded with zero-width slabs (exact identities, zero error
+contribution — the repo-wide padding contract, which the mixed-order march
+preserves for every order) and ``ns`` is a data vector, so neither h- nor
+p-refinement ever retraces.  Refinement policy per iteration at
+``ref_i = argmax |err|``:
+
+- ``mode="p"``: raise that element's order by one (argmax restricted to
+  elements below ``n_max`` — a saturated element cannot improve in p).
+- ``mode="h"``: bisect it (children inherit the parent's order).
+- ``mode="hp"``: raise the order while ``ns[ref_i] < n_max``, else bisect —
+  p-exhaustion-then-h, the simplest honest hp strategy; smarter smoothness
+  indicators can reuse this loop by swapping the selector.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+    dg_adjoint_interp_mixed,
+    dg_adjoint_march_mixed,
+    dg_element_functional_mixed,
+)
+from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+    dg_march_mixed,
+    dg_time_operators_mixed,
+)
+
+__all__ = ["HPAdaptResult", "run_adaptive_dg_hp"]
+
+
+class HPAdaptResult(NamedTuple):
+    times: np.ndarray  # (K_active+1,) partition at this iteration
+    ns: np.ndarray  # (K_active,) per-element orders
+    u: np.ndarray  # (K_active, np_max) padded coarse primal
+    v: np.ndarray  # (K_active, np_max) padded adjoint (order ns+1)
+    err: np.ndarray  # (K_active,) element contributions
+    j_coarse: float
+    j_fine: float
+    effectivity_gap: float  # JuH − Juh (MAIN.m:55-64 telemetry)
+    est_total: float  # Σ err
+
+
+def run_adaptive_dg_hp(
+    f: Callable,
+    y0: float,
+    t_span: tuple[float, float],
+    *,
+    k0: int = 4,
+    n0: int = 1,
+    n_max: int = 4,
+    mode: str = "hp",
+    g: Callable = lambda u, t: u,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    tol: float = 1e-8,
+    maxit: int = 30,
+    fine_offset: int = 2,
+    n_gq: int | None = None,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+    callback: Callable | None = None,
+) -> list[HPAdaptResult]:
+    """hp-adaptive DG-in-time study; returns the per-iteration history
+    (same telemetry fields as
+    :func:`~adjoint_ode_adaptivity_tpu.adapt.dg_loop.run_adaptive_dg`).
+    Stops when ``|Σ err| < tol`` or after ``maxit`` refinements."""
+    if mode not in ("h", "p", "hp"):
+        raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
+    mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
+    interp = dg_adjoint_interp_mixed(mops)
+
+    max_k = k0 + (maxit + 1 if mode != "p" else 1)
+    times = np.linspace(t_span[0], t_span[1], k0 + 1)
+    times = np.concatenate([times, np.full(max_k - k0, times[-1])])
+    ns = np.concatenate(
+        [np.full(k0, n0, np.int32), np.ones(max_k - k0, np.int32)]
+    )
+    do_p = mode in ("p", "hp")
+    do_h = mode in ("h", "hp")
+
+    @jax.jit
+    def iteration(times, ns):
+        res_c = dg_march_mixed(
+            mops, f, times, ns, y0,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        res_f = dg_march_mixed(
+            mops, f, times, ns + fine_offset, y0,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        adj = dg_adjoint_march_mixed(
+            mops, interp, f, res_c.u, times, ns, y0, g_u=g_u
+        )
+        j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
+        j_f = dg_element_functional_mixed(
+            mops, res_f.u, times, ns + fine_offset, g
+        )
+        abs_err = jnp.abs(adj.err)
+        ref_any = jnp.argmax(abs_err)
+        # p-refinement: the argmax among order-refinable elements
+        eligible = ns < n_max
+        ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
+        if mode == "p":
+            ref_i = ref_p
+            use_p = jnp.array(True)
+        elif mode == "h":
+            ref_i = ref_any
+            use_p = jnp.array(False)
+        else:  # hp: p until the argmax element saturates, then bisect it
+            use_p = eligible[ref_any]
+            ref_i = ref_any
+        # candidate p-action
+        ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
+        # candidate h-action: midpoint insert (times) + order inherit (ns)
+        if do_h:
+            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+            idx_t = jnp.arange(times.shape[0])
+            t_shift = times[jnp.maximum(idx_t - 1, 0)]
+            times_h = jnp.where(
+                idx_t <= ref_i, times, jnp.where(idx_t == ref_i + 1, mid, t_shift)
+            )
+            idx_e = jnp.arange(ns.shape[0])
+            ns_shift = ns[jnp.maximum(idx_e - 1, 0)]
+            ns_h = jnp.where(idx_e <= ref_i, ns, ns_shift)
+        else:
+            times_h, ns_h = times, ns
+        times_new = jnp.where(use_p, times, times_h)
+        ns_new = jnp.where(use_p, ns_p, ns_h)
+        return (
+            res_c.u, adj.v, adj.err, j_c, j_f, times_new, ns_new,
+        )
+
+    history: list[HPAdaptResult] = []
+    n_active = k0
+    times = jnp.asarray(times)
+    ns = jnp.asarray(ns)
+    for it in range(maxit + 1):
+        u, v, err, j_c, j_f, times_new, ns_new = iteration(times, ns)
+        est_total = float(jnp.sum(err))
+        result = HPAdaptResult(
+            times=np.asarray(times)[: n_active + 1].copy(),
+            ns=np.asarray(ns)[:n_active].copy(),
+            u=np.asarray(u)[:n_active],
+            v=np.asarray(v)[:n_active],
+            err=np.asarray(err)[:n_active],
+            j_coarse=float(j_c),
+            j_fine=float(j_f),
+            effectivity_gap=float(j_c) - float(j_f),
+            est_total=est_total,
+        )
+        history.append(result)
+        if callback is not None:
+            callback(result)
+        if abs(est_total) < tol or it == maxit:
+            break
+        # h-refinement grew the active count iff the partition changed
+        if not np.array_equal(np.asarray(times_new), np.asarray(times)):
+            n_active += 1
+        times, ns = times_new, ns_new
+    return history

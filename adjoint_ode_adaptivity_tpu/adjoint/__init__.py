@@ -20,6 +20,12 @@ from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
     dg_awr_from_adjoint,
     dg_element_functional,
 )
+from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+    MixedAdjointInterp,
+    dg_adjoint_interp_mixed,
+    dg_adjoint_march_mixed,
+    dg_element_functional_mixed,
+)
 from adjoint_ode_adaptivity_tpu.adjoint.advec import (
     advec_adjoint_march,
     advec_fwd_adj_estimate,
@@ -37,6 +43,10 @@ __all__ = [
     "dg_awr_from_adjoint",
     "dg_element_functional",
     "continuous_err_contribution",
+    "MixedAdjointInterp",
+    "dg_adjoint_interp_mixed",
+    "dg_adjoint_march_mixed",
+    "dg_element_functional_mixed",
     "advec_adjoint_march",
     "advec_fwd_adj_estimate",
     "terminal_integral_cotangent",

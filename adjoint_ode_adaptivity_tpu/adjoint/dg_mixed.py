@@ -1,0 +1,177 @@
+"""Mixed per-element-order DG-in-time adjoint march and error estimate.
+
+The per-element-order counterpart of :mod:`adjoint_ode_adaptivity_tpu.adjoint.dg_time`
+(reference: ``matlab/adj_march.m`` called as ``adj_march(Ns+1, Ks, times)``,
+``MAIN.m:34`` — the adjoint order vector is the primal's plus one
+element-wise).  Shares the padded-stack design of
+:mod:`~adjoint_ode_adaptivity_tpu.march.dg_mixed`: every element gathers its
+order-(ns[k]+1) tables at run time from one
+:class:`~adjoint_ode_adaptivity_tpu.march.dg_mixed.MixedDGTimeOperators`
+stack, so one compiled executable serves every order assignment — this is
+what makes p-adaptivity (refining the ORDER at the argmax element instead
+of bisecting it) compile-once on TPU.
+
+Use ONE stack built with ``n_max_stack = n_max_primal + fine_offset`` for
+the coarse march (orders ``ns``), the fine march (``ns + fine_offset``),
+and this adjoint (``ns + 1``) — all paddings then agree.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from adjoint_ode_adaptivity_tpu.adjoint.dg_time import DGAdjointResult
+from adjoint_ode_adaptivity_tpu.march.dg_mixed import MixedDGTimeOperators
+from adjoint_ode_adaptivity_tpu.march.dg_time import f32_matmuls
+from adjoint_ode_adaptivity_tpu.ops.jacobi import jacobi_gl
+from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d
+
+__all__ = [
+    "MixedAdjointInterp",
+    "dg_adjoint_interp_mixed",
+    "dg_adjoint_march_mixed",
+    "dg_element_functional_mixed",
+]
+
+
+class MixedAdjointInterp(NamedTuple):
+    """Primal(order n) → adjoint(order n+1) interpolation stacks, indexed by
+    the PRIMAL order − 1 (n in 1..n_max_stack−1); zero-padded to the stack's
+    ``np_max`` on both sides."""
+
+    to_nodes: np.ndarray  # (L, np_max, np_max) primal nodes -> adjoint nodes
+    to_quad: np.ndarray  # (L, Q, np_max) primal nodes -> shared quadrature
+
+
+def dg_adjoint_interp_mixed(mops: MixedDGTimeOperators) -> MixedAdjointInterp:
+    np_m = mops.np_max
+    q = mops.rq.shape[0]
+    l = mops.n_max - 1
+    to_nodes = np.zeros((l, np_m, np_m))
+    to_quad = np.zeros((l, q, np_m))
+    for n in range(1, mops.n_max):
+        r_p = jacobi_gl(0.0, 0.0, n)
+        r_a = jacobi_gl(0.0, 0.0, n + 1)
+        to_nodes[n - 1, : n + 2, : n + 1] = interp_matrix_1d(n, r_p, r_a)
+        to_quad[n - 1, :, : n + 1] = interp_matrix_1d(n, r_p, mops.rq)
+    return MixedAdjointInterp(to_nodes=to_nodes, to_quad=to_quad)
+
+
+def _one_hot(idx, length, dtype):
+    return (jnp.arange(length) == idx).astype(dtype)
+
+
+@f32_matmuls
+def dg_adjoint_march_mixed(
+    mops: MixedDGTimeOperators,
+    interp: MixedAdjointInterp,
+    f: Callable,
+    u_primal: jnp.ndarray,  # (K, np_max) padded nodal primal (dg_march_mixed)
+    times: jnp.ndarray,
+    ns: jnp.ndarray,  # (K,) PRIMAL orders; adjoint solves at ns+1
+    y0,
+    *,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    v_terminal: float = 0.0,
+) -> DGAdjointResult:
+    """Backward adjoint sweep at per-element order ``ns[k] + 1`` with the
+    per-element adjoint-weighted residual contributions — identical results
+    to the uniform :func:`~adjoint_ode_adaptivity_tpu.adjoint.dg_time.dg_adjoint_march`
+    where ``ns`` is uniform (tested).  Requires ``ns[k] + 1 <= mops.n_max``.
+    """
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    ns = jnp.asarray(ns, jnp.int32)
+    np_m = mops.np_max
+    stiff = jnp.asarray(mops.stiff_pad, dtype)
+    mass = jnp.asarray(mops.mass_pad, dtype)
+    pad_eye = jnp.asarray(mops.pad_eye, dtype)
+    phi = jnp.asarray(mops.phi_pad, dtype)
+    r_p = jnp.asarray(mops.r_pad, dtype)
+    rq = jnp.asarray(mops.rq, dtype)
+    wq = jnp.asarray(mops.wq, dtype)
+    to_nodes = jnp.asarray(interp.to_nodes, dtype)
+    to_quad = jnp.asarray(interp.to_quad, dtype)
+
+    e_l = jnp.zeros((np_m, np_m), dtype).at[0, 0].set(1.0)
+    f_u = jax.vmap(jax.grad(lambda uu, tt: f(uu, tt)))
+
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+    # inflow values: previous element's right-endpoint value (dynamic node)
+    ends = jax.vmap(lambda u_el, n_k: jnp.dot(_one_hot(n_k, np_m, dtype), u_el))(
+        u_primal, ns
+    )
+    u_prevs = jnp.concatenate([jnp.asarray(y0, dtype).reshape(1), ends[:-1]])
+
+    def solve_element(v_inflow, xs):
+        u_el, tl, h, u_prev, n_k = xs
+        ip = n_k - 1  # primal-order index (interp stacks)
+        ia = n_k  # adjoint order n_k+1 -> stack index n_k
+        s_a = jnp.take(stiff, ia, axis=0)
+        m_ref = jnp.take(mass, ia, axis=0)
+        eye_a = jnp.take(pad_eye, ia, axis=0)
+        phi_a = jnp.take(phi, ia, axis=0)
+        r_a = jnp.take(r_p, ia, axis=0)
+        to_n = jnp.take(to_nodes, ip, axis=0)
+        to_q = jnp.take(to_quad, ip, axis=0)
+        e_end = _one_hot(n_k + 1, np_m, dtype)
+
+        u_q = to_q @ u_el  # primal at shared quadrature (in-element)
+        t_q = tl + (1.0 + rq) * h / 2.0
+        m_w = h / 2.0 * (phi_a.T @ (wq[:, None] * f_u(u_q, t_q)[:, None] * phi_a))
+        a_mat = -s_a.T - e_l + m_w + eye_a
+        t_n = tl + (1.0 + r_a) * h / 2.0
+        u_h = to_n @ u_el
+        rhs = -(h / 2.0 * (m_ref @ g_u(u_h, t_n))) - e_end * v_inflow
+        v_el = jnp.linalg.solve(a_mat, rhs)
+
+        # adjoint-weighted residual of the interpolated primal at order n+1
+        m_tilde = h / 2.0 * (phi_a.T @ (wq * f(u_q, t_q)))
+        res = (
+            s_a.T @ u_h
+            - e_end * jnp.dot(e_end, u_h)
+            + m_tilde
+            + jnp.zeros((np_m,), dtype).at[0].set(u_prev)
+        )
+        err_el = v_el @ res
+        return v_el[0], (v_el, t_n, err_el)
+
+    _, (v, t, err) = lax.scan(
+        solve_element,
+        jnp.asarray(v_terminal, dtype),
+        (u_primal, t_left, hs, u_prevs, ns),
+        reverse=True,
+    )
+    return DGAdjointResult(v=v, t=t, err=err)
+
+
+@f32_matmuls
+def dg_element_functional_mixed(
+    mops: MixedDGTimeOperators,
+    u: jnp.ndarray,  # (K, np_max) padded nodal values
+    times: jnp.ndarray,
+    ns: jnp.ndarray,  # (K,) the orders ``u`` was solved at
+    g: Callable = lambda u, t: u,
+) -> jnp.ndarray:
+    """J = Σ_k ∫_k g(u_h) dt with per-element orders (the mixed-order
+    counterpart of :func:`~adjoint_ode_adaptivity_tpu.adjoint.dg_time.dg_element_functional`)."""
+    times = jnp.asarray(times)
+    dtype = u.dtype
+    ns = jnp.asarray(ns, jnp.int32)
+    hs = times[1:] - times[:-1]
+    phi = jnp.asarray(mops.phi_pad, dtype)
+    wq = jnp.asarray(mops.wq, dtype)
+    rq = jnp.asarray(mops.rq, dtype)
+
+    def one(u_el, tl, h, n_k):
+        phi_k = jnp.take(phi, n_k - 1, axis=0)
+        u_q = phi_k @ u_el
+        t_q = tl + (1.0 + rq) * h / 2.0
+        return h / 2.0 * jnp.sum(wq * g(u_q, t_q))
+
+    return jnp.sum(jax.vmap(one)(u, times[:-1], hs, ns))

@@ -64,6 +64,16 @@ def main(argv=None):
              "(Submit_schedule_frontera) in one compile-once loop",
     )
     p.add_argument(
+        "--hp", choices=["h", "p", "hp"], default=None,
+        help="hp-adaptive loop on the mixed per-element-order solvers "
+             "(dg_march.m's latent Ns-vector capability): refine the ORDER "
+             "at the argmax element ('p'), bisect it ('h' — children "
+             "inherit the order), or p-until-saturated-then-h ('hp'); "
+             "--order sets the starting order, --n-max the p cap",
+    )
+    p.add_argument("--n-max", type=int, default=4,
+                   help="--hp only: maximum per-element order")
+    p.add_argument(
         "--device-loop", action="store_true",
         help="run the WHOLE adaptive loop on device (lax.while_loop over "
              "iterations, on-device stopping test, one dispatch + one "
@@ -101,6 +111,31 @@ def main(argv=None):
             print(f"{r.j_coarse - j_exact:.10e}")
         print("Adj-W Res")
         print(f"{r.est_total:.10e}")
+
+    if args.hp is not None:
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
+
+        def hp_callback(r):
+            k = len(r.ns)
+            print(f"-- it with K={k} ns={r.ns.tolist()}")
+            print("JuH-Juh")
+            print(f"{r.effectivity_gap:.10e}")
+            if j_exact is not None:
+                print("JuH-Ju")
+                print(f"{r.j_coarse - j_exact:.10e}")
+            print("Adj-W Res")
+            print(f"{r.est_total:.10e}")
+
+        history = run_adaptive_dg_hp(
+            ode.f, args.y0, (args.t0, args.t1),
+            k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
+            tol=args.tol, maxit=args.maxit, callback=hp_callback,
+        )
+        last = history[-1]
+        print(f"finished after {len(history)} iterations "
+              f"(mode={args.hp}, K={len(last.ns)}, "
+              f"orders {last.ns.min()}..{last.ns.max()})")
+        return history
 
     if args.ensemble > 0:
         from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (

@@ -16,6 +16,11 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import (
     dg_time_operators,
     make_dg_slab_solver,
 )
+from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+    MixedDGTimeOperators,
+    dg_march_mixed,
+    dg_time_operators_mixed,
+)
 from adjoint_ode_adaptivity_tpu.march.dg_batched import (
     DGBatchedAdjointResult,
     DGBatchedResult,
@@ -54,6 +59,9 @@ __all__ = [
     "dg_march",
     "dg_march_differentiable",
     "make_dg_slab_solver",
+    "MixedDGTimeOperators",
+    "dg_time_operators_mixed",
+    "dg_march_mixed",
     "DGBatchedResult",
     "DGBatchedAdjointResult",
     "dg_march_batched",

@@ -1,0 +1,199 @@
+"""Mixed per-element-order DG-in-time solvers and the hp-adaptive loop.
+
+Reference: ``matlab/dg_march.m:1`` takes a per-element order vector Ns
+(``fem_setup(Ns(k), ...)`` per element) — a latent capability MAIN.m never
+exercises (uniform ``Ns = n*ones``).  These tests pin the mixed-order
+solvers to the uniform solvers where ns is uniform, and to an
+element-by-element chained oracle where it is not.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
+from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+    dg_adjoint_interp_mixed,
+    dg_adjoint_march_mixed,
+    dg_element_functional_mixed,
+)
+from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
+    dg_adjoint_march,
+    dg_element_functional,
+)
+from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+    dg_march_mixed,
+    dg_time_operators_mixed,
+)
+from adjoint_ode_adaptivity_tpu.march.dg_time import dg_march, dg_time_operators
+
+F_SIN = lambda u, t: jnp.sin(u)  # noqa: E731
+N_MAX = 4
+NGQ = 3 * N_MAX + 6
+TIMES = jnp.asarray(np.linspace(0.0, 2.0, 9), jnp.float64)
+Y0 = 1.0
+
+
+@pytest.fixture(scope="module")
+def mops():
+    return dg_time_operators_mixed(N_MAX)
+
+
+@pytest.fixture(scope="module")
+def interp(mops):
+    return dg_adjoint_interp_mixed(mops)
+
+
+class TestMixedMarch:
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_uniform_matches_uniform_solver(self, mops, n):
+        ops = dg_time_operators(n, n_gq=NGQ)
+        ref = dg_march(ops, F_SIN, TIMES, Y0)
+        ns = jnp.full((8,), n, jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        np.testing.assert_allclose(
+            np.asarray(mix.u[:, : n + 1]), np.asarray(ref.u), atol=1e-13
+        )
+        # padded node values are exactly zero; Newton telemetry matches
+        assert np.abs(np.asarray(mix.u[:, n + 1 :])).max() == 0.0
+        np.testing.assert_array_equal(
+            np.asarray(mix.newton_iters), np.asarray(ref.newton_iters)
+        )
+
+    def test_mixed_matches_chained_oracle(self, mops):
+        ns = jnp.asarray([1, 3, 2, 4, 1, 2, 3, 1], jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        u_prev = Y0
+        for k in range(8):
+            n = int(ns[k])
+            ops = dg_time_operators(n, n_gq=NGQ)
+            r1 = dg_march(ops, F_SIN, TIMES[k : k + 2], u_prev)
+            np.testing.assert_allclose(
+                np.asarray(mix.u[k, : n + 1]), np.asarray(r1.u[0]), atol=1e-13
+            )
+            u_prev = float(r1.u[0, -1])
+
+    def test_zero_width_slab_is_identity(self, mops):
+        # padded partitions: zero-width slabs leave the carry untouched at
+        # EVERY order (the repo-wide padding contract)
+        times = jnp.asarray([0.0, 1.0, 2.0, 2.0, 2.0], jnp.float64)
+        ns = jnp.asarray([2, 3, 1, 4], jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, times, ns, Y0)
+        live = dg_march_mixed(
+            mops, F_SIN, times[:3], ns[:2], Y0
+        )
+        np.testing.assert_allclose(
+            np.asarray(mix.u[:2]), np.asarray(live.u), atol=0
+        )
+        # zero-width slabs carry the constant inflow value
+        end_live = float(live.u[1, int(ns[1])])
+        assert np.allclose(np.asarray(mix.u[2, :2]), end_live)
+        assert np.allclose(np.asarray(mix.u[3, :5]), end_live)
+
+    def test_vmaps_over_initial_conditions(self, mops):
+        ns = jnp.asarray([1, 2, 3, 1, 2, 3, 1, 2], jnp.int32)
+        y0s = jnp.asarray([0.5, 1.0, 1.5], jnp.float64)
+        batch = jax.vmap(
+            lambda y: dg_march_mixed(mops, F_SIN, TIMES, ns, y).u
+        )(y0s)
+        solo = dg_march_mixed(mops, F_SIN, TIMES, ns, y0s[1]).u
+        np.testing.assert_allclose(
+            np.asarray(batch[1]), np.asarray(solo), atol=1e-12
+        )
+
+
+class TestMixedAdjoint:
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_uniform_matches_uniform_adjoint(self, mops, interp, n):
+        ops = dg_time_operators(n, n_gq=NGQ)
+        ops_a = dg_time_operators(n + 1, n_gq=NGQ)
+        ref = dg_march(ops, F_SIN, TIMES, Y0)
+        adj_ref = dg_adjoint_march(ops_a, F_SIN, ref.u, TIMES, Y0)
+        ns = jnp.full((8,), n, jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        adj_mix = dg_adjoint_march_mixed(
+            mops, interp, F_SIN, mix.u, TIMES, ns, Y0
+        )
+        np.testing.assert_allclose(
+            np.asarray(adj_mix.v[:, : n + 2]), np.asarray(adj_ref.v), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(adj_mix.err), np.asarray(adj_ref.err), atol=1e-14
+        )
+
+    @pytest.mark.parametrize("n", [1, 2])
+    def test_functional_matches_uniform(self, mops, n):
+        ops = dg_time_operators(n, n_gq=NGQ)
+        ref = dg_march(ops, F_SIN, TIMES, Y0)
+        ns = jnp.full((8,), n, jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        j_ref = float(dg_element_functional(ops, ref.u, TIMES))
+        j_mix = float(dg_element_functional_mixed(mops, mix.u, TIMES, ns))
+        assert abs(j_ref - j_mix) < 1e-13
+
+    def test_mixed_effectivity_near_one(self, mops):
+        """Σ err estimates J(fine) − J(coarse) on a genuinely mixed-order
+        partition (effectivity within ~10% on this coarse nonlinear run)."""
+        mops6 = dg_time_operators_mixed(N_MAX + 2)
+        interp6 = dg_adjoint_interp_mixed(mops6)
+        ns = jnp.asarray([1, 3, 2, 4, 1, 2, 3, 1], jnp.int32)
+        mixc = dg_march_mixed(mops6, F_SIN, TIMES, ns, Y0)
+        mixf = dg_march_mixed(
+            mops6, F_SIN, TIMES, ns + 2, Y0, newton_tol=1e-12
+        )
+        adj = dg_adjoint_march_mixed(
+            mops6, interp6, F_SIN, mixc.u, TIMES, ns, Y0
+        )
+        j_c = float(dg_element_functional_mixed(mops6, mixc.u, TIMES, ns))
+        j_f = float(
+            dg_element_functional_mixed(mops6, mixf.u, TIMES, ns + 2)
+        )
+        gap = j_f - j_c
+        est = float(jnp.sum(adj.err))
+        assert abs(est - gap) < 0.1 * abs(gap)
+
+
+class TestHPLoop:
+    def test_p_mode_converges_fast(self):
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=4, n0=1, n_max=4, mode="p",
+            tol=1e-12, maxit=8,
+        )
+        # order refinement on a smooth solution: >10^5 error reduction in 8
+        # refinements at FIXED element count (h-mode reaches ~1e-6)
+        assert len(hist[-1].ns) == 4
+        assert abs(hist[-1].est_total) < 1e-8 * max(1.0, abs(hist[0].est_total) / 5.5e-4)
+        assert hist[-1].ns.max() <= 4
+
+    def test_h_mode_grows_elements_at_base_order(self):
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=4, n0=1, n_max=4, mode="h",
+            tol=0.0, maxit=3,
+        )
+        assert len(hist[-1].ns) == 7
+        assert hist[-1].ns.max() == 1
+        # bisection keeps the partition nested and sorted
+        assert np.all(np.diff(hist[-1].times) > 0)
+
+    def test_hp_mode_saturates_then_bisects(self):
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=2, n0=1, n_max=2, mode="hp",
+            tol=0.0, maxit=6,
+        )
+        # with n_max=2 the argmax element saturates quickly and the loop
+        # starts bisecting: element count must have grown
+        assert len(hist[-1].ns) > 2
+        assert hist[-1].ns.max() == 2
+
+    def test_first_iteration_effectivity(self):
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=8, n0=2, n_max=4, mode="p",
+            tol=0.0, maxit=0,
+        )
+        h = hist[0]
+        gap = h.j_fine - h.j_coarse
+        assert abs(h.est_total - gap) < 0.05 * abs(gap)
+
+    def test_invalid_mode_raises(self):
+        with pytest.raises(ValueError, match="mode"):
+            run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), mode="x")
