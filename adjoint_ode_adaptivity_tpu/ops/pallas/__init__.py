@@ -25,6 +25,7 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_sharded import (
 )
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
     make_pallas_fwd_adj_estimate_tiled,
+    make_pallas_fwd_adj_estimate_tiled_grid,
 )
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_mxu import (
     make_pallas_fwd_adj_estimate_grid_mxu,
@@ -45,6 +46,7 @@ __all__ = [
     "make_pallas_fwd_adj_estimate_grid_single_blocked",
     "make_pallas_fwd_adj_estimate_sharded_blocked",
     "make_pallas_fwd_adj_estimate_tiled",
+    "make_pallas_fwd_adj_estimate_tiled_grid",
     "make_pallas_fwd_adj_estimate_grid_mxu",
     "make_pallas_dg_estimate_ensemble",
     "make_pallas_fd_ensemble",

@@ -16,6 +16,7 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
 )
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
     make_pallas_fwd_adj_estimate_tiled,
+    make_pallas_fwd_adj_estimate_tiled_grid,
 )
 
 
@@ -82,4 +83,57 @@ class TestTiledPipeline:
         with pytest.raises(ValueError, match="ghost width"):
             make_pallas_fwd_adj_estimate_tiled(
                 disc, a, dt, segment=32, chunks=8, interpret=True
+            )
+
+
+class TestTiledGridPipeline:
+    """Grid-streamed variant: chunks as a Pallas grid dimension on the lane
+    axis of the global blocked layout (rolled ghost fill, plain lane-shift
+    kernels)."""
+
+    @pytest.mark.parametrize("chunks", [1, 4, 8])
+    def test_matches_resident_kernel(self, chunks):
+        disc, a, dt, u0, lam = _problem(k=2048)
+        seg, n_seg = 2, 4
+        run_res = make_pallas_fwd_adj_estimate_grid_single_blocked(
+            disc, a, dt, segment=seg, n_segments=n_seg, interpret=True
+        )
+        uf_r, lam_r, eta_r = run_res(u0, jnp.float32(0.0), lam)
+        run_t = make_pallas_fwd_adj_estimate_tiled_grid(
+            disc, a, dt, segment=seg, n_segments=n_seg, chunks=chunks,
+            interpret=True,
+        )
+        uf_t, lam_t, eta_t = run_t(u0, jnp.float32(0.0), lam)
+        np.testing.assert_allclose(np.asarray(uf_t), np.asarray(uf_r), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(lam_t), np.asarray(lam_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(eta_t), np.asarray(eta_r), atol=2e-6)
+
+    def test_matches_xla_oracle(self):
+        disc, a, dt, u0, lam = _problem(k=2048)
+        seg, n_seg = 2, 4
+        with jax.default_matmul_precision("float32"):
+            ops = advec_operators(disc, a=a, dtype=jnp.float32)
+            ref = advec_fwd_adj_estimate(
+                ops, disc, u0, dt, seg * n_seg, segment=seg, lam_end=lam
+            )
+        run_t = make_pallas_fwd_adj_estimate_tiled_grid(
+            disc, a, dt, segment=seg, n_segments=n_seg, chunks=4,
+            interpret=True,
+        )
+        uf_t, lam_t, eta_t = run_t(u0, jnp.float32(0.0), lam)
+        np.testing.assert_allclose(
+            np.asarray(uf_t), np.asarray(ref.u_final), atol=3e-6
+        )
+        np.testing.assert_allclose(np.asarray(eta_t), np.asarray(ref.eta), atol=3e-6)
+
+    def test_validation(self):
+        disc, a, dt, u0, lam = _problem(k=2048)
+        with pytest.raises(ValueError, match="not divisible"):
+            make_pallas_fwd_adj_estimate_tiled_grid(
+                disc, a, dt, chunks=7, interpret=True
+            )
+        with pytest.raises(ValueError, match="ghost width"):
+            # Lm = 256/32 = 8 < w = 30
+            make_pallas_fwd_adj_estimate_tiled_grid(
+                disc, a, dt, segment=2, chunks=32, interpret=True
             )

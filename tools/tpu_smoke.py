@@ -314,6 +314,22 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("tiled_chunks8_N2_K10k", e)
 
+    # 16b. grid-streamed tiled pipeline (chunks as a Pallas grid dimension,
+    # chunk-major lane blocking + rolled ghosts — the fast K-envelope path)
+    try:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
+            make_pallas_fwd_adj_estimate_tiled_grid,
+        )
+
+        run_tg = make_pallas_fwd_adj_estimate_tiled_grid(
+            disc, A, dt, segment=8, n_segments=n_steps // 8, chunks=5,
+            interpret=interp,
+        )
+        _, _, eta_tg = run_tg(u0, jnp.float32(0.0), lam)
+        check("tiled_grid_chunks5_N2_K10k", eta_tg, ref.eta, 5e-3, 1e-7)
+    except Exception as e:  # noqa: BLE001
+        fail("tiled_grid_chunks5_N2_K10k", e)
+
     # 17. fused DG-in-time slab ensemble kernel vs the XLA batched pipeline
     try:
         from adjoint_ode_adaptivity_tpu.march.dg_batched import (
