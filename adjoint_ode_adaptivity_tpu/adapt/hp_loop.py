@@ -75,11 +75,17 @@ def run_adaptive_dg_hp(
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
     callback: Callable | None = None,
+    checkpoint_dir: str | None = None,
 ) -> list[HPAdaptResult]:
     """hp-adaptive DG-in-time study; returns the per-iteration history
     (same telemetry fields as
     :func:`~adjoint_ode_adaptivity_tpu.adapt.dg_loop.run_adaptive_dg`).
-    Stops when ``|Σ err| < tol`` or after ``maxit`` refinements."""
+    Stops when ``|Σ err| < tol`` or after ``maxit`` refinements.
+
+    ``checkpoint_dir``: orbax-checkpoint partition + orders + history each
+    iteration and resume from the latest checkpoint when present (same
+    contract as the other adaptive loops; the callback is not re-invoked
+    for restored iterations)."""
     if mode not in ("h", "p", "hp"):
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
     mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
@@ -148,9 +154,47 @@ def run_adaptive_dg_hp(
 
     history: list[HPAdaptResult] = []
     n_active = k0
+    it0 = 0
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                HPAdaptResult(
+                    times=np.asarray(h["times"]),
+                    ns=np.asarray(h["ns"]),
+                    u=np.asarray(h["u"]),
+                    v=np.asarray(h["v"]),
+                    err=np.asarray(h["err"]),
+                    j_coarse=float(h["j_coarse"]),
+                    j_fine=float(h["j_fine"]),
+                    effectivity_gap=float(h["effectivity_gap"]),
+                    est_total=float(h["est_total"]),
+                )
+                for h in raw["history"]
+            ]
+            times = np.asarray(raw["times"])
+            ns = np.asarray(raw["ns"], np.int32)
+            n_active = int(raw["n_active"])
+            # a resumed run may ask for MORE iterations: re-pad to this
+            # run's max_k (zero-width slabs are exact identities)
+            if len(times) < max_k + 1:
+                times = np.concatenate(
+                    [times, np.full(max_k + 1 - len(times), times[-1])]
+                )
+                ns = np.concatenate(
+                    [ns, np.ones(max_k - len(ns), np.int32)]
+                )
+            it0 = len(history)
+            if abs(history[-1].est_total) < tol:
+                return history
     times = jnp.asarray(times)
     ns = jnp.asarray(ns)
-    for it in range(maxit + 1):
+    for it in range(it0, maxit + 1):
         u, v, err, j_c, j_f, times_new, ns_new = iteration(times, ns)
         est_total = float(jnp.sum(err))
         result = HPAdaptResult(
@@ -167,10 +211,27 @@ def run_adaptive_dg_hp(
         history.append(result)
         if callback is not None:
             callback(result)
-        if abs(est_total) < tol or it == maxit:
+        done = abs(est_total) < tol or it == maxit
+        if not done:
+            # h-refinement grew the active count iff the partition changed
+            if not np.array_equal(np.asarray(times_new), np.asarray(times)):
+                n_active += 1
+            times, ns = times_new, ns_new
+        if checkpoint_dir is not None:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": np.asarray(times),
+                    "ns": np.asarray(ns),
+                    "n_active": n_active,
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        if done:
             break
-        # h-refinement grew the active count iff the partition changed
-        if not np.array_equal(np.asarray(times_new), np.asarray(times)):
-            n_active += 1
-        times, ns = times_new, ns_new
     return history

@@ -130,6 +130,7 @@ def main(argv=None):
             ode.f, args.y0, (args.t0, args.t1),
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
+            checkpoint_dir=args.checkpoint_dir,
         )
         last = history[-1]
         print(f"finished after {len(history)} iterations "

@@ -229,3 +229,39 @@ class TestDGPerMemberResume:
                 r_res.est_total, r_ref.est_total, atol=1e-12
             )
             assert r_res.n_refining == r_ref.n_refining
+
+
+class TestHPResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
+
+        kw = dict(k0=2, n0=1, n_max=3, mode="hp", tol=0.0, maxit=5)
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), **kw)
+
+        ck = str(tmp_path / "hp")
+        calls = []
+
+        def killer(result):
+            calls.append(1)
+            if len(calls) == 3:
+                raise KeyboardInterrupt
+
+        try:
+            run_adaptive_dg_hp(
+                F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck, callback=killer,
+                **kw
+            )
+            raise AssertionError("killer did not fire")
+        except KeyboardInterrupt:
+            pass
+        full = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref) == 6
+        for r_res, r_ref in zip(full, ref):
+            np.testing.assert_array_equal(r_res.times, r_ref.times)
+            np.testing.assert_array_equal(r_res.ns, r_ref.ns)
+            np.testing.assert_array_equal(
+                np.asarray(r_res.err), np.asarray(r_ref.err)
+            )
+            assert float(r_res.est_total) == float(r_ref.est_total)
