@@ -694,13 +694,23 @@ def main():
     # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
     # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
     # VMEM-resident kernel's reach
-    k100k_rate = k1m_rate = None
+    k100k_rate = k1m_rate = k100k_tiled_rate = None
     if on_tpu:
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
-            make_pallas_fwd_adj_estimate_tiled,
+            make_pallas_fwd_adj_estimate_tiled_grid,
         )
 
-        for kk, chunks, stps in ((100_000, None, 256), (1_000_000, 40, 64)):
+        # (K, (segment, chunks) for the grid-streamed tiled variant, steps);
+        # chunks=None = the resident blocked-single kernel.  Tiled configs
+        # are the measured-best grid-streamed settings (BASELINE.md): the
+        # chunk loop is a Pallas grid dimension, so all HBM streaming
+        # overlaps compute (the old scan-of-launches variant measured
+        # 12.0 / 32.3 ms on these rows).
+        for kk, cfg_t, stps in (
+            (100_000, None, 256),
+            (100_000, (8, 4), 256),
+            (1_000_000, (16, 25), 64),
+        ):
             disc_k = startup_1d(2, 0.0, 2 * np.pi, kk)
             xmin_k = float(
                 np.min(np.abs(np.asarray(disc_k.x)[0, :] - np.asarray(disc_k.x)[1, :]))
@@ -708,14 +718,15 @@ def main():
             dt_k = 0.5 * (0.75 / a) * xmin_k
             u0_k = jnp.asarray(np.sin(disc_k.x), jnp.float32)
             lam_k = terminal_integral_cotangent(disc_k, jnp.float32)
-            if chunks is None:
+            if cfg_t is None:
                 run_k = make_pallas_fwd_adj_estimate_grid_single_blocked(
                     disc_k, a, dt_k, segment=8, n_segments=stps // 8
                 )
             else:
-                run_k = make_pallas_fwd_adj_estimate_tiled(
-                    disc_k, a, dt_k, segment=8, n_segments=stps // 8,
-                    chunks=chunks,
+                seg_t, chunks_t = cfg_t
+                run_k = make_pallas_fwd_adj_estimate_tiled_grid(
+                    disc_k, a, dt_k, segment=seg_t,
+                    n_segments=stps // seg_t, chunks=chunks_t,
                 )
 
             def mk_k(k_calls, run_k=run_k, lam_k=lam_k):
@@ -729,8 +740,10 @@ def main():
 
             el_k, _ = chained_slope(mk_k, u0_k)
             rate_k = (n_order + 1) * kk * 2 * stps / el_k
-            if chunks is None:
+            if cfg_t is None:
                 k100k_rate = rate_k
+            elif kk == 100_000:
+                k100k_tiled_rate = rate_k
             else:
                 k1m_rate = rate_k
 
@@ -798,6 +811,7 @@ def main():
                 "fd_adaptive_pm_per_study_ms": None
                 if fd_pm_wall is None else round(fd_pm_wall / 1024 * 1e3, 4),
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
+                "k100k_tiled_grid_dof_steps_per_sec": k100k_tiled_rate,
                 "k1m_tiled_dof_steps_per_sec": k1m_rate,
             }
         )
