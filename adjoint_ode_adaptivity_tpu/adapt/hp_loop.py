@@ -88,6 +88,8 @@ def run_adaptive_dg_hp(
     for restored iterations)."""
     if mode not in ("h", "p", "hp"):
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
+    if not 1 <= n0 <= n_max:
+        raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
     mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
     interp = dg_adjoint_interp_mixed(mops)
 
@@ -119,8 +121,9 @@ def run_adaptive_dg_hp(
         )
         abs_err = jnp.abs(adj.err)
         ref_any = jnp.argmax(abs_err)
-        # p-refinement: the argmax among order-refinable elements
-        eligible = ns < n_max
+        # p-refinement: the argmax among order-refinable LIVE elements
+        # (zero-width padding slabs must never be selected)
+        eligible = (ns < n_max) & (times[1:] - times[:-1] > 0)
         ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
         if mode == "p":
             ref_i = ref_p
@@ -211,12 +214,25 @@ def run_adaptive_dg_hp(
         history.append(result)
         if callback is not None:
             callback(result)
-        done = abs(est_total) < tol or it == maxit
+        done = abs(est_total) < tol
         if not done:
-            # h-refinement grew the active count iff the partition changed
-            if not np.array_equal(np.asarray(times_new), np.asarray(times)):
+            # refine unconditionally when not tol-done (dg_loop's contract:
+            # the checkpoint always holds the REFINED state, so resuming
+            # with a larger maxit continues exactly where an uninterrupted
+            # run would be)
+            t_new = np.asarray(times_new)
+            changed_t = not np.array_equal(t_new, np.asarray(times))
+            changed = changed_t or not np.array_equal(
+                np.asarray(ns_new), np.asarray(ns)
+            )
+            if changed_t:
+                # h-refinement grew the active count
                 n_active += 1
             times, ns = times_new, ns_new
+            if not changed:
+                # p-mode with every live element order-saturated: nothing
+                # can refine, further iterations would re-run identically
+                done = True
         if checkpoint_dir is not None:
             from adjoint_ode_adaptivity_tpu.train.checkpoint import (
                 save_checkpoint,
@@ -232,6 +248,6 @@ def run_adaptive_dg_hp(
                     "history": [dict(r._asdict()) for r in history],
                 },
             )
-        if done:
+        if done or it == maxit:
             break
     return history

@@ -25,7 +25,11 @@ import numpy as np
 from jax import lax
 
 from adjoint_ode_adaptivity_tpu.adjoint.dg_time import DGAdjointResult
-from adjoint_ode_adaptivity_tpu.march.dg_mixed import MixedDGTimeOperators
+from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+    MixedDGTimeOperators,
+    _check_orders,
+    _one_hot,
+)
 from adjoint_ode_adaptivity_tpu.march.dg_time import f32_matmuls
 from adjoint_ode_adaptivity_tpu.ops.jacobi import jacobi_gl
 from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d
@@ -61,10 +65,6 @@ def dg_adjoint_interp_mixed(mops: MixedDGTimeOperators) -> MixedAdjointInterp:
     return MixedAdjointInterp(to_nodes=to_nodes, to_quad=to_quad)
 
 
-def _one_hot(idx, length, dtype):
-    return (jnp.arange(length) == idx).astype(dtype)
-
-
 @f32_matmuls
 def dg_adjoint_march_mixed(
     mops: MixedDGTimeOperators,
@@ -85,6 +85,7 @@ def dg_adjoint_march_mixed(
     """
     times = jnp.asarray(times)
     dtype = times.dtype
+    _check_orders(ns, mops.n_max - 1, what="ns (adjoint solves at ns+1)")
     ns = jnp.asarray(ns, jnp.int32)
     np_m = mops.np_max
     stiff = jnp.asarray(mops.stiff_pad, dtype)
@@ -127,7 +128,11 @@ def dg_adjoint_march_mixed(
         a_mat = -s_a.T - e_l + m_w + eye_a
         t_n = tl + (1.0 + r_a) * h / 2.0
         u_h = to_n @ u_el
-        rhs = -(h / 2.0 * (m_ref @ g_u(u_h, t_n))) - e_end * v_inflow
+        # mask g_u to the live nodes: the padded entries of u_h are
+        # fabricated zeros, and a g_u singular at 0 (e.g. 1/u) would turn
+        # m_ref's 0-column annihilation into 0·inf = NaN
+        live = (jnp.arange(np_m) <= n_k + 1).astype(dtype)
+        rhs = -(h / 2.0 * (m_ref @ (live * g_u(u_h, t_n)))) - e_end * v_inflow
         v_el = jnp.linalg.solve(a_mat, rhs)
 
         # adjoint-weighted residual of the interpolated primal at order n+1

@@ -136,6 +136,36 @@ def main(argv=None):
         print(f"finished after {len(history)} iterations "
               f"(mode={args.hp}, K={len(last.ns)}, "
               f"orders {last.ns.min()}..{last.ns.max()})")
+        if args.plot:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from adjoint_ode_adaptivity_tpu.utils.plotting import (
+                fresh_case_dir,
+            )
+
+            fresh_case_dir(args.case)
+            for i, r in enumerate(history):
+                fig, ax1 = plt.subplots(figsize=(10, 7))
+                mids = (r.times[:-1] + r.times[1:]) / 2
+                widths = np.diff(r.times)
+                ax1.bar(mids, np.abs(r.err), widths,
+                        color=[0.466, 0.674, 0.188])
+                ax1.set_ylabel("Error Contribution")
+                ax2 = ax1.twinx()
+                for kk in range(len(r.ns)):
+                    npk = int(r.ns[kk]) + 1  # live nodes only (padded
+                    # entries beyond the element's order are zeros)
+                    tk = np.linspace(r.times[kk], r.times[kk + 1], npk)
+                    ax2.plot(tk, r.u[kk, :npk], "g--*", linewidth=2)
+                    ta = np.linspace(r.times[kk], r.times[kk + 1], npk + 1)
+                    ax2.plot(ta, r.v[kk, : npk + 1], "r--*", linewidth=2)
+                ax2.set_ylabel("Solution")
+                fig.savefig(f"{args.case}/{args.case}_{i}.png")
+                plt.close(fig)
+            print(f"wrote {len(history)} frames to {args.case}/")
         return history
 
     if args.ensemble > 0:

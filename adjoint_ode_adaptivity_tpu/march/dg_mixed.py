@@ -121,6 +121,23 @@ def _one_hot(idx, length, dtype):
     return (jnp.arange(length) == idx).astype(dtype)
 
 
+def _check_orders(ns, n_max, what="ns"):
+    """Host-side order validation when ``ns`` is concrete (skipped for
+    traced values — the adaptive loops keep orders in range by
+    construction).  Out-of-range orders would otherwise fail SILENTLY:
+    ``jnp.take`` clamps the operator-stack index and the right-endpoint
+    one-hot turns all-zero, dropping the upwind flux."""
+    try:
+        ns_host = np.asarray(ns)
+    except Exception:  # traced inside jit/vmap — cannot check
+        return
+    if ns_host.size and (ns_host.min() < 1 or ns_host.max() > n_max):
+        raise ValueError(
+            f"{what} must lie in [1, {n_max}] (operator stack range); got "
+            f"[{ns_host.min()}, {ns_host.max()}]"
+        )
+
+
 @f32_matmuls
 def dg_march_mixed(
     mops: MixedDGTimeOperators,
@@ -143,6 +160,7 @@ def dg_march_mixed(
     """
     times = jnp.asarray(times)
     dtype = times.dtype
+    _check_orders(ns, mops.n_max)
     ns = jnp.asarray(ns, jnp.int32)
     np_m = mops.np_max
     stiff = jnp.asarray(mops.stiff_pad, dtype)

@@ -197,3 +197,70 @@ class TestHPLoop:
     def test_invalid_mode_raises(self):
         with pytest.raises(ValueError, match="mode"):
             run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), mode="x")
+
+
+class TestReviewRegressions:
+    """Fixes from the round-3 code review of the mixed-order strand."""
+
+    def test_out_of_range_orders_raise(self, mops, interp):
+        with pytest.raises(ValueError, match="must lie in"):
+            dg_march_mixed(
+                mops, F_SIN, TIMES, jnp.full((8,), 7, jnp.int32), Y0
+            )
+        with pytest.raises(ValueError, match="must lie in"):
+            dg_march_mixed(
+                mops, F_SIN, TIMES, jnp.zeros((8,), jnp.int32), Y0
+            )
+        with pytest.raises(ValueError, match="adjoint solves at ns"):
+            # ns+1 would exceed the stack
+            u = dg_march_mixed(
+                mops, F_SIN, TIMES, jnp.full((8,), 4, jnp.int32), Y0
+            ).u
+            dg_adjoint_march_mixed(
+                mops, interp, F_SIN, u, TIMES, jnp.full((8,), 4, jnp.int32),
+                Y0,
+            )
+
+    def test_n0_out_of_range_raises(self):
+        with pytest.raises(ValueError, match="n0"):
+            run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), n0=5, n_max=4)
+
+    def test_singular_g_u_survives_padding(self, mops, interp):
+        """g_u = 1/u is singular at the fabricated zero padding nodes; the
+        live mask must keep the adjoint finite (the uniform solver has no
+        padding and handles this fine)."""
+        ns = jnp.asarray([1, 2, 3, 1, 2, 3, 1, 2], jnp.int32)
+        mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        adj = dg_adjoint_march_mixed(
+            mops, interp, F_SIN, mix.u, TIMES, ns, Y0,
+            g_u=lambda u, t: 1.0 / u,
+        )
+        assert np.all(np.isfinite(np.asarray(adj.v)))
+        assert np.all(np.isfinite(np.asarray(adj.err)))
+
+    def test_p_mode_stops_when_saturated(self):
+        """All live elements at n_max: no further no-op iterations."""
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=2, n0=1, n_max=2, mode="p",
+            tol=0.0, maxit=10,
+        )
+        # 2 elements x 1 order step each = saturated after 2 refinements;
+        # one more iteration observes saturation and stops
+        assert len(hist) <= 4
+        assert hist[-1].ns.tolist() == [2, 2]
+
+    def test_resume_with_larger_maxit_matches_uninterrupted(self, tmp_path):
+        kw = dict(k0=2, n0=1, n_max=3, mode="hp", tol=0.0)
+        ck = str(tmp_path / "hp_ext")
+        run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=2, checkpoint_dir=ck, **kw
+        )
+        ext = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=4, checkpoint_dir=ck, **kw
+        )
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), maxit=4, **kw)
+        assert len(ext) == len(ref)
+        for a, b in zip(ext, ref):
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(a.times, b.times)
+            assert float(a.est_total) == float(b.est_total)
