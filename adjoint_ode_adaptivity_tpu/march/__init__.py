@@ -19,7 +19,9 @@ from adjoint_ode_adaptivity_tpu.march.dg_time import (
 from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
     MixedDGTimeOperators,
     dg_march_mixed,
+    dg_march_mixed_differentiable,
     dg_time_operators_mixed,
+    make_dg_slab_solver_mixed,
 )
 from adjoint_ode_adaptivity_tpu.march.dg_batched import (
     DGBatchedAdjointResult,
@@ -62,6 +64,8 @@ __all__ = [
     "MixedDGTimeOperators",
     "dg_time_operators_mixed",
     "dg_march_mixed",
+    "dg_march_mixed_differentiable",
+    "make_dg_slab_solver_mixed",
     "DGBatchedResult",
     "DGBatchedAdjointResult",
     "dg_march_batched",

@@ -58,6 +58,8 @@ __all__ = [
     "MixedDGTimeOperators",
     "dg_time_operators_mixed",
     "dg_march_mixed",
+    "make_dg_slab_solver_mixed",
+    "dg_march_mixed_differentiable",
 ]
 
 
@@ -220,3 +222,155 @@ def dg_march_mixed(
         solve_element, jnp.asarray(y0, dtype), (t_left, hs, ns)
     )
     return DGMarchResult(u=u, t=t, newton_iters=iters, newton_resnorm=resn)
+
+
+# -------------------------------------------- differentiable mixed-order march
+#
+# Same implicit-function-theorem construction as dg_time.make_dg_slab_solver
+# (jax.grad of the Newton while_loop is wrong/impossible; the right adjoint
+# of an implicit solve is one transposed linear solve at the converged
+# state).  The per-element operator tables are GATHERED OUTSIDE the
+# custom_vjp and passed as float arguments, so every primal input has a
+# well-defined cotangent (the table cotangents are computed and discarded —
+# Np_max is tiny); the order itself never needs differentiating.
+
+
+def _mixed_slab_residual(f, u, u_prev, h, t_left, params, tables, dtype):
+    s_k, phi_k, eye_k, e_end, rq, wq = tables
+    a_mat = s_k.T - jnp.outer(e_end, e_end) + eye_k
+    np_m = e_end.shape[0]
+    f_vec = jnp.zeros((np_m,), dtype).at[0].set(u_prev)
+    u_q = phi_k @ u
+    t_q = t_left + (1.0 + rq) * h / 2.0
+    m_tilde = h / 2.0 * (phi_k.T @ (wq * f(u_q, t_q, params)))
+    return a_mat @ u + m_tilde + f_vec
+
+
+def make_dg_slab_solver_mixed(
+    mops: MixedDGTimeOperators,
+    f: Callable,
+    *,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+):
+    """Returns ``solve(u_prev, h, t_left, n_k, params) -> u`` — one mixed-
+    order DG time slab solved by Newton at order ``n_k``, wrapped in
+    ``jax.custom_vjp`` via the implicit function theorem.  ``jax.grad``
+    through it is exact w.r.t. ``u_prev``, ``h``, ``t_left`` and ``params``
+    (``f(u, t, params)`` takes the parameter pytree explicitly)."""
+    np_m = mops.np_max
+    stiff = jnp.asarray(mops.stiff_pad)
+    pad_eye = jnp.asarray(mops.pad_eye)
+    phi = jnp.asarray(mops.phi_pad)
+    rq_h = jnp.asarray(mops.rq)
+    wq_h = jnp.asarray(mops.wq)
+
+    def _newton(u_prev, h, t_left, params, tables):
+        dtype = jnp.result_type(u_prev, h)
+
+        def cond(state):
+            u, du_norm, it = state
+            return (it <= newton_maxit) & (du_norm > newton_tol)
+
+        def body(state):
+            u, _, it = state
+            res = _mixed_slab_residual(
+                f, u, u_prev, h, t_left, params, tables, dtype
+            )
+            jac = jax.jacfwd(
+                lambda uu: _mixed_slab_residual(
+                    f, uu, u_prev, h, t_left, params, tables, dtype
+                )
+            )(u)
+            delta = jnp.linalg.solve(jac, res)
+            return (u - delta, jnp.linalg.norm(delta), it + 1)
+
+        e_end = tables[3]
+        mask = (jnp.cumsum(e_end) < 1.0).astype(dtype) + e_end
+        u0_el = u_prev * mask
+        u, _, _ = lax.while_loop(
+            cond, body, (u0_el, jnp.asarray(jnp.inf, dtype), 0)
+        )
+        return u
+
+    @jax.custom_vjp
+    def _solve_t(u_prev, h, t_left, params, tables):
+        return _newton(u_prev, h, t_left, params, tables)
+
+    def fwd(u_prev, h, t_left, params, tables):
+        u = _newton(u_prev, h, t_left, params, tables)
+        return u, (u, u_prev, h, t_left, params, tables)
+
+    def bwd(saved, g):
+        u, u_prev, h, t_left, params, tables = saved
+        dtype = u.dtype
+        jac = jax.jacfwd(
+            lambda uu: _mixed_slab_residual(
+                f, uu, u_prev, h, t_left, params, tables, dtype
+            )
+        )(u)
+        w = jnp.linalg.solve(jac.T, g)
+        _, vjp_rest = jax.vjp(
+            lambda up, hh, tl, p, tb: _mixed_slab_residual(
+                f, u, up, hh, tl, p, tb, dtype
+            ),
+            u_prev, h, t_left, params, tables,
+        )
+        return vjp_rest(-w)
+
+    _solve_t.defvjp(f32_matmuls(fwd), f32_matmuls(bwd))
+
+    def solve(u_prev, h, t_left, n_k, params):
+        i = jnp.asarray(n_k, jnp.int32) - 1
+        dtype = jnp.result_type(u_prev, h)
+        tables = (
+            jnp.asarray(jnp.take(stiff, i, axis=0), dtype),
+            jnp.asarray(jnp.take(phi, i, axis=0), dtype),
+            jnp.asarray(jnp.take(pad_eye, i, axis=0), dtype),
+            _one_hot(jnp.asarray(n_k, jnp.int32), np_m, dtype),
+            jnp.asarray(rq_h, dtype),
+            jnp.asarray(wq_h, dtype),
+        )
+        return _solve_t(u_prev, h, t_left, params, tables)
+
+    return f32_matmuls(solve)
+
+
+@f32_matmuls
+def dg_march_mixed_differentiable(
+    mops: MixedDGTimeOperators,
+    f: Callable,
+    times: jnp.ndarray,
+    ns: jnp.ndarray,
+    y0,
+    params=None,
+    *,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+) -> jnp.ndarray:
+    """Mixed-order DG march that ``jax.grad`` can differentiate (the
+    per-element-order counterpart of
+    :func:`~adjoint_ode_adaptivity_tpu.march.dg_time.dg_march_differentiable`):
+    a ``lax.scan`` of IFT-wrapped slab solves at per-element orders ``ns``.
+    Gradients flow to ``y0``, ``times`` and ``params`` — a neural
+    right-hand side trains *through* an hp-adapted implicit solver.
+    Returns the (K, np_max) padded nodal solution."""
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    _check_orders(ns, mops.n_max)
+    ns = jnp.asarray(ns, jnp.int32)
+    solve = make_dg_slab_solver_mixed(
+        mops, f, newton_tol=newton_tol, newton_maxit=newton_maxit
+    )
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+    np_m = mops.np_max
+
+    def step(u_prev, slab):
+        tl, h, n_k = slab
+        u = solve(u_prev, h, tl, n_k, params)
+        e_end = _one_hot(n_k, np_m, u.dtype)
+        return jnp.dot(e_end, u), u
+
+    _, u = lax.scan(step, jnp.asarray(y0, dtype), (t_left, hs, ns))
+    return u

@@ -111,7 +111,7 @@ def main():
     # kernels. The honest device time chains K data-dependent pipeline
     # calls (ALL outputs kept live) inside one jit and takes the
     # (K_hi − K_lo) slope with a single fetch at the end.
-    def chained_slope(make_g, arg, k_hi=3, reps=3):
+    def chained_slope(make_g, arg, k_hi=3, reps=5):
         gs = {k: make_g(k) for k in (1, k_hi)}
         for g in gs.values():
             float(jnp.sum(g(arg)))  # compile + warm
@@ -555,7 +555,7 @@ def main():
 
     _pm_host_run(); _pm_fused_run()  # warm
     pm_host_s = min(_timeit(_pm_host_run) for _ in range(3))
-    pm_fused_s = min(_timeit(_pm_fused_run) for _ in range(3))
+    pm_fused_s = min(_timeit(_pm_fused_run) for _ in range(5))
     # baseline: the farm runs each member's adaptive study on the host
     # pipeline — slab count = live coarse+fine slabs actually marched
     pm_slabs = sum(2 * int(h.n_active.sum()) for h in h_pm_host)
@@ -627,9 +627,12 @@ def main():
             out = h_fdpm.run_fused(fd_t0, fd_na0, fd_r0)
             return np.asarray(out[3])
 
+        # best-of-5: the whole-study while_loop wall-clock wobbles ~1.8x
+        # across bench runs under host contention (BASELINE.md quotes the
+        # range); more repetitions tighten the reported best
         _fd_pm_run()
         fd_pm_wall = np.inf
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             _fd_pm_run()
             fd_pm_wall = min(fd_pm_wall, time.perf_counter() - t0)

@@ -264,3 +264,76 @@ class TestReviewRegressions:
             np.testing.assert_array_equal(a.ns, b.ns)
             np.testing.assert_array_equal(a.times, b.times)
             assert float(a.est_total) == float(b.est_total)
+
+
+class TestMixedDifferentiable:
+    """IFT-differentiable mixed-order march: jax.grad through the Newton
+    solve at per-element orders (the hp counterpart of
+    dg_march_differentiable)."""
+
+    F3 = staticmethod(lambda u, t, p: jnp.sin(u) * p)
+
+    def test_value_parity_with_nondifferentiable(self, mops):
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+            dg_march_mixed_differentiable,
+        )
+
+        times = jnp.asarray(np.linspace(0.0, 2.0, 7), jnp.float64)
+        ns = jnp.asarray([1, 3, 2, 4, 1, 2], jnp.int32)
+        u_nd = dg_march_mixed(
+            mops, lambda u, t: jnp.sin(u) * 1.3, times, ns, 1.0
+        ).u
+        u_d = dg_march_mixed_differentiable(mops, self.F3, times, ns, 1.0, 1.3)
+        np.testing.assert_allclose(
+            np.asarray(u_d), np.asarray(u_nd), atol=1e-12
+        )
+
+    def test_gradients_match_uniform_ift_solver(self, mops):
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+            dg_march_mixed_differentiable,
+        )
+        from adjoint_ode_adaptivity_tpu.march.dg_time import (
+            dg_march_differentiable,
+        )
+
+        times = jnp.asarray(np.linspace(0.0, 2.0, 7), jnp.float64)
+        ns = jnp.full((6,), 2, jnp.int32)
+        ops2 = dg_time_operators(2, n_gq=NGQ)
+
+        def j_uni(y0, p, t):
+            u = dg_march_differentiable(
+                ops2, self.F3, t, y0, p, newton_tol=1e-13
+            )
+            return jnp.sum(u[-1])
+
+        def j_mix(y0, p, t):
+            u = dg_march_mixed_differentiable(
+                mops, self.F3, t, ns, y0, p, newton_tol=1e-13
+            )
+            return jnp.sum(u[-1, :3])
+
+        g_u = jax.grad(j_uni, argnums=(0, 1, 2))(1.0, 1.3, times)
+        g_m = jax.grad(j_mix, argnums=(0, 1, 2))(1.0, 1.3, times)
+        for a, b in zip(g_u, g_m):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-12
+            )
+
+    def test_mixed_param_gradient_matches_finite_difference(self, mops):
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+            dg_march_mixed_differentiable,
+        )
+
+        times = jnp.asarray(np.linspace(0.0, 2.0, 7), jnp.float64)
+        ns = jnp.asarray([1, 3, 2, 4, 1, 2], jnp.int32)
+
+        def j(p):
+            u = dg_march_mixed_differentiable(
+                mops, self.F3, times, ns, 1.0, p, newton_tol=1e-13
+            )
+            return jnp.sum(u[:, 0])
+
+        g = float(jax.grad(j)(1.3))
+        eps = 1e-6
+        fd = (float(j(1.3 + eps)) - float(j(1.3 - eps))) / (2 * eps)
+        assert abs(g - fd) < 1e-7 * abs(fd)
