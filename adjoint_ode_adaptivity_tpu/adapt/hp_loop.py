@@ -76,6 +76,7 @@ def run_adaptive_dg_hp(
     newton_maxit: int = 500,
     callback: Callable | None = None,
     checkpoint_dir: str | None = None,
+    device_loop: bool = False,
 ) -> list[HPAdaptResult]:
     """hp-adaptive DG-in-time study; returns the per-iteration history
     (same telemetry fields as
@@ -85,7 +86,14 @@ def run_adaptive_dg_hp(
     ``checkpoint_dir``: orbax-checkpoint partition + orders + history each
     iteration and resume from the latest checkpoint when present (same
     contract as the other adaptive loops; the callback is not re-invoked
-    for restored iterations)."""
+    for restored iterations).
+
+    ``device_loop=True``: the whole study — solves, estimate, p/h
+    decision, stopping tests — runs as ONE ``lax.while_loop`` dispatch
+    with per-iteration results in preallocated buffers and a single fetch
+    at the end; history bit-identical to the host loop (tested).
+    Checkpointing degrades to one end-of-run save; the callback fires
+    after the run, in order."""
     if mode not in ("h", "p", "hp"):
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
     if not 1 <= n0 <= n_max:
@@ -197,6 +205,90 @@ def run_adaptive_dg_hp(
                 return history
     times = jnp.asarray(times)
     ns = jnp.asarray(ns)
+    if device_loop:
+        shapes = jax.eval_shape(iteration, times, ns)
+        n_nodes = times.shape[0]
+        t_dtype = times.dtype
+
+        @jax.jit
+        def _run_fused(times, ns):
+            bufs = tuple(
+                jnp.zeros((maxit + 1,) + s.shape, s.dtype) for s in shapes[:5]
+            ) + (
+                jnp.zeros((maxit + 1, n_nodes), t_dtype),
+                jnp.zeros((maxit + 1, max_k), jnp.int32),
+                jnp.zeros((maxit + 1,), shapes[2].dtype),  # Σerr
+            )
+
+            def body(carry):
+                t, nsv, bufs, it, _ = carry
+                u, v, err, j_c, j_f, t_new, ns_new = iteration(t, nsv)
+                est = jnp.sum(err)
+                done = jnp.abs(est) < tol
+                changed = jnp.any(t_new != t) | jnp.any(ns_new != nsv)
+                rows = (u, v, err, j_c, j_f, t, nsv, est)
+                zero = jnp.zeros_like(it)
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice(
+                        b,
+                        jnp.asarray(r, b.dtype)[None],
+                        (it,) + (zero,) * (b.ndim - 1),
+                    )
+                    for b, r in zip(bufs, rows)
+                )
+                t = jnp.where(done, t, t_new)
+                nsv = jnp.where(done, nsv, ns_new)
+                # continue while the tolerance test fails AND something
+                # refined (a saturated p-only study stops)
+                return (t, nsv, bufs, it + 1, ~done & changed)
+
+            def cond(carry):
+                _, _, _, it, cont = carry
+                return (it <= maxit) & cont
+
+            t_f, ns_f, bufs, n_done, _ = jax.lax.while_loop(
+                cond, body,
+                (times, ns, bufs, jnp.int32(it0), jnp.array(True)),
+            )
+            return t_f, ns_f, bufs, n_done
+
+        t_f, ns_f, bufs, n_done = _run_fused(times, ns)
+        n_done = int(n_done)
+        bufs = [np.asarray(b) for b in bufs]
+        for i in range(it0, n_done):
+            t_i = bufs[5][i]
+            na = int((np.diff(t_i) > 0).sum())
+            result = HPAdaptResult(
+                times=t_i[: na + 1].copy(),
+                ns=bufs[6][i][:na].copy(),
+                u=bufs[0][i][:na],
+                v=bufs[1][i][:na],
+                err=bufs[2][i][:na],
+                j_coarse=float(bufs[3][i]),
+                j_fine=float(bufs[4][i]),
+                effectivity_gap=float(bufs[3][i]) - float(bufs[4][i]),
+                est_total=float(bufs[7][i]),
+            )
+            history.append(result)
+            if callback is not None:
+                callback(result)
+        if checkpoint_dir is not None and n_done > it0:
+            from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+                save_checkpoint,
+            )
+
+            t_f = np.asarray(t_f)
+            save_checkpoint(
+                checkpoint_dir,
+                len(history),
+                {
+                    "times": t_f,
+                    "ns": np.asarray(ns_f),
+                    "n_active": int((np.diff(t_f) > 0).sum()),
+                    "history": [dict(r._asdict()) for r in history],
+                },
+            )
+        return history
     for it in range(it0, maxit + 1):
         u, v, err, j_c, j_f, times_new, ns_new = iteration(times, ns)
         est_total = float(jnp.sum(err))

@@ -131,6 +131,7 @@ def main(argv=None):
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
             checkpoint_dir=args.checkpoint_dir,
+            device_loop=args.device_loop,
         )
         last = history[-1]
         print(f"finished after {len(history)} iterations "

@@ -337,3 +337,34 @@ class TestMixedDifferentiable:
         eps = 1e-6
         fd = (float(j(1.3 + eps)) - float(j(1.3 - eps))) / (2 * eps)
         assert abs(g - fd) < 1e-7 * abs(fd)
+
+
+class TestHPDeviceLoop:
+    """device_loop=True: the whole hp study as one lax.while_loop dispatch,
+    bit-identical history to the host loop."""
+
+    @pytest.mark.parametrize("mode", ["p", "h", "hp"])
+    def test_matches_host_loop(self, mode):
+        kw = dict(k0=3, n0=1, n_max=3, mode=mode, tol=0.0, maxit=4)
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), **kw)
+        dev = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(dev) == len(ref)
+        for a, b in zip(dev, ref):
+            np.testing.assert_array_equal(a.times, b.times)
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(
+                np.asarray(a.err), np.asarray(b.err)
+            )
+            assert float(a.est_total) == float(b.est_total)
+            assert float(a.j_coarse) == float(b.j_coarse)
+
+    def test_saturated_p_stop_matches_host(self):
+        kw = dict(k0=2, n0=1, n_max=2, mode="p", tol=0.0, maxit=10)
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), **kw)
+        dev = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(dev) == len(ref)
+        np.testing.assert_array_equal(dev[-1].ns, ref[-1].ns)
