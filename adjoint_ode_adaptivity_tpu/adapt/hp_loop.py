@@ -35,7 +35,11 @@ import numpy as np
 from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
     dg_adjoint_interp_mixed,
     dg_adjoint_march_mixed,
+    dg_adjoint_reconstruct_mixed,
+    dg_adjoint_solve_low_mixed,
+    dg_awr_from_adjoint_mixed,
     dg_element_functional_mixed,
+    dg_radau_interp_mixed,
 )
 from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
     dg_march_mixed,
@@ -74,6 +78,7 @@ def run_adaptive_dg_hp(
     n_gq: int | None = None,
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
+    adjoint_mode: str = "solve",
     callback: Callable | None = None,
     checkpoint_dir: str | None = None,
     device_loop: bool = False,
@@ -88,6 +93,11 @@ def run_adaptive_dg_hp(
     contract as the other adaptive loops; the callback is not re-invoked
     for restored iterations).
 
+    ``adjoint_mode``: 'solve' marches the adjoint directly at order
+    ``ns+1`` (adj_march); 'reconstruct' solves it AT the primal orders and
+    lifts each element through Radau collocation (adj_rec) before
+    weighting the residual.
+
     ``device_loop=True``: the whole study — solves, estimate, p/h
     decision, stopping tests — runs as ONE ``lax.while_loop`` dispatch
     with per-iteration results in preallocated buffers and a single fetch
@@ -98,8 +108,11 @@ def run_adaptive_dg_hp(
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
     if not 1 <= n0 <= n_max:
         raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
+    if adjoint_mode not in ("solve", "reconstruct"):
+        raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
     mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
     interp = dg_adjoint_interp_mixed(mops)
+    radau = dg_radau_interp_mixed(mops) if adjoint_mode == "reconstruct" else None
 
     max_k = k0 + (maxit + 1 if mode != "p" else 1)
     times = np.linspace(t_span[0], t_span[1], k0 + 1)
@@ -120,14 +133,24 @@ def run_adaptive_dg_hp(
             mops, f, times, ns + fine_offset, y0,
             newton_tol=newton_tol, newton_maxit=newton_maxit,
         )
-        adj = dg_adjoint_march_mixed(
-            mops, interp, f, res_c.u, times, ns, y0, g_u=g_u
-        )
+        if adjoint_mode == "reconstruct":
+            v_low = dg_adjoint_solve_low_mixed(
+                mops, f, res_c.u, times, ns, y0, g_u=g_u
+            )
+            v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
+            err_adj = dg_awr_from_adjoint_mixed(
+                mops, interp, f, res_c.u, times, ns, y0, v_adj
+            )
+        else:
+            adj = dg_adjoint_march_mixed(
+                mops, interp, f, res_c.u, times, ns, y0, g_u=g_u
+            )
+            v_adj, err_adj = adj.v, adj.err
         j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
         j_f = dg_element_functional_mixed(
             mops, res_f.u, times, ns + fine_offset, g
         )
-        abs_err = jnp.abs(adj.err)
+        abs_err = jnp.abs(err_adj)
         ref_any = jnp.argmax(abs_err)
         # p-refinement: the argmax among order-refinable LIVE elements
         # (zero-width padding slabs must never be selected)
@@ -160,7 +183,7 @@ def run_adaptive_dg_hp(
         times_new = jnp.where(use_p, times, times_h)
         ns_new = jnp.where(use_p, ns_p, ns_h)
         return (
-            res_c.u, adj.v, adj.err, j_c, j_f, times_new, ns_new,
+            res_c.u, v_adj, err_adj, j_c, j_f, times_new, ns_new,
         )
 
     history: list[HPAdaptResult] = []

@@ -36,9 +36,14 @@ from adjoint_ode_adaptivity_tpu.ops.operators import interp_matrix_1d
 
 __all__ = [
     "MixedAdjointInterp",
+    "MixedRadauInterp",
     "dg_adjoint_interp_mixed",
     "dg_adjoint_march_mixed",
+    "dg_adjoint_reconstruct_mixed",
+    "dg_adjoint_solve_low_mixed",
+    "dg_awr_from_adjoint_mixed",
     "dg_element_functional_mixed",
+    "dg_radau_interp_mixed",
 ]
 
 
@@ -180,3 +185,187 @@ def dg_element_functional_mixed(
         return h / 2.0 * jnp.sum(wq * g(u_q, t_q))
 
     return jnp.sum(jax.vmap(one)(u, times[:-1], hs, ns))
+
+
+# ------------------------------------------------ mixed-order reconstruction
+#
+# adj_rec.m's alternative to the higher-order adjoint solve: solve the
+# adjoint AT the primal's order, then lift each element to order n+1 by
+# evaluating the low-order polynomial at the (n+1) left-Radau collocation
+# points and refitting through them plus the known right-endpoint inflow
+# value (adj_rec.m:34-47; Radau abscissas utils/Globals1D.m:36-42).  Like
+# dg_march, the reference's signature is per-element (``adj_rec(Ns, ...)``,
+# MAIN.m:35) — stacked padded tables make that real here.
+
+
+class MixedRadauInterp(NamedTuple):
+    """Per-primal-order Radau reconstruction tables, indexed by the primal
+    order − 1 (n in 1..n_max_stack−1), zero-padded to ``np_max``."""
+
+    eval_rad: np.ndarray  # (L, np_max, np_max) low-order nodes -> Radau pts
+    to_hi: np.ndarray  # (L, np_max, np_max) [Radau vals, right endpoint]
+    #                    -> order-(n+1) GL nodal values
+
+
+def dg_radau_interp_mixed(mops: MixedDGTimeOperators) -> MixedRadauInterp:
+    from adjoint_ode_adaptivity_tpu.ops.jacobi import radau_points
+    from adjoint_ode_adaptivity_tpu.ops.operators import vandermonde_1d
+
+    np_m = mops.np_max
+    l = mops.n_max - 1
+    eval_rad = np.zeros((l, np_m, np_m))
+    to_hi = np.zeros((l, np_m, np_m))
+    for n in range(1, mops.n_max):
+        m = n + 1
+        rad = radau_points(m)
+        r_p = jacobi_gl(0.0, 0.0, n)
+        eval_rad[n - 1, :m, : n + 1] = interp_matrix_1d(n, r_p, rad)
+        fit_pts = np.concatenate([rad, [1.0]])
+        v_fit = np.linalg.inv(vandermonde_1d(m, fit_pts))
+        r_hi = jacobi_gl(0.0, 0.0, m)
+        to_hi[n - 1, : m + 1, : m + 1] = vandermonde_1d(m, r_hi) @ v_fit
+    return MixedRadauInterp(eval_rad=eval_rad, to_hi=to_hi)
+
+
+@f32_matmuls
+def dg_adjoint_solve_low_mixed(
+    mops: MixedDGTimeOperators,
+    f: Callable,
+    u_primal: jnp.ndarray,  # (K, np_max) padded nodal primal
+    times: jnp.ndarray,
+    ns: jnp.ndarray,
+    y0,
+    *,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    v_terminal: float = 0.0,
+) -> jnp.ndarray:
+    """Backward adjoint sweep AT the primal's per-element order ``ns[k]``
+    (the low-order solve that feeds :func:`dg_adjoint_reconstruct_mixed`).
+    Returns (K, np_max) padded nodal values."""
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    _check_orders(ns, mops.n_max)
+    ns = jnp.asarray(ns, jnp.int32)
+    np_m = mops.np_max
+    stiff = jnp.asarray(mops.stiff_pad, dtype)
+    mass = jnp.asarray(mops.mass_pad, dtype)
+    pad_eye = jnp.asarray(mops.pad_eye, dtype)
+    phi = jnp.asarray(mops.phi_pad, dtype)
+    r_p = jnp.asarray(mops.r_pad, dtype)
+    rq = jnp.asarray(mops.rq, dtype)
+    wq = jnp.asarray(mops.wq, dtype)
+    e_l = jnp.zeros((np_m, np_m), dtype).at[0, 0].set(1.0)
+    f_u = jax.vmap(jax.grad(lambda uu, tt: f(uu, tt)))
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+
+    def solve_element(v_inflow, xs):
+        u_el, tl, h, n_k = xs
+        i = n_k - 1
+        s_a = jnp.take(stiff, i, axis=0)
+        m_ref = jnp.take(mass, i, axis=0)
+        eye_a = jnp.take(pad_eye, i, axis=0)
+        phi_a = jnp.take(phi, i, axis=0)
+        r_a = jnp.take(r_p, i, axis=0)
+        e_end = _one_hot(n_k, np_m, dtype)
+        u_q = phi_a @ u_el
+        t_q = tl + (1.0 + rq) * h / 2.0
+        m_w = h / 2.0 * (phi_a.T @ (wq[:, None] * f_u(u_q, t_q)[:, None] * phi_a))
+        a_mat = -s_a.T - e_l + m_w + eye_a
+        t_n = tl + (1.0 + r_a) * h / 2.0
+        live = (jnp.arange(np_m) <= n_k).astype(dtype)
+        rhs = -(h / 2.0 * (m_ref @ (live * g_u(u_el, t_n)))) - e_end * v_inflow
+        v_el = jnp.linalg.solve(a_mat, rhs)
+        return v_el[0], v_el
+
+    _, v = lax.scan(
+        solve_element,
+        jnp.asarray(v_terminal, dtype),
+        (u_primal, t_left, hs, ns),
+        reverse=True,
+    )
+    return v
+
+
+@f32_matmuls
+def dg_adjoint_reconstruct_mixed(
+    mops: MixedDGTimeOperators,
+    rad: MixedRadauInterp,
+    v_low: jnp.ndarray,  # (K, np_max) adjoint solved at the primal orders
+    ns: jnp.ndarray,
+) -> jnp.ndarray:
+    """Lift the per-element low-order adjoint to order ``ns[k] + 1``
+    through Radau collocation + the known right-endpoint inflow value
+    (adj_rec.m:34-47 with a per-element order vector).  Returns the
+    (K, np_max) padded nodal values at the order-(n+1) GL nodes."""
+    dtype = v_low.dtype
+    _check_orders(ns, mops.n_max - 1, what="ns (reconstructs to ns+1)")
+    ns = jnp.asarray(ns, jnp.int32)
+    np_m = mops.np_max
+    eval_rad = jnp.asarray(rad.eval_rad, dtype)
+    to_hi = jnp.asarray(rad.to_hi, dtype)
+    # inflow at each element's right endpoint = next element's v[0]
+    v_right_in = jnp.concatenate([v_low[1:, 0], jnp.zeros((1,), dtype)])
+
+    def one(v_el, v_in, n_k):
+        i = n_k - 1
+        at_rad = jnp.take(eval_rad, i, axis=0) @ v_el
+        vals = at_rad + _one_hot(n_k + 1, np_m, dtype) * v_in
+        return jnp.take(to_hi, i, axis=0) @ vals
+    return jax.vmap(one)(v_low, v_right_in, ns)
+
+
+@f32_matmuls
+def dg_awr_from_adjoint_mixed(
+    mops: MixedDGTimeOperators,
+    interp: MixedAdjointInterp,
+    f: Callable,
+    u_primal: jnp.ndarray,
+    times: jnp.ndarray,
+    ns: jnp.ndarray,
+    y0,
+    v_hi: jnp.ndarray,  # (K, np_max) adjoint at order ns+1 (solved or rec.)
+) -> jnp.ndarray:
+    """Per-element adjoint-weighted residual err_k = v_kᵀ R_k(u_H) for a
+    GIVEN order-(ns+1) adjoint — the reconstruction path's weighting step
+    (mixed counterpart of
+    :func:`~adjoint_ode_adaptivity_tpu.adjoint.dg_time.dg_awr_from_adjoint`)."""
+    times = jnp.asarray(times)
+    dtype = times.dtype
+    _check_orders(ns, mops.n_max - 1, what="ns (residual at ns+1)")
+    ns = jnp.asarray(ns, jnp.int32)
+    np_m = mops.np_max
+    stiff = jnp.asarray(mops.stiff_pad, dtype)
+    phi = jnp.asarray(mops.phi_pad, dtype)
+    rq = jnp.asarray(mops.rq, dtype)
+    wq = jnp.asarray(mops.wq, dtype)
+    to_nodes = jnp.asarray(interp.to_nodes, dtype)
+    to_quad = jnp.asarray(interp.to_quad, dtype)
+    t_left = times[:-1]
+    hs = times[1:] - times[:-1]
+    ends = jax.vmap(lambda u_el, n_k: jnp.dot(_one_hot(n_k, np_m, dtype), u_el))(
+        u_primal, ns
+    )
+    u_prevs = jnp.concatenate([jnp.asarray(y0, dtype).reshape(1), ends[:-1]])
+
+    def one(u_el, v_el, tl, h, u_prev, n_k):
+        ip = n_k - 1
+        ia = n_k
+        s_a = jnp.take(stiff, ia, axis=0)
+        phi_a = jnp.take(phi, ia, axis=0)
+        to_q = jnp.take(to_quad, ip, axis=0)
+        to_n = jnp.take(to_nodes, ip, axis=0)
+        e_end = _one_hot(n_k + 1, np_m, dtype)
+        u_q = to_q @ u_el
+        t_q = tl + (1.0 + rq) * h / 2.0
+        u_h = to_n @ u_el
+        m_tilde = h / 2.0 * (phi_a.T @ (wq * f(u_q, t_q)))
+        res = (
+            s_a.T @ u_h
+            - e_end * jnp.dot(e_end, u_h)
+            + m_tilde
+            + jnp.zeros((np_m,), dtype).at[0].set(u_prev)
+        )
+        return v_el @ res
+
+    return jax.vmap(one)(u_primal, v_hi, t_left, hs, u_prevs, ns)

@@ -130,6 +130,7 @@ def main(argv=None):
             ode.f, args.y0, (args.t0, args.t1),
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
+            adjoint_mode=args.adjoint,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,
         )

@@ -368,3 +368,62 @@ class TestHPDeviceLoop:
         )
         assert len(dev) == len(ref)
         np.testing.assert_array_equal(dev[-1].ns, ref[-1].ns)
+
+
+class TestMixedReconstruct:
+    """Mixed-order Radau reconstruction (adj_rec.m's per-element-order
+    signature): low-order solve -> Radau lift -> AWR weighting, pinned to
+    the uniform reconstruction path where ns is uniform."""
+
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_uniform_parity(self, n):
+        from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+            dg_adjoint_reconstruct_mixed,
+            dg_adjoint_solve_low_mixed,
+            dg_awr_from_adjoint_mixed,
+            dg_radau_interp_mixed,
+        )
+        from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
+            dg_adjoint_reconstruct,
+            dg_awr_from_adjoint,
+        )
+
+        mops6 = dg_time_operators_mixed(N_MAX + 2)
+        interp6 = dg_adjoint_interp_mixed(mops6)
+        rad6 = dg_radau_interp_mixed(mops6)
+        ngq6 = 3 * (N_MAX + 2) + 6
+        ops = dg_time_operators(n, n_gq=ngq6)
+        ops_a = dg_time_operators(n + 1, n_gq=ngq6)
+        ref = dg_march(ops, F_SIN, TIMES, Y0)
+        adj_low_ref = dg_adjoint_march(ops, F_SIN, ref.u, TIMES, Y0)
+        v_rec_ref = dg_adjoint_reconstruct(ops, adj_low_ref.v, TIMES)
+        err_ref = dg_awr_from_adjoint(
+            ops_a, F_SIN, ref.u, TIMES, Y0, v_rec_ref
+        )
+        ns = jnp.full((8,), n, jnp.int32)
+        mix = dg_march_mixed(mops6, F_SIN, TIMES, ns, Y0)
+        v_low = dg_adjoint_solve_low_mixed(mops6, F_SIN, mix.u, TIMES, ns, Y0)
+        v_rec = dg_adjoint_reconstruct_mixed(mops6, rad6, v_low, ns)
+        err = dg_awr_from_adjoint_mixed(
+            mops6, interp6, F_SIN, mix.u, TIMES, ns, Y0, v_rec
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_rec[:, : n + 2]), np.asarray(v_rec_ref), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(err), np.asarray(err_ref), atol=1e-13
+        )
+
+    def test_hp_loop_reconstruct_mode(self):
+        hist = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), k0=4, n0=1, n_max=3, mode="p",
+            tol=1e-10, maxit=6, adjoint_mode="reconstruct",
+        )
+        # the reconstructed-adjoint estimate drives the same convergence
+        assert abs(hist[-1].est_total) < 1e-2 * abs(hist[0].est_total)
+        gap = hist[0].j_fine - hist[0].j_coarse
+        assert abs(hist[0].est_total - gap) < 0.1 * abs(gap)
+
+    def test_invalid_adjoint_mode_raises(self):
+        with pytest.raises(ValueError, match="adjoint_mode"):
+            run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), adjoint_mode="x")
