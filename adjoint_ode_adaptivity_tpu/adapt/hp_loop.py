@@ -63,7 +63,7 @@ class HPAdaptResult(NamedTuple):
 
 def run_adaptive_dg_hp(
     f: Callable,
-    y0: float,
+    y0,
     t_span: tuple[float, float],
     *,
     k0: int = 4,
@@ -98,6 +98,14 @@ def run_adaptive_dg_hp(
     lifts each element through Radau collocation (adj_rec) before
     weighting the residual.
 
+    ``y0`` may be a (B,) array: the ENSEMBLE-signal hp study
+    (Main_variable_params.py:330-341's mean indicator applied to hp) —
+    all members share one partition and order vector, the solves vmap
+    over members, and the refinement signal is the ensemble-mean
+    |contribution| per element.  History then carries per-member ``u``/
+    ``v`` (B, K, np_max), the ensemble-MEAN signed ``err``, and member-
+    mean functionals; ``est_total = Σ_k mean_b err``.
+
     ``device_loop=True``: the whole study — solves, estimate, p/h
     decision, stopping tests — runs as ONE ``lax.while_loop`` dispatch
     with per-iteration results in preallocated buffers and a single fetch
@@ -122,35 +130,50 @@ def run_adaptive_dg_hp(
     )
     do_p = mode in ("p", "hp")
     do_h = mode in ("h", "hp")
+    y0_arr = np.asarray(y0)
+    ensemble = y0_arr.ndim == 1
 
-    @jax.jit
-    def iteration(times, ns):
+    def _member(times, ns, y0_m):
         res_c = dg_march_mixed(
-            mops, f, times, ns, y0,
+            mops, f, times, ns, y0_m,
             newton_tol=newton_tol, newton_maxit=newton_maxit,
         )
         res_f = dg_march_mixed(
-            mops, f, times, ns + fine_offset, y0,
+            mops, f, times, ns + fine_offset, y0_m,
             newton_tol=newton_tol, newton_maxit=newton_maxit,
         )
         if adjoint_mode == "reconstruct":
             v_low = dg_adjoint_solve_low_mixed(
-                mops, f, res_c.u, times, ns, y0, g_u=g_u
+                mops, f, res_c.u, times, ns, y0_m, g_u=g_u
             )
             v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
             err_adj = dg_awr_from_adjoint_mixed(
-                mops, interp, f, res_c.u, times, ns, y0, v_adj
+                mops, interp, f, res_c.u, times, ns, y0_m, v_adj
             )
         else:
             adj = dg_adjoint_march_mixed(
-                mops, interp, f, res_c.u, times, ns, y0, g_u=g_u
+                mops, interp, f, res_c.u, times, ns, y0_m, g_u=g_u
             )
             v_adj, err_adj = adj.v, adj.err
         j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
         j_f = dg_element_functional_mixed(
             mops, res_f.u, times, ns + fine_offset, g
         )
-        abs_err = jnp.abs(err_adj)
+        return res_c.u, v_adj, err_adj, j_c, j_f
+
+    @jax.jit
+    def iteration(times, ns):
+        if ensemble:
+            u_b, v_b, err_b, j_cb, j_fb = jax.vmap(
+                lambda ym: _member(times, ns, ym)
+            )(jnp.asarray(y0_arr))
+            u_r, v_r = u_b, v_b
+            err_adj = jnp.mean(err_b, axis=0)  # signed mean (history/est)
+            abs_err = jnp.mean(jnp.abs(err_b), axis=0)  # the signal
+            j_c, j_f = jnp.mean(j_cb), jnp.mean(j_fb)
+        else:
+            u_r, v_r, err_adj, j_c, j_f = _member(times, ns, y0)
+            abs_err = jnp.abs(err_adj)
         ref_any = jnp.argmax(abs_err)
         # p-refinement: the argmax among order-refinable LIVE elements
         # (zero-width padding slabs must never be selected)
@@ -182,8 +205,12 @@ def run_adaptive_dg_hp(
             times_h, ns_h = times, ns
         times_new = jnp.where(use_p, times, times_h)
         ns_new = jnp.where(use_p, ns_p, ns_h)
+        # Σ err computed HERE so the host and device-loop paths use the
+        # bit-identical value (XLA would otherwise reassociate the
+        # mean+sum reduction differently inside the fused while_loop)
+        est = jnp.sum(err_adj)
         return (
-            res_c.u, v_adj, err_adj, j_c, j_f, times_new, ns_new,
+            u_r, v_r, err_adj, j_c, j_f, est, times_new, ns_new,
         )
 
     history: list[HPAdaptResult] = []
@@ -245,8 +272,7 @@ def run_adaptive_dg_hp(
 
             def body(carry):
                 t, nsv, bufs, it, _ = carry
-                u, v, err, j_c, j_f, t_new, ns_new = iteration(t, nsv)
-                est = jnp.sum(err)
+                u, v, err, j_c, j_f, est, t_new, ns_new = iteration(t, nsv)
                 done = jnp.abs(est) < tol
                 changed = jnp.any(t_new != t) | jnp.any(ns_new != nsv)
                 rows = (u, v, err, j_c, j_f, t, nsv, est)
@@ -284,8 +310,8 @@ def run_adaptive_dg_hp(
             result = HPAdaptResult(
                 times=t_i[: na + 1].copy(),
                 ns=bufs[6][i][:na].copy(),
-                u=bufs[0][i][:na],
-                v=bufs[1][i][:na],
+                u=bufs[0][i][..., :na, :],
+                v=bufs[1][i][..., :na, :],
                 err=bufs[2][i][:na],
                 j_coarse=float(bufs[3][i]),
                 j_fine=float(bufs[4][i]),
@@ -313,13 +339,13 @@ def run_adaptive_dg_hp(
             )
         return history
     for it in range(it0, maxit + 1):
-        u, v, err, j_c, j_f, times_new, ns_new = iteration(times, ns)
-        est_total = float(jnp.sum(err))
+        u, v, err, j_c, j_f, est, times_new, ns_new = iteration(times, ns)
+        est_total = float(est)
         result = HPAdaptResult(
             times=np.asarray(times)[: n_active + 1].copy(),
             ns=np.asarray(ns)[:n_active].copy(),
-            u=np.asarray(u)[:n_active],
-            v=np.asarray(v)[:n_active],
+            u=np.asarray(u)[..., :n_active, :],
+            v=np.asarray(v)[..., :n_active, :],
             err=np.asarray(err)[:n_active],
             j_coarse=float(j_c),
             j_fine=float(j_f),

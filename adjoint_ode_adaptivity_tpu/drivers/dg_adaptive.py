@@ -115,19 +115,29 @@ def main(argv=None):
     if args.hp is not None:
         from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
 
+        hp_y0 = args.y0
+        if args.ensemble > 0:
+            # ensemble-mean hp signal: members share partition + orders
+            rng = np.random.default_rng(args.seed)
+            hp_y0 = rng.uniform(args.y0 / 2.0, 2.0 * args.y0, args.ensemble)
+
+        # the exact-J comparison only makes sense for a single IC (the
+        # ensemble's mean J is not the scalar y0's functional)
+        hp_j_exact = j_exact if args.ensemble == 0 else None
+
         def hp_callback(r):
             k = len(r.ns)
             print(f"-- it with K={k} ns={r.ns.tolist()}")
             print("JuH-Juh")
             print(f"{r.effectivity_gap:.10e}")
-            if j_exact is not None:
+            if hp_j_exact is not None:
                 print("JuH-Ju")
-                print(f"{r.j_coarse - j_exact:.10e}")
+                print(f"{r.j_coarse - hp_j_exact:.10e}")
             print("Adj-W Res")
             print(f"{r.est_total:.10e}")
 
         history = run_adaptive_dg_hp(
-            ode.f, args.y0, (args.t0, args.t1),
+            ode.f, hp_y0, (args.t0, args.t1),
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
             adjoint_mode=args.adjoint,
@@ -157,13 +167,15 @@ def main(argv=None):
                         color=[0.466, 0.674, 0.188])
                 ax1.set_ylabel("Error Contribution")
                 ax2 = ax1.twinx()
+                u_p = r.u[0] if r.u.ndim == 3 else r.u  # member 0 when
+                v_p = r.v[0] if r.v.ndim == 3 else r.v  # --ensemble is set
                 for kk in range(len(r.ns)):
                     npk = int(r.ns[kk]) + 1  # live nodes only (padded
                     # entries beyond the element's order are zeros)
                     tk = np.linspace(r.times[kk], r.times[kk + 1], npk)
-                    ax2.plot(tk, r.u[kk, :npk], "g--*", linewidth=2)
+                    ax2.plot(tk, u_p[kk, :npk], "g--*", linewidth=2)
                     ta = np.linspace(r.times[kk], r.times[kk + 1], npk + 1)
-                    ax2.plot(ta, r.v[kk, : npk + 1], "r--*", linewidth=2)
+                    ax2.plot(ta, v_p[kk, : npk + 1], "r--*", linewidth=2)
                 ax2.set_ylabel("Solution")
                 fig.savefig(f"{args.case}/{args.case}_{i}.png")
                 plt.close(fig)

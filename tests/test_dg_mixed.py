@@ -427,3 +427,46 @@ class TestMixedReconstruct:
     def test_invalid_adjoint_mode_raises(self):
         with pytest.raises(ValueError, match="adjoint_mode"):
             run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), adjoint_mode="x")
+
+
+class TestHPEnsemble:
+    """Ensemble-signal hp: shared partition+orders, vmapped members,
+    ensemble-mean |AWR| signal (Main_variable_params.py:330-341 applied to
+    the hp strand)."""
+
+    def test_single_member_ensemble_matches_scalar(self):
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=3)
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), **kw)
+        ens = run_adaptive_dg_hp(F_SIN, np.asarray([1.0]), (0.0, 2.0), **kw)
+        assert len(ens) == len(ref)
+        for a, b in zip(ens, ref):
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(a.times, b.times)
+            np.testing.assert_allclose(
+                np.asarray(a.err), np.asarray(b.err), atol=1e-14
+            )
+            assert a.u.shape == (1,) + b.u.shape
+
+    def test_ensemble_signal_converges(self):
+        y0s = np.asarray([0.6, 1.0, 1.5, 1.9])
+        hist = run_adaptive_dg_hp(
+            F_SIN, y0s, (0.0, 2.0), k0=4, n0=1, n_max=4, mode="p",
+            tol=0.0, maxit=6,
+        )
+        assert hist[0].u.shape[0] == 4
+        assert abs(hist[-1].est_total) < 1e-2 * abs(hist[0].est_total)
+
+    def test_ensemble_device_loop_matches_host(self):
+        y0s = np.asarray([0.7, 1.2, 1.8])
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=3)
+        ref = run_adaptive_dg_hp(F_SIN, y0s, (0.0, 2.0), **kw)
+        dev = run_adaptive_dg_hp(
+            F_SIN, y0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(dev) == len(ref)
+        for a, b in zip(dev, ref):
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(
+                np.asarray(a.err), np.asarray(b.err)
+            )
+            assert float(a.est_total) == float(b.est_total)
