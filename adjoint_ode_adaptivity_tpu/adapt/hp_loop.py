@@ -79,6 +79,8 @@ def run_adaptive_dg_hp(
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
     adjoint_mode: str = "solve",
+    mesh=None,
+    mesh_axis: str = "data",
     callback: Callable | None = None,
     checkpoint_dir: str | None = None,
     device_loop: bool = False,
@@ -132,6 +134,19 @@ def run_adaptive_dg_hp(
     do_h = mode in ("h", "hp")
     y0_arr = np.asarray(y0)
     ensemble = y0_arr.ndim == 1
+    if mesh is not None:
+        if not ensemble:
+            raise ValueError("mesh= requires a (B,) initial-condition array")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[mesh_axis]
+        if y0_arr.shape[0] % n_dev:
+            raise ValueError(
+                f"B={y0_arr.shape[0]} must divide over {n_dev} mesh devices"
+            )
+        y0_arr = jax.device_put(
+            y0_arr, NamedSharding(mesh, PartitionSpec(mesh_axis))
+        )
 
     def _member(times, ns, y0_m):
         res_c = dg_march_mixed(

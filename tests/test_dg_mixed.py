@@ -470,3 +470,28 @@ class TestHPEnsemble:
                 np.asarray(a.err), np.asarray(b.err)
             )
             assert float(a.est_total) == float(b.est_total)
+
+
+class TestHPEnsembleMesh:
+    def test_dp_mesh_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        y0s = np.linspace(0.6, 1.9, 8)
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=3)
+        ref = run_adaptive_dg_hp(F_SIN, y0s, (0.0, 2.0), **kw)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        dp = run_adaptive_dg_hp(F_SIN, y0s, (0.0, 2.0), mesh=mesh, **kw)
+        assert len(dp) == len(ref)
+        for a, b in zip(dp, ref):
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(a.times, b.times)
+            np.testing.assert_allclose(
+                np.asarray(a.err), np.asarray(b.err), atol=1e-13
+            )
+
+    def test_mesh_requires_ensemble(self):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        with pytest.raises(ValueError, match="requires"):
+            run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), mesh=mesh)
