@@ -46,7 +46,12 @@ from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
     dg_time_operators_mixed,
 )
 
-__all__ = ["HPAdaptResult", "run_adaptive_dg_hp"]
+__all__ = [
+    "HPAdaptResult",
+    "HPPerMemberAdaptResult",
+    "run_adaptive_dg_hp",
+    "run_adaptive_dg_hp_per_member",
+]
 
 
 class HPAdaptResult(NamedTuple):
@@ -406,4 +411,225 @@ def run_adaptive_dg_hp(
             )
         if done or it == maxit:
             break
+    return history
+
+
+class HPPerMemberAdaptResult(NamedTuple):
+    """One iteration of the per-member hp study (arrays over members)."""
+
+    times: np.ndarray  # (B, max_k+1) per-member partitions
+    ns: np.ndarray  # (B, max_k) per-member order vectors
+    err: np.ndarray  # (B, max_k) per-element contributions
+    j_coarse: np.ndarray  # (B,)
+    j_fine: np.ndarray  # (B,)
+    est_total: np.ndarray  # (B,) per-member Σ err
+    n_active: np.ndarray  # (B,) live element counts
+    n_refining: int  # members still refining after this iteration
+
+
+def run_adaptive_dg_hp_per_member(
+    f: Callable,
+    y0s,
+    t_span: tuple[float, float],
+    *,
+    k0: int = 4,
+    n0: int = 1,
+    n_max: int = 4,
+    mode: str = "hp",
+    g: Callable = lambda u, t: u,
+    g_u: Callable = lambda u, t: jnp.ones_like(u),
+    tol: float = 1e-8,
+    maxit: int = 30,
+    fine_offset: int = 2,
+    n_gq: int | None = None,
+    newton_tol: float = 1e-7,
+    newton_maxit: int = 500,
+    adjoint_mode: str = "solve",
+    device_loop: bool = False,
+) -> list[HPPerMemberAdaptResult]:
+    """PER-MEMBER hp-adaptive DG-in-time: every member of the (B,)
+    initial-condition ensemble owns its OWN partition AND order vector,
+    p/h-refines its own |AWR| argmax, and freezes at ``tol``
+    independently — the reference's one-adaptive-job-per-IC farm
+    (Submit_schedule_frontera) extended to the hp axis, vmapped into one
+    compile-once jit.  A member also freezes when nothing can refine
+    (mode='p' with every live element order-saturated).
+
+    ``device_loop=True`` runs the whole study as one ``lax.while_loop``
+    dispatch (on-device freeze bookkeeping and early exit, one fetch;
+    history bit-identical to the host loop — tested)."""
+    # build the scalar-iteration factory once; vmap it over members
+    b = int(np.asarray(y0s).shape[0])
+    if mode not in ("h", "p", "hp"):
+        raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
+    if not 1 <= n0 <= n_max:
+        raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
+    if adjoint_mode not in ("solve", "reconstruct"):
+        raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
+    interp = dg_adjoint_interp_mixed(mops)
+    radau = dg_radau_interp_mixed(mops) if adjoint_mode == "reconstruct" else None
+    do_p = mode in ("p", "hp")
+    do_h = mode in ("h", "hp")
+    max_k = k0 + (maxit + 1 if mode != "p" else 1)
+    row_t = np.linspace(t_span[0], t_span[1], k0 + 1)
+    row_t = np.concatenate([row_t, np.full(max_k - k0, row_t[-1])])
+    times0 = jnp.asarray(np.broadcast_to(row_t, (b, max_k + 1)).copy())
+    row_n = np.concatenate(
+        [np.full(k0, n0, np.int32), np.ones(max_k - k0, np.int32)]
+    )
+    ns0 = jnp.asarray(np.broadcast_to(row_n, (b, max_k)).copy())
+    y0_arr = jnp.asarray(np.asarray(y0s))
+
+    def _member_step(times, ns, y0_m):
+        """One member's solve + estimate + refinement candidate."""
+        res_c = dg_march_mixed(
+            mops, f, times, ns, y0_m,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        res_f = dg_march_mixed(
+            mops, f, times, ns + fine_offset, y0_m,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        if adjoint_mode == "reconstruct":
+            v_low = dg_adjoint_solve_low_mixed(
+                mops, f, res_c.u, times, ns, y0_m, g_u=g_u
+            )
+            v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
+            err_adj = dg_awr_from_adjoint_mixed(
+                mops, interp, f, res_c.u, times, ns, y0_m, v_adj
+            )
+        else:
+            adj = dg_adjoint_march_mixed(
+                mops, interp, f, res_c.u, times, ns, y0_m, g_u=g_u
+            )
+            err_adj = adj.err
+        j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
+        j_f = dg_element_functional_mixed(
+            mops, res_f.u, times, ns + fine_offset, g
+        )
+        abs_err = jnp.abs(err_adj)
+        ref_any = jnp.argmax(abs_err)
+        eligible = (ns < n_max) & (times[1:] - times[:-1] > 0)
+        ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
+        if mode == "p":
+            ref_i, use_p = ref_p, jnp.array(True)
+        elif mode == "h":
+            ref_i, use_p = ref_any, jnp.array(False)
+        else:
+            ref_i, use_p = ref_any, eligible[ref_any]
+        ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
+        if do_h:
+            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+            idx_t = jnp.arange(times.shape[0])
+            t_shift = times[jnp.maximum(idx_t - 1, 0)]
+            times_h = jnp.where(
+                idx_t <= ref_i, times,
+                jnp.where(idx_t == ref_i + 1, mid, t_shift),
+            )
+            idx_e = jnp.arange(ns.shape[0])
+            ns_shift = ns[jnp.maximum(idx_e - 1, 0)]
+            ns_h = jnp.where(idx_e <= ref_i, ns, ns_shift)
+        else:
+            times_h, ns_h = times, ns
+        times_new = jnp.where(use_p, times, times_h)
+        ns_new = jnp.where(use_p, ns_p, ns_h)
+        est = jnp.sum(err_adj)
+        return err_adj, j_c, j_f, est, times_new, ns_new
+
+    @jax.jit
+    def iteration(times_b, ns_b, refining):
+        err, j_c, j_f, est, t_new, n_new = jax.vmap(_member_step)(
+            times_b, ns_b, y0_arr
+        )
+        done = jnp.abs(est) < tol
+        changed = jnp.any(t_new != times_b, axis=1) | jnp.any(
+            n_new != ns_b, axis=1
+        )
+        # a member refines while it was refining and the tolerance test
+        # still fails; it also freezes when nothing could refine
+        apply = refining & ~done
+        times_out = jnp.where(apply[:, None], t_new, times_b)
+        ns_out = jnp.where(apply[:, None], n_new, ns_b)
+        refining_out = apply & changed
+        n_active = jnp.sum(
+            (times_b[:, 1:] - times_b[:, :-1]) > 0, axis=1
+        ).astype(jnp.int32)
+        return times_out, ns_out, refining_out, err, j_c, j_f, est, n_active
+
+    history: list[HPPerMemberAdaptResult] = []
+    if device_loop:
+        shapes = jax.eval_shape(
+            iteration, times0, ns0, jnp.ones((b,), bool)
+        )
+
+        @jax.jit
+        def _run_fused(times_b, ns_b):
+            bufs = tuple(
+                jnp.zeros((maxit + 1,) + s.shape, s.dtype)
+                for s in shapes[3:]
+            ) + (
+                jnp.zeros((maxit + 1, b, max_k + 1), times_b.dtype),
+                jnp.zeros((maxit + 1, b, max_k), jnp.int32),
+                jnp.zeros((maxit + 1,), jnp.int32),
+            )
+
+            def body(carry):
+                t, nsv, refining, bufs, it, _ = carry
+                t_new, ns_new, ref_new, err, j_c, j_f, est, n_act = iteration(
+                    t, nsv, refining
+                )
+                rows = (err, j_c, j_f, est, n_act, t, nsv,
+                        jnp.sum(ref_new).astype(jnp.int32))
+                zero = jnp.zeros_like(it)
+                bufs = tuple(
+                    jax.lax.dynamic_update_slice(
+                        bb, jnp.asarray(r, bb.dtype)[None],
+                        (it,) + (zero,) * (bb.ndim - 1),
+                    )
+                    for bb, r in zip(bufs, rows)
+                )
+                return (t_new, ns_new, ref_new, bufs, it + 1,
+                        jnp.any(ref_new))
+
+            def cond(carry):
+                _, _, _, _, it, cont = carry
+                return (it <= maxit) & cont
+
+            _, _, _, bufs, n_done, _ = jax.lax.while_loop(
+                cond, body,
+                (times_b, ns_b, jnp.ones((b,), bool), bufs, jnp.int32(0),
+                 jnp.array(True)),
+            )
+            return bufs, n_done
+
+        bufs, n_done = _run_fused(times0, ns0)
+        n_done = int(n_done)
+        bufs = [np.asarray(x) for x in bufs]
+        for i in range(n_done):
+            history.append(HPPerMemberAdaptResult(
+                times=bufs[5][i], ns=bufs[6][i], err=bufs[0][i],
+                j_coarse=bufs[1][i], j_fine=bufs[2][i], est_total=bufs[3][i],
+                n_active=bufs[4][i], n_refining=int(bufs[7][i]),
+            ))
+        return history
+
+    times_b, ns_b = times0, ns0
+    refining = jnp.ones((b,), bool)
+    for it in range(maxit + 1):
+        t_new, ns_new, ref_new, err, j_c, j_f, est, n_act = iteration(
+            times_b, ns_b, refining
+        )
+        history.append(HPPerMemberAdaptResult(
+            times=np.asarray(times_b), ns=np.asarray(ns_b),
+            err=np.asarray(err), j_coarse=np.asarray(j_c),
+            j_fine=np.asarray(j_f), est_total=np.asarray(est),
+            n_active=np.asarray(
+                ((np.asarray(times_b)[:, 1:] - np.asarray(times_b)[:, :-1]) > 0).sum(axis=1)
+            ).astype(np.int32),
+            n_refining=int(jnp.sum(ref_new)),
+        ))
+        if not bool(jnp.any(ref_new)) or it == maxit:
+            break
+        times_b, ns_b, refining = t_new, ns_new, ref_new
     return history

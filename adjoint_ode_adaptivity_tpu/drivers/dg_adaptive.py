@@ -117,9 +117,30 @@ def main(argv=None):
 
         hp_y0 = args.y0
         if args.ensemble > 0:
-            # ensemble-mean hp signal: members share partition + orders
             rng = np.random.default_rng(args.seed)
             hp_y0 = rng.uniform(args.y0 / 2.0, 2.0 * args.y0, args.ensemble)
+        if args.ensemble > 0 and args.per_member:
+            # every member its own partition AND order vector
+            from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+                run_adaptive_dg_hp_per_member,
+            )
+
+            history = run_adaptive_dg_hp_per_member(
+                ode.f, hp_y0, (args.t0, args.t1),
+                k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
+                tol=args.tol, maxit=args.maxit, adjoint_mode=args.adjoint,
+                device_loop=args.device_loop,
+            )
+            for it, r in enumerate(history):
+                print(
+                    f"-- it {it} K=[{r.n_active.min()}..{r.n_active.max()}]"
+                    f" max order={r.ns.max()}"
+                    f" mean |est|={np.abs(r.est_total).mean():.10e}"
+                    f" refining={r.n_refining}/{args.ensemble}"
+                )
+            print(f"finished after {len(history)} iterations "
+                  f"(per-member hp, B={args.ensemble}, mode={args.hp})")
+            return history
 
         # the exact-J comparison only makes sense for a single IC (the
         # ensemble's mean J is not the scalar y0's functional)

@@ -495,3 +495,63 @@ class TestHPEnsembleMesh:
         mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
         with pytest.raises(ValueError, match="requires"):
             run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), mesh=mesh)
+
+
+class TestHPPerMember:
+    """Per-member hp: every member its own partition AND order vector,
+    freezing at tol independently (the one-job-per-IC farm on the hp
+    axis)."""
+
+    def test_members_match_independent_solo_runs(self):
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        y0s = np.asarray([0.6, 1.1, 1.8])
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=1e-6, maxit=5)
+        hist = run_adaptive_dg_hp_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+        last = hist[-1]
+        for m, y0m in enumerate(y0s):
+            solo = run_adaptive_dg_hp(F_SIN, float(y0m), (0.0, 2.0), **kw)
+            na = int(last.n_active[m])
+            assert na == len(solo[-1].ns)
+            np.testing.assert_allclose(
+                last.times[m][: na + 1], solo[-1].times, atol=1e-14
+            )
+            np.testing.assert_array_equal(last.ns[m][:na], solo[-1].ns)
+
+    def test_members_diverge(self):
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        # far-apart ICs concentrate error differently: h-bisections land
+        # in different places (a symmetric budget like maxit = 2*k0 p-steps
+        # would saturate every member identically — use h mode)
+        y0s = np.asarray([0.2, 3.0])
+        hist = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), k0=3, n0=1, n_max=3, mode="h",
+            tol=0.0, maxit=4,
+        )
+        last = hist[-1]
+        assert not np.array_equal(last.times[0], last.times[1])
+
+    def test_device_loop_matches_host(self):
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        y0s = np.asarray([0.7, 1.3, 1.9])
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=1e-7, maxit=4)
+        ref = run_adaptive_dg_hp_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+        dev = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), device_loop=True, **kw
+        )
+        assert len(dev) == len(ref)
+        for a, b in zip(dev, ref):
+            np.testing.assert_array_equal(a.times, b.times)
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(
+                np.asarray(a.est_total), np.asarray(b.est_total)
+            )
+            assert a.n_refining == b.n_refining
