@@ -66,6 +66,77 @@ class HPAdaptResult(NamedTuple):
     est_total: float  # Σ err
 
 
+
+def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h):
+    """One p/h refinement candidate at the |AWR| argmax on a padded
+    partition: raise the argmax-eligible element's order (p), bisect the
+    argmax element with order inheritance (h), or p-until-saturated-then-h
+    (hp).  Shared by the shared-partition and per-member loops — the
+    single place that encodes the refinement semantics."""
+    ref_any = jnp.argmax(abs_err)
+    # p-eligibility: order-refinable LIVE elements only (zero-width
+    # padding slabs must never be selected)
+    eligible = (ns < n_max) & (times[1:] - times[:-1] > 0)
+    ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
+    if mode == "p":
+        ref_i, use_p = ref_p, jnp.array(True)
+    elif mode == "h":
+        ref_i, use_p = ref_any, jnp.array(False)
+    else:  # hp: p until the argmax element saturates, then bisect it
+        ref_i, use_p = ref_any, eligible[ref_any]
+    ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
+    if do_h:
+        mid = 0.5 * (times[ref_i] + times[ref_i + 1])
+        idx_t = jnp.arange(times.shape[0])
+        t_shift = times[jnp.maximum(idx_t - 1, 0)]
+        times_h = jnp.where(
+            idx_t <= ref_i, times, jnp.where(idx_t == ref_i + 1, mid, t_shift)
+        )
+        idx_e = jnp.arange(ns.shape[0])
+        ns_shift = ns[jnp.maximum(idx_e - 1, 0)]
+        ns_h = jnp.where(idx_e <= ref_i, ns, ns_shift)
+    else:
+        times_h, ns_h = times, ns
+    return jnp.where(use_p, times, times_h), jnp.where(use_p, ns_p, ns_h)
+
+
+def _make_member_solver(mops, interp, radau, f, g, g_u, fine_offset,
+                        adjoint_mode, newton_tol, newton_maxit):
+    """member(times, ns, y0_m) -> (u, v, err, j_c, j_f): one member's
+    coarse/fine solves, adjoint (direct or Radau-reconstructed) and
+    functionals — shared by all hp loop variants."""
+
+    def member(times, ns, y0_m):
+        res_c = dg_march_mixed(
+            mops, f, times, ns, y0_m,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        res_f = dg_march_mixed(
+            mops, f, times, ns + fine_offset, y0_m,
+            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        )
+        if adjoint_mode == "reconstruct":
+            v_low = dg_adjoint_solve_low_mixed(
+                mops, f, res_c.u, times, ns, y0_m, g_u=g_u
+            )
+            v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
+            err_adj = dg_awr_from_adjoint_mixed(
+                mops, interp, f, res_c.u, times, ns, y0_m, v_adj
+            )
+        else:
+            adj = dg_adjoint_march_mixed(
+                mops, interp, f, res_c.u, times, ns, y0_m, g_u=g_u
+            )
+            v_adj, err_adj = adj.v, adj.err
+        j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
+        j_f = dg_element_functional_mixed(
+            mops, res_f.u, times, ns + fine_offset, g
+        )
+        return res_c.u, v_adj, err_adj, j_c, j_f
+
+    return member
+
+
 def run_adaptive_dg_hp(
     f: Callable,
     y0,
@@ -125,6 +196,12 @@ def run_adaptive_dg_hp(
         raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
     if adjoint_mode not in ("solve", "reconstruct"):
         raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    if fine_offset < 1:
+        raise ValueError(
+            "fine_offset must be >= 1: the adjoint solves at ns+1, which "
+            "must fit the operator stack (silent table clamping otherwise "
+            "- see march.dg_mixed._check_orders)"
+        )
     mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
     interp = dg_adjoint_interp_mixed(mops)
     radau = dg_radau_interp_mixed(mops) if adjoint_mode == "reconstruct" else None
@@ -153,33 +230,10 @@ def run_adaptive_dg_hp(
             y0_arr, NamedSharding(mesh, PartitionSpec(mesh_axis))
         )
 
-    def _member(times, ns, y0_m):
-        res_c = dg_march_mixed(
-            mops, f, times, ns, y0_m,
-            newton_tol=newton_tol, newton_maxit=newton_maxit,
-        )
-        res_f = dg_march_mixed(
-            mops, f, times, ns + fine_offset, y0_m,
-            newton_tol=newton_tol, newton_maxit=newton_maxit,
-        )
-        if adjoint_mode == "reconstruct":
-            v_low = dg_adjoint_solve_low_mixed(
-                mops, f, res_c.u, times, ns, y0_m, g_u=g_u
-            )
-            v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
-            err_adj = dg_awr_from_adjoint_mixed(
-                mops, interp, f, res_c.u, times, ns, y0_m, v_adj
-            )
-        else:
-            adj = dg_adjoint_march_mixed(
-                mops, interp, f, res_c.u, times, ns, y0_m, g_u=g_u
-            )
-            v_adj, err_adj = adj.v, adj.err
-        j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
-        j_f = dg_element_functional_mixed(
-            mops, res_f.u, times, ns + fine_offset, g
-        )
-        return res_c.u, v_adj, err_adj, j_c, j_f
+    _member = _make_member_solver(
+        mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
+        newton_tol, newton_maxit,
+    )
 
     @jax.jit
     def iteration(times, ns):
@@ -194,37 +248,9 @@ def run_adaptive_dg_hp(
         else:
             u_r, v_r, err_adj, j_c, j_f = _member(times, ns, y0)
             abs_err = jnp.abs(err_adj)
-        ref_any = jnp.argmax(abs_err)
-        # p-refinement: the argmax among order-refinable LIVE elements
-        # (zero-width padding slabs must never be selected)
-        eligible = (ns < n_max) & (times[1:] - times[:-1] > 0)
-        ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
-        if mode == "p":
-            ref_i = ref_p
-            use_p = jnp.array(True)
-        elif mode == "h":
-            ref_i = ref_any
-            use_p = jnp.array(False)
-        else:  # hp: p until the argmax element saturates, then bisect it
-            use_p = eligible[ref_any]
-            ref_i = ref_any
-        # candidate p-action
-        ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
-        # candidate h-action: midpoint insert (times) + order inherit (ns)
-        if do_h:
-            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
-            idx_t = jnp.arange(times.shape[0])
-            t_shift = times[jnp.maximum(idx_t - 1, 0)]
-            times_h = jnp.where(
-                idx_t <= ref_i, times, jnp.where(idx_t == ref_i + 1, mid, t_shift)
-            )
-            idx_e = jnp.arange(ns.shape[0])
-            ns_shift = ns[jnp.maximum(idx_e - 1, 0)]
-            ns_h = jnp.where(idx_e <= ref_i, ns, ns_shift)
-        else:
-            times_h, ns_h = times, ns
-        times_new = jnp.where(use_p, times, times_h)
-        ns_new = jnp.where(use_p, ns_p, ns_h)
+        times_new, ns_new = _refine_candidate(
+            times, ns, abs_err, mode, n_max, do_p, do_h
+        )
         # Σ err computed HERE so the host and device-loop paths use the
         # bit-identical value (XLA would otherwise reassociate the
         # mean+sum reduction differently inside the fused while_loop)
@@ -286,7 +312,7 @@ def run_adaptive_dg_hp(
                 jnp.zeros((maxit + 1,) + s.shape, s.dtype) for s in shapes[:5]
             ) + (
                 jnp.zeros((maxit + 1, n_nodes), t_dtype),
-                jnp.zeros((maxit + 1, max_k), jnp.int32),
+                jnp.zeros((maxit + 1, ns.shape[0]), jnp.int32),
                 jnp.zeros((maxit + 1,), shapes[2].dtype),  # Σerr
             )
 
@@ -445,6 +471,8 @@ def run_adaptive_dg_hp_per_member(
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
     adjoint_mode: str = "solve",
+    mesh=None,
+    mesh_axis: str = "data",
     device_loop: bool = False,
 ) -> list[HPPerMemberAdaptResult]:
     """PER-MEMBER hp-adaptive DG-in-time: every member of the (B,)
@@ -457,7 +485,10 @@ def run_adaptive_dg_hp_per_member(
 
     ``device_loop=True`` runs the whole study as one ``lax.while_loop``
     dispatch (on-device freeze bookkeeping and early exit, one fetch;
-    history bit-identical to the host loop — tested)."""
+    history bit-identical to the host loop — tested).  ``mesh``
+    data-parallelizes the members over ``mesh_axis`` (initial conditions,
+    per-member partitions and order vectors all shard member-wise;
+    decisions pinned equal to the single-device loop in tests)."""
     # build the scalar-iteration factory once; vmap it over members
     b = int(np.asarray(y0s).shape[0])
     if mode not in ("h", "p", "hp"):
@@ -466,6 +497,12 @@ def run_adaptive_dg_hp_per_member(
         raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
     if adjoint_mode not in ("solve", "reconstruct"):
         raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    if fine_offset < 1:
+        raise ValueError(
+            "fine_offset must be >= 1: the adjoint solves at ns+1, which "
+            "must fit the operator stack (silent table clamping otherwise "
+            "- see march.dg_mixed._check_orders)"
+        )
     mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
     interp = dg_adjoint_interp_mixed(mops)
     radau = dg_radau_interp_mixed(mops) if adjoint_mode == "reconstruct" else None
@@ -480,60 +517,29 @@ def run_adaptive_dg_hp_per_member(
     )
     ns0 = jnp.asarray(np.broadcast_to(row_n, (b, max_k)).copy())
     y0_arr = jnp.asarray(np.asarray(y0s))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[mesh_axis]
+        if b % n_dev:
+            raise ValueError(f"B={b} must divide over {n_dev} mesh devices")
+        shard_b = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        shard_b2 = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+        y0_arr = jax.device_put(y0_arr, shard_b)
+        times0 = jax.device_put(times0, shard_b2)
+        ns0 = jax.device_put(ns0, shard_b2)
+
+    member = _make_member_solver(
+        mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
+        newton_tol, newton_maxit,
+    )
 
     def _member_step(times, ns, y0_m):
         """One member's solve + estimate + refinement candidate."""
-        res_c = dg_march_mixed(
-            mops, f, times, ns, y0_m,
-            newton_tol=newton_tol, newton_maxit=newton_maxit,
+        _, _, err_adj, j_c, j_f = member(times, ns, y0_m)
+        times_new, ns_new = _refine_candidate(
+            times, ns, jnp.abs(err_adj), mode, n_max, do_p, do_h
         )
-        res_f = dg_march_mixed(
-            mops, f, times, ns + fine_offset, y0_m,
-            newton_tol=newton_tol, newton_maxit=newton_maxit,
-        )
-        if adjoint_mode == "reconstruct":
-            v_low = dg_adjoint_solve_low_mixed(
-                mops, f, res_c.u, times, ns, y0_m, g_u=g_u
-            )
-            v_adj = dg_adjoint_reconstruct_mixed(mops, radau, v_low, ns)
-            err_adj = dg_awr_from_adjoint_mixed(
-                mops, interp, f, res_c.u, times, ns, y0_m, v_adj
-            )
-        else:
-            adj = dg_adjoint_march_mixed(
-                mops, interp, f, res_c.u, times, ns, y0_m, g_u=g_u
-            )
-            err_adj = adj.err
-        j_c = dg_element_functional_mixed(mops, res_c.u, times, ns, g)
-        j_f = dg_element_functional_mixed(
-            mops, res_f.u, times, ns + fine_offset, g
-        )
-        abs_err = jnp.abs(err_adj)
-        ref_any = jnp.argmax(abs_err)
-        eligible = (ns < n_max) & (times[1:] - times[:-1] > 0)
-        ref_p = jnp.argmax(jnp.where(eligible, abs_err, -1.0))
-        if mode == "p":
-            ref_i, use_p = ref_p, jnp.array(True)
-        elif mode == "h":
-            ref_i, use_p = ref_any, jnp.array(False)
-        else:
-            ref_i, use_p = ref_any, eligible[ref_any]
-        ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
-        if do_h:
-            mid = 0.5 * (times[ref_i] + times[ref_i + 1])
-            idx_t = jnp.arange(times.shape[0])
-            t_shift = times[jnp.maximum(idx_t - 1, 0)]
-            times_h = jnp.where(
-                idx_t <= ref_i, times,
-                jnp.where(idx_t == ref_i + 1, mid, t_shift),
-            )
-            idx_e = jnp.arange(ns.shape[0])
-            ns_shift = ns[jnp.maximum(idx_e - 1, 0)]
-            ns_h = jnp.where(idx_e <= ref_i, ns, ns_shift)
-        else:
-            times_h, ns_h = times, ns
-        times_new = jnp.where(use_p, times, times_h)
-        ns_new = jnp.where(use_p, ns_p, ns_h)
         est = jnp.sum(err_adj)
         return err_adj, j_c, j_f, est, times_new, ns_new
 
@@ -569,8 +575,8 @@ def run_adaptive_dg_hp_per_member(
                 jnp.zeros((maxit + 1,) + s.shape, s.dtype)
                 for s in shapes[3:]
             ) + (
-                jnp.zeros((maxit + 1, b, max_k + 1), times_b.dtype),
-                jnp.zeros((maxit + 1, b, max_k), jnp.int32),
+                jnp.zeros((maxit + 1,) + times_b.shape, times_b.dtype),
+                jnp.zeros((maxit + 1,) + ns_b.shape, jnp.int32),
                 jnp.zeros((maxit + 1,), jnp.int32),
             )
 
@@ -624,9 +630,7 @@ def run_adaptive_dg_hp_per_member(
             times=np.asarray(times_b), ns=np.asarray(ns_b),
             err=np.asarray(err), j_coarse=np.asarray(j_c),
             j_fine=np.asarray(j_f), est_total=np.asarray(est),
-            n_active=np.asarray(
-                ((np.asarray(times_b)[:, 1:] - np.asarray(times_b)[:, :-1]) > 0).sum(axis=1)
-            ).astype(np.int32),
+            n_active=np.asarray(n_act),
             n_refining=int(jnp.sum(ref_new)),
         ))
         if not bool(jnp.any(ref_new)) or it == maxit:

@@ -293,19 +293,25 @@ def dg_adjoint_reconstruct_mixed(
     rad: MixedRadauInterp,
     v_low: jnp.ndarray,  # (K, np_max) adjoint solved at the primal orders
     ns: jnp.ndarray,
+    v_terminal: float = 0.0,
 ) -> jnp.ndarray:
     """Lift the per-element low-order adjoint to order ``ns[k] + 1``
     through Radau collocation + the known right-endpoint inflow value
-    (adj_rec.m:34-47 with a per-element order vector).  Returns the
-    (K, np_max) padded nodal values at the order-(n+1) GL nodes."""
+    (adj_rec.m:34-47 with a per-element order vector).  ``v_terminal``
+    must match the value passed to the paired low-order solve (it is the
+    last element's right-endpoint inflow).  Returns the (K, np_max)
+    padded nodal values at the order-(n+1) GL nodes."""
     dtype = v_low.dtype
     _check_orders(ns, mops.n_max - 1, what="ns (reconstructs to ns+1)")
     ns = jnp.asarray(ns, jnp.int32)
     np_m = mops.np_max
     eval_rad = jnp.asarray(rad.eval_rad, dtype)
     to_hi = jnp.asarray(rad.to_hi, dtype)
-    # inflow at each element's right endpoint = next element's v[0]
-    v_right_in = jnp.concatenate([v_low[1:, 0], jnp.zeros((1,), dtype)])
+    # inflow at each element's right endpoint = next element's v[0];
+    # the LAST element's is the terminal condition
+    v_right_in = jnp.concatenate(
+        [v_low[1:, 0], jnp.full((1,), v_terminal, dtype)]
+    )
 
     def one(v_el, v_in, n_k):
         i = n_k - 1

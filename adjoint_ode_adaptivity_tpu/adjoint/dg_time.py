@@ -205,6 +205,7 @@ def dg_adjoint_reconstruct(
     ops_primal: DGTimeOperators,
     v_low: jnp.ndarray,  # (K, Np_primal) adjoint solved at the primal's order
     times: jnp.ndarray,
+    v_terminal: float = 0.0,
 ) -> jnp.ndarray:
     """Reconstruct a low-order adjoint to order n+1 through left-Radau
     collocation + the known right-endpoint inflow value (adj_rec.m:34-47).
@@ -227,8 +228,12 @@ def dg_adjoint_reconstruct(
     to_hi = jnp.asarray(v_hi @ v_fit, v_low.dtype)  # values at fit pts -> GL(m) nodes
 
     k = v_low.shape[0]
-    # inflow value at each element's right endpoint = next element's v[0]
-    v_right_in = jnp.concatenate([v_low[1:, 0], jnp.zeros((1,), v_low.dtype)])
+    # inflow value at each element's right endpoint = next element's v[0];
+    # the LAST element's is the terminal condition (must match the paired
+    # low-order solve's v_terminal)
+    v_right_in = jnp.concatenate(
+        [v_low[1:, 0], jnp.full((1,), v_terminal, v_low.dtype)]
+    )
 
     def one(v_el, v_in):
         at_rad = eval_rad @ v_el

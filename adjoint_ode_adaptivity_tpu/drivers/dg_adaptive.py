@@ -116,9 +116,17 @@ def main(argv=None):
         from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
 
         hp_y0 = args.y0
+        hp_mesh = None
         if args.ensemble > 0:
             rng = np.random.default_rng(args.seed)
             hp_y0 = rng.uniform(args.y0 / 2.0, 2.0 * args.y0, args.ensemble)
+            if args.dp:
+                from jax.sharding import Mesh
+
+                hp_mesh = Mesh(np.array(jax.devices()), ("data",))
+                print(f"dp over {hp_mesh.shape['data']} devices")
+        elif args.dp:
+            p.error("--dp requires --ensemble with --hp")
         if args.ensemble > 0 and args.per_member:
             # every member its own partition AND order vector
             from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
@@ -129,7 +137,7 @@ def main(argv=None):
                 ode.f, hp_y0, (args.t0, args.t1),
                 k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
                 tol=args.tol, maxit=args.maxit, adjoint_mode=args.adjoint,
-                device_loop=args.device_loop,
+                mesh=hp_mesh, device_loop=args.device_loop,
             )
             for it, r in enumerate(history):
                 print(
@@ -161,7 +169,7 @@ def main(argv=None):
             ode.f, hp_y0, (args.t0, args.t1),
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
-            adjoint_mode=args.adjoint,
+            adjoint_mode=args.adjoint, mesh=hp_mesh,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,
         )

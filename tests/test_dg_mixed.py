@@ -555,3 +555,25 @@ class TestHPPerMember:
                 np.asarray(a.est_total), np.asarray(b.est_total)
             )
             assert a.n_refining == b.n_refining
+
+
+class TestHPPerMemberMesh:
+    def test_dp_mesh_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        y0s = np.linspace(0.3, 2.8, 8)
+        kw = dict(k0=3, n0=1, n_max=3, mode="h", tol=0.0, maxit=3,
+                  device_loop=True)
+        ref = run_adaptive_dg_hp_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        dp = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), mesh=mesh, **kw
+        )
+        assert len(dp) == len(ref)
+        np.testing.assert_array_equal(dp[-1].times, ref[-1].times)
+        np.testing.assert_array_equal(dp[-1].ns, ref[-1].ns)
+        np.testing.assert_array_equal(dp[-1].n_active, ref[-1].n_active)
