@@ -577,3 +577,62 @@ class TestHPPerMemberMesh:
         np.testing.assert_array_equal(dp[-1].times, ref[-1].times)
         np.testing.assert_array_equal(dp[-1].ns, ref[-1].ns)
         np.testing.assert_array_equal(dp[-1].n_active, ref[-1].n_active)
+
+
+class TestTrainThroughHPSolver:
+    """A neural right-hand side trains THROUGH the mixed-order implicit
+    solver on an hp-adapted partition (the reference's Main_kk1d intent
+    composed with the hp axis: IFT custom_vjp at per-element orders)."""
+
+    def test_neural_rhs_trains_on_mixed_partition(self):
+        import optax
+
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+            dg_march_mixed_differentiable,
+        )
+
+        mops = dg_time_operators_mixed(5)
+        # an hp-style mixed partition/order assignment (as the hp loop
+        # would produce): higher order where the dynamics are fastest
+        times = jnp.asarray([0.0, 0.25, 0.5, 1.0, 2.0], jnp.float64)
+        ns = jnp.asarray([3, 3, 2, 1], jnp.int32)
+
+        def f_net(u, t, p):
+            # tiny tanh network, elementwise over quadrature points
+            h = jnp.tanh(jnp.outer(jnp.atleast_1d(u), p["w1"]) + p["b1"])
+            out = h @ p["w2"]
+            return jnp.reshape(out, jnp.shape(u))
+
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        params = {
+            "w1": 0.5 * jax.random.normal(k1, (8,), jnp.float64),
+            "b1": jnp.zeros((8,), jnp.float64),
+            "w2": 0.1 * jax.random.normal(k2, (8,), jnp.float64),
+        }
+        # truth: the sin(u) flow's terminal value from y0=1
+        from adjoint_ode_adaptivity_tpu import odes as odes_mod
+
+        exact = odes_mod.get_ode("du/dt=sin(u)").exact_fwd
+        target = jnp.asarray(float(exact(2.0, 1.0)), jnp.float64)
+
+        def loss_fn(p):
+            u = dg_march_mixed_differentiable(
+                mops, f_net, times, ns, 1.0, p, newton_tol=1e-11
+            )
+            return (jnp.dot((jnp.arange(6) == 1).astype(u.dtype), u[-1])
+                    - target) ** 2
+
+        tx = optax.adam(5e-2)
+        opt = tx.init(params)
+        loss0 = float(loss_fn(params))
+
+        @jax.jit
+        def step(p, o):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            upd, o = tx.update(g, o)
+            return optax.apply_updates(p, upd), o, l
+
+        for _ in range(60):
+            params, opt, l = step(params, opt)
+        assert float(l) < 1e-3 * max(loss0, 1e-9), (loss0, float(l))
