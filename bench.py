@@ -74,7 +74,8 @@ def _tpu_reachable(timeout_s: float = 300.0) -> bool:
 
 
 def main():
-    if not _tpu_reachable():
+    tpu_outage = not _tpu_reachable()
+    if tpu_outage:
         print(
             '{"warning": "TPU unreachable - falling back to CPU paths"}',
             file=sys.stderr,
@@ -798,6 +799,7 @@ def main():
                 "n_steps": n_steps,
                 "baseline_dof_steps_per_sec": baseline_dsps,
                 "backend": jax.default_backend(),
+                "tpu_outage_fallback": tpu_outage,
                 "kernel": "pallas-fused" if on_tpu else "xla",
                 "j_value": j_value,
                 "sum_eta": sum_eta,
