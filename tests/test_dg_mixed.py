@@ -636,3 +636,44 @@ class TestTrainThroughHPSolver:
         for _ in range(60):
             params, opt, l = step(params, opt)
         assert float(l) < 1e-3 * max(loss0, 1e-9), (loss0, float(l))
+
+
+class TestHPResumeDeviceLoop:
+    def test_resume_into_device_loop(self, tmp_path):
+        """A host-loop checkpoint resumed into device_loop=True (and with a
+        DIFFERENT maxit) continues exactly where an uninterrupted run would
+        be — the fused buffers size from the restored arrays."""
+        kw = dict(k0=2, n0=1, n_max=3, mode="hp", tol=0.0)
+        ck = str(tmp_path / "hp_dl")
+        calls = []
+
+        def killer(result):
+            calls.append(1)
+            if len(calls) == 2:
+                raise KeyboardInterrupt
+
+        try:
+            run_adaptive_dg_hp(
+                F_SIN, 1.0, (0.0, 2.0), maxit=4, checkpoint_dir=ck,
+                callback=killer, **kw
+            )
+        except KeyboardInterrupt:
+            pass
+        # resume with MORE iterations, fused
+        ext = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=6, checkpoint_dir=ck,
+            device_loop=True, **kw
+        )
+        ref = run_adaptive_dg_hp(F_SIN, 1.0, (0.0, 2.0), maxit=6, **kw)
+        assert len(ext) == len(ref)
+        for a, b in zip(ext, ref):
+            np.testing.assert_array_equal(a.ns, b.ns)
+            np.testing.assert_array_equal(a.times, b.times)
+
+        # resume with FEWER iterations than already done: returns the
+        # restored history unchanged (nothing left to run)
+        short = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=1, checkpoint_dir=ck,
+            device_loop=True, **kw
+        )
+        assert len(short) >= 2
