@@ -669,6 +669,58 @@ def main():
             _fd_pm_run()
             fd_pm_wall = min(fd_pm_wall, time.perf_counter() - t0)
 
+    # ---- PER-MEMBER hp-ADAPTIVE DG-in-time (the mixed per-element-order
+    # strand: dg_march.m:1's latent Ns-vector capability driven as a real
+    # adaptivity axis): B independent MAIN.m studies, each member owning
+    # its OWN partition AND order vector, p-until-saturated-then-h at its
+    # |AWR| argmax, all vmapped into one jit and the whole maxit-iteration
+    # study fused into ONE lax.while_loop dispatch (device_loop).
+    # Steady-state via the returned run_fused/iteration handles (each call
+    # otherwise rebuilds its jit closures — hp_loop docstring). Baseline:
+    # the measured NumPy dg-pipeline slab rate over the same live-slab
+    # count (2 solves/iteration counted — coarse + adjoint — ignoring the
+    # fine ns+2 solve, and the NumPy rate is measured at ORDER 1 while the
+    # hp study runs orders 1..n_max with ~Np^3 Newton cost and a
+    # 30*Ns-point fem_setup rebuild per element in the reference: both
+    # choices make the quoted speedup conservative).
+    hp_pm_fused_wall = hp_pm_host_wall = hp_pm_base_est = None
+    hp_pm_iters = 0
+    hp_pm_b = 512
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        hp_kwargs = dict(
+            k0=4, n0=1, n_max=3, mode="hp", tol=0.0, maxit=10,
+            newton_maxit=60,
+        )
+        hp_y0 = np.random.default_rng(5).uniform(0.5, 2.0, hp_pm_b).astype(
+            np.float32
+        )
+        h_hp = run_adaptive_dg_hp_per_member(
+            f_sin, hp_y0, (0.0, 2.0), device_loop=True, **hp_kwargs
+        )
+        hp_pm_iters = len(h_hp)
+
+        def _hp_fused_run():
+            bufs, n_done = h_hp.run_fused(*h_hp.fused_args)
+            return np.asarray(bufs[3])  # per-member Σerr buffer (the fetch)
+
+        _hp_fused_run()  # warm (compiled already; seeds any cache load)
+        hp_pm_fused_wall = min(_timeit(_hp_fused_run) for _ in range(5))
+
+        def _hp_host_run():
+            return run_adaptive_dg_hp_per_member(
+                f_sin, hp_y0, (0.0, 2.0), iteration=h_hp.iteration,
+                **hp_kwargs
+            )
+
+        _hp_host_run()
+        hp_pm_host_wall = min(_timeit(_hp_host_run) for _ in range(3))
+        hp_pm_slabs = sum(2 * int(h.n_active.sum()) for h in h_hp)
+        hp_pm_base_est = hp_pm_slabs / dg_base_rate
+
     # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
     # at width 500 — the reference's LARGEST trained width
     # (Main_new_loss.py:209) — over 10 time steps, batch 8192,
@@ -846,6 +898,18 @@ def main():
                 if fd_pm_wall is None else round(fd_pm_wall, 4),
                 "fd_adaptive_pm_per_study_ms": None
                 if fd_pm_wall is None else round(fd_pm_wall / 1024 * 1e3, 4),
+                "hp_adaptive_pm_fused_wall_s": None
+                if hp_pm_fused_wall is None else round(hp_pm_fused_wall, 4),
+                "hp_adaptive_pm_host_wall_s": None
+                if hp_pm_host_wall is None else round(hp_pm_host_wall, 4),
+                "hp_adaptive_pm_fused_speedup": None
+                if hp_pm_fused_wall is None
+                else round(hp_pm_host_wall / hp_pm_fused_wall, 2),
+                "hp_adaptive_pm_vs_baseline": None
+                if hp_pm_fused_wall is None
+                else hp_pm_base_est / hp_pm_fused_wall,
+                "hp_adaptive_pm_ensemble": hp_pm_b,
+                "hp_adaptive_pm_iterations": hp_pm_iters,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
                 "k100k_tiled_grid_dof_steps_per_sec": k100k_tiled_rate,
                 "k1m_tiled_dof_steps_per_sec": k1m_rate,
