@@ -101,7 +101,8 @@ def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h):
 
 
 def _make_member_solver(mops, interp, radau, f, g, g_u, fine_offset,
-                        adjoint_mode, newton_tol, newton_maxit):
+                        adjoint_mode, newton_tol, newton_maxit,
+                        newton_iters=None):
     """member(times, ns, y0_m) -> (u, v, err, j_c, j_f): one member's
     coarse/fine solves, adjoint (direct or Radau-reconstructed) and
     functionals — shared by all hp loop variants."""
@@ -110,10 +111,12 @@ def _make_member_solver(mops, interp, radau, f, g, g_u, fine_offset,
         res_c = dg_march_mixed(
             mops, f, times, ns, y0_m,
             newton_tol=newton_tol, newton_maxit=newton_maxit,
+            newton_iters=newton_iters,
         )
         res_f = dg_march_mixed(
             mops, f, times, ns + fine_offset, y0_m,
             newton_tol=newton_tol, newton_maxit=newton_maxit,
+            newton_iters=newton_iters,
         )
         if adjoint_mode == "reconstruct":
             v_low = dg_adjoint_solve_low_mixed(
@@ -154,6 +157,7 @@ def run_adaptive_dg_hp(
     n_gq: int | None = None,
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
+    newton_iters: int | None = None,
     adjoint_mode: str = "solve",
     mesh=None,
     mesh_axis: str = "data",
@@ -244,7 +248,7 @@ def run_adaptive_dg_hp(
         )
         _member = _make_member_solver(
             mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
-            newton_tol, newton_maxit,
+            newton_tol, newton_maxit, newton_iters,
         )
 
         @jax.jit
@@ -499,6 +503,7 @@ def run_adaptive_dg_hp_per_member(
     n_gq: int | None = None,
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
+    newton_iters: int | None = None,
     adjoint_mode: str = "solve",
     mesh=None,
     mesh_axis: str = "data",
@@ -570,7 +575,7 @@ def run_adaptive_dg_hp_per_member(
         )
         member = _make_member_solver(
             mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
-            newton_tol, newton_maxit,
+            newton_tol, newton_maxit, newton_iters,
         )
 
         def _member_step(times, ns, y0_m):

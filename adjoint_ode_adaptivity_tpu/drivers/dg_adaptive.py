@@ -71,6 +71,11 @@ def main(argv=None):
              "inherit the order), or p-until-saturated-then-h ('hp'); "
              "--order sets the starting order, --n-max the p cap",
     )
+    p.add_argument(
+        "--newton-iters", type=int, default=None,
+        help="fixed Newton iteration count for the hp solves (the vmapped-"
+             "ensemble TPU fast path; default: tolerance while_loop)",
+    )
     p.add_argument("--n-max", type=int, default=4,
                    help="--hp only: maximum per-element order")
     p.add_argument(
@@ -137,6 +142,7 @@ def main(argv=None):
                 ode.f, hp_y0, (args.t0, args.t1),
                 k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
                 tol=args.tol, maxit=args.maxit, adjoint_mode=args.adjoint,
+                newton_iters=args.newton_iters,
                 mesh=hp_mesh, device_loop=args.device_loop,
             )
             for it, r in enumerate(history):
@@ -169,6 +175,7 @@ def main(argv=None):
             ode.f, hp_y0, (args.t0, args.t1),
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
+            newton_iters=args.newton_iters,
             adjoint_mode=args.adjoint, mesh=hp_mesh,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,

@@ -150,6 +150,7 @@ def dg_march_mixed(
     *,
     newton_tol: float = 1e-7,
     newton_maxit: int = 500,
+    newton_iters: int | None = None,
 ) -> DGMarchResult:
     """March the DG-in-time solution with per-element orders ``ns``
     (int array, (K,), values in 1..n_max).
@@ -159,6 +160,15 @@ def dg_march_mixed(
     (``matlab/dg_march.m:26-78``); identical results where ``ns`` is
     uniform (tested).  Returns padded (K, np_max) nodal arrays — entries
     beyond ``ns[k]+1`` are zero (values) / the right endpoint (times).
+
+    ``newton_iters``: run a FIXED Newton iteration count instead of the
+    tolerance ``while_loop`` — the TPU fast path for vmapped ensembles
+    (same contract as the batched solvers,
+    :mod:`~adjoint_ode_adaptivity_tpu.march.dg_batched`): under ``vmap``
+    a tolerance loop runs to the slowest member's count with every other
+    member masked, while the fixed count is branch-free.  Newton on these
+    slabs converges quadratically, so a handful of iterations reproduces
+    the tol-converged solve to roundoff (tested).
     """
     times = jnp.asarray(times)
     dtype = times.dtype
@@ -211,9 +221,19 @@ def dg_march_mixed(
 
         mask = (jnp.arange(np_m) <= n_k).astype(dtype)
         u0_el = u_prev * mask
-        u, _, iters = lax.while_loop(
-            newton_cond, newton_body, (u0_el, jnp.asarray(jnp.inf, dtype), 0)
-        )
+        if newton_iters is not None:
+            u = lax.fori_loop(
+                0, newton_iters,
+                lambda _, uu: uu
+                - jnp.linalg.solve(jacobian(uu), residual(uu)),
+                u0_el,
+            )
+            iters = jnp.int32(newton_iters)
+        else:
+            u, _, iters = lax.while_loop(
+                newton_cond, newton_body,
+                (u0_el, jnp.asarray(jnp.inf, dtype), 0),
+            )
         res_norm = jnp.linalg.norm(residual(u))
         t_nodes = tl + (1.0 + r_k) * h / 2.0
         return jnp.dot(e_end, u), (u, t_nodes, iters, res_norm)

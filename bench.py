@@ -693,7 +693,7 @@ def main():
 
         hp_kwargs = dict(
             k0=4, n0=1, n_max=3, mode="hp", tol=0.0, maxit=10,
-            newton_maxit=60,
+            newton_iters=8,
         )
         hp_y0 = np.random.default_rng(5).uniform(0.5, 2.0, hp_pm_b).astype(
             np.float32

@@ -60,6 +60,20 @@ class TestMixedMarch:
             np.asarray(mix.newton_iters), np.asarray(ref.newton_iters)
         )
 
+    def test_fixed_count_newton_matches_tol(self, mops):
+        # the vmapped-ensemble TPU fast path: a fixed Newton count
+        # reproduces the tolerance while_loop to roundoff (quadratic
+        # convergence), mixed orders included
+        ns = jnp.asarray([1, 3, 2, 4, 1, 2, 3, 1], jnp.int32)
+        ref = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
+        fix = dg_march_mixed(
+            mops, F_SIN, TIMES, ns, Y0, newton_iters=8
+        )
+        np.testing.assert_allclose(
+            np.asarray(fix.u), np.asarray(ref.u), atol=1e-13
+        )
+        assert int(np.asarray(fix.newton_iters).max()) == 8
+
     def test_mixed_matches_chained_oracle(self, mops):
         ns = jnp.asarray([1, 3, 2, 4, 1, 2, 3, 1], jnp.int32)
         mix = dg_march_mixed(mops, F_SIN, TIMES, ns, Y0)
