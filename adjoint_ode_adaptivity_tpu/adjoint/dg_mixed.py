@@ -26,6 +26,7 @@ from jax import lax
 
 from adjoint_ode_adaptivity_tpu.adjoint.dg_time import DGAdjointResult
 from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+    gauss_solve,
     MixedDGTimeOperators,
     _check_orders,
     _one_hot,
@@ -138,7 +139,7 @@ def dg_adjoint_march_mixed(
         # m_ref's 0-column annihilation into 0·inf = NaN
         live = (jnp.arange(np_m) <= n_k + 1).astype(dtype)
         rhs = -(h / 2.0 * (m_ref @ (live * g_u(u_h, t_n)))) - e_end * v_inflow
-        v_el = jnp.linalg.solve(a_mat, rhs)
+        v_el = gauss_solve(a_mat, rhs)
 
         # adjoint-weighted residual of the interpolated primal at order n+1
         m_tilde = h / 2.0 * (phi_a.T @ (wq * f(u_q, t_q)))
@@ -275,7 +276,7 @@ def dg_adjoint_solve_low_mixed(
         t_n = tl + (1.0 + r_a) * h / 2.0
         live = (jnp.arange(np_m) <= n_k).astype(dtype)
         rhs = -(h / 2.0 * (m_ref @ (live * g_u(u_el, t_n)))) - e_end * v_inflow
-        v_el = jnp.linalg.solve(a_mat, rhs)
+        v_el = gauss_solve(a_mat, rhs)
         return v_el[0], v_el
 
     _, v = lax.scan(

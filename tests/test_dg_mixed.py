@@ -60,6 +60,44 @@ class TestMixedMarch:
             np.asarray(mix.newton_iters), np.asarray(ref.newton_iters)
         )
 
+    def test_gauss_solve_matches_pivoted(self, mops):
+        # the strand-wide tiny-system solver: unpivoted unrolled Gauss
+        # vs jnp.linalg.solve on actual Newton Jacobians across orders
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import gauss_solve
+
+        rng = np.random.default_rng(3)
+        for n_k in range(1, N_MAX + 1):
+            for h in (2.0, 1e-3, 0.0):
+                i = n_k - 1
+                s_k = jnp.asarray(mops.stiff_pad[i])
+                phi_k = jnp.asarray(mops.phi_pad[i])
+                eye_k = jnp.asarray(mops.pad_eye[i])
+                wq = jnp.asarray(mops.wq)
+                np_m = mops.np_max
+                e_end = jnp.zeros(np_m).at[n_k].set(1.0)
+                u = jnp.asarray(rng.uniform(-2, 2, np_m))
+                df = jnp.cos(phi_k @ u)
+                a = (s_k.T - jnp.outer(e_end, e_end) + eye_k
+                     + h / 2.0 * (phi_k.T @ (wq[:, None] * df[:, None]
+                                             * phi_k)))
+                b = jnp.asarray(rng.uniform(-1, 1, np_m))
+                np.testing.assert_allclose(
+                    np.asarray(gauss_solve(a, b)),
+                    np.asarray(jnp.linalg.solve(a, b)),
+                    atol=1e-13, rtol=1e-12,
+                )
+        # batched leading axes ride through unchanged
+        ab = jnp.asarray(rng.uniform(0.5, 2.0, (5, 4, 4)))
+        ab = ab + 4.0 * jnp.eye(4)  # well-conditioned batch
+        bb = jnp.asarray(rng.uniform(-1, 1, (5, 4)))
+        np.testing.assert_allclose(
+            np.asarray(gauss_solve(ab, bb)),
+            np.linalg.solve(
+                np.asarray(ab), np.asarray(bb)[..., None]
+            )[..., 0],
+            atol=1e-13,
+        )
+
     def test_fixed_count_newton_matches_tol(self, mops):
         # the vmapped-ensemble TPU fast path: a fixed Newton count
         # reproduces the tolerance while_loop to roundoff (quadratic
