@@ -505,6 +505,7 @@ def run_adaptive_dg_hp_per_member(
     newton_maxit: int = 500,
     newton_iters: int | None = None,
     adjoint_mode: str = "solve",
+    engine: str = "xla",
     mesh=None,
     mesh_axis: str = "data",
     iteration=None,
@@ -528,9 +529,22 @@ def run_adaptive_dg_hp_per_member(
     ``iteration``: prebuilt jitted per-iteration function from a prior
     identically-configured call (the returned history carries
     ``.iteration`` / ``.run_fused`` / ``.fused_args``) for genuinely warm
-    re-runs — same contract as :func:`run_adaptive_dg_hp`."""
+    re-runs — same contract as :func:`run_adaptive_dg_hp`.
+
+    ``engine="pallas"`` fuses each iteration's whole per-member mixed-
+    order pipeline — coarse march at ``ns``, fine at ``ns+fine_offset``,
+    adjoint at ``ns+1``, AWR — into ONE kernel launch
+    (:func:`~adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab_mixed.make_pallas_dg_estimate_hp_per_member`;
+    per-member partitions AND order vectors ride as register-tile
+    operands, so refinement never retraces).  Requires an elementwise
+    ``f``/``g_u``, ``adjoint_mode="solve"`` and B a multiple of 8; uses
+    fixed-count Newton (``newton_iters``, default 8).  Decisions are
+    pinned equal to the XLA engine in tests (f32 roundoff on the
+    signal)."""
     # build the scalar-iteration factory once; vmap it over members
     b = int(np.asarray(y0s).shape[0])
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
     if mode not in ("h", "p", "hp"):
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
     if not 1 <= n0 <= n_max:
@@ -573,25 +587,80 @@ def run_adaptive_dg_hp_per_member(
             dg_radau_interp_mixed(mops)
             if adjoint_mode == "reconstruct" else None
         )
-        member = _make_member_solver(
-            mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
-            newton_tol, newton_maxit, newton_iters,
-        )
-
-        def _member_step(times, ns, y0_m):
-            """One member's solve + estimate + refinement candidate."""
-            _, _, err_adj, j_c, j_f = member(times, ns, y0_m)
-            times_new, ns_new = _refine_candidate(
-                times, ns, jnp.abs(err_adj), mode, n_max, do_p, do_h
+        if engine == "pallas":
+            if adjoint_mode != "solve":
+                raise ValueError(
+                    "engine='pallas' supports adjoint_mode='solve' only"
+                )
+            from adjoint_ode_adaptivity_tpu.ops.pallas import (
+                ensure_scoped_vmem,
             )
-            est = jnp.sum(err_adj)
-            return err_adj, j_c, j_f, est, times_new, ns_new
+            from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab_mixed import (
+                make_pallas_dg_estimate_hp_per_member,
+            )
+
+            ensure_scoped_vmem()
+            pallas_run = make_pallas_dg_estimate_hp_per_member(
+                mops, interp, f, None, max_k, n_max_user=n_max,
+                fine_offset=fine_offset, g_u=g_u,
+                newton_iters=newton_iters or 8,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if mesh is not None:
+                from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+                    ensemble_batched,
+                )
+
+                n_shard = mesh.shape[mesh_axis]
+                if b % (8 * n_shard):
+                    raise ValueError(
+                        f"B={b} must be a multiple of 8 PER SHARD "
+                        f"({n_shard} devices on axis {mesh_axis!r}): the "
+                        "kernel maps members onto 8-row sublane tiles"
+                    )
+                # per-member times AND orders shard WITH the members
+                _hp_dp = ensemble_batched(
+                    lambda y, t, n, _run=pallas_run: _run(t, n, y),
+                    mesh, axis=mesh_axis, shard_extras={0, 1},
+                )
+                pallas_run = lambda t, n, y: _hp_dp(y, t, n)  # noqa: E731
+
+            def _solve_batch(times_b, ns_b):
+                u_c, u_f, _v, err = pallas_run(times_b, ns_b, y0_arr)
+                j_c = jax.vmap(
+                    lambda u_m, t_m, n_m: dg_element_functional_mixed(
+                        mops, u_m, t_m, n_m, g
+                    )
+                )(u_c, times_b, ns_b)
+                j_f = jax.vmap(
+                    lambda u_m, t_m, n_m: dg_element_functional_mixed(
+                        mops, u_m, t_m, n_m + fine_offset, g
+                    )
+                )(u_f, times_b, ns_b)
+                return err, j_c, j_f
+
+        else:
+            member = _make_member_solver(
+                mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
+                newton_tol, newton_maxit, newton_iters,
+            )
+
+            def _solve_batch(times_b, ns_b):
+                def one(t_m, n_m, y_m):
+                    _, _, err_adj, j_c, j_f = member(t_m, n_m, y_m)
+                    return err_adj, j_c, j_f
+
+                return jax.vmap(one)(times_b, ns_b, y0_arr)
 
         @jax.jit
         def iteration(times_b, ns_b, refining):
-            err, j_c, j_f, est, t_new, n_new = jax.vmap(_member_step)(
-                times_b, ns_b, y0_arr
-            )
+            err, j_c, j_f = _solve_batch(times_b, ns_b)
+            est = jnp.sum(err, axis=1)
+            t_new, n_new = jax.vmap(
+                lambda t_m, n_m, e_m: _refine_candidate(
+                    t_m, n_m, e_m, mode, n_max, do_p, do_h
+                )
+            )(times_b, ns_b, jnp.abs(err))
             done = jnp.abs(est) < tol
             changed = jnp.any(t_new != times_b, axis=1) | jnp.any(
                 n_new != ns_b, axis=1

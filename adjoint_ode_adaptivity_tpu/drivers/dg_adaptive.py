@@ -48,7 +48,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--engine", choices=["xla", "pallas"], default=None,
-        help="--ensemble only: pipeline engine (default: pallas on TPU)",
+        help="ensemble paths: pipeline engine (default: pallas on TPU "
+             "for --ensemble; xla for --hp --per-member, where pallas "
+             "fuses the whole mixed-order member pipeline per launch "
+             "and needs B to be a multiple of 8)",
     )
     p.add_argument(
         "--dp", action="store_true",
@@ -143,6 +146,7 @@ def main(argv=None):
                 k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
                 tol=args.tol, maxit=args.maxit, adjoint_mode=args.adjoint,
                 newton_iters=args.newton_iters,
+                engine=args.engine or "xla",
                 mesh=hp_mesh, device_loop=args.device_loop,
             )
             for it, r in enumerate(history):

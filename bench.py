@@ -684,6 +684,7 @@ def main():
     # 30*Ns-point fem_setup rebuild per element in the reference: both
     # choices make the quoted speedup conservative).
     hp_pm_fused_wall = hp_pm_host_wall = hp_pm_base_est = None
+    hp_pm_pallas_wall = None
     hp_pm_iters = 0
     hp_pm_b = 512
     if on_tpu:
@@ -720,6 +721,24 @@ def main():
         hp_pm_host_wall = min(_timeit(_hp_host_run) for _ in range(3))
         hp_pm_slabs = sum(2 * int(h.n_active.sum()) for h in h_hp)
         hp_pm_base_est = hp_pm_slabs / dg_base_rate
+
+        # the FUSED-KERNEL engine: the whole mixed-order member pipeline
+        # (coarse/fine/adjoint/AWR) is ONE pallas launch per iteration
+        # (ops/pallas/dg_slab_mixed.py) inside the same device while_loop
+        try:
+            h_hpp = run_adaptive_dg_hp_per_member(
+                f_sin, hp_y0, (0.0, 2.0), device_loop=True,
+                engine="pallas", **hp_kwargs
+            )
+
+            def _hp_pallas_run():
+                bufs, n_done = h_hpp.run_fused(*h_hpp.fused_args)
+                return np.asarray(bufs[3])
+
+            _hp_pallas_run()
+            hp_pm_pallas_wall = min(_timeit(_hp_pallas_run) for _ in range(5))
+        except Exception:  # noqa: BLE001 - keep bench alive on kernel regress
+            hp_pm_pallas_wall = None
 
     # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
     # at width 500 — the reference's LARGEST trained width
@@ -908,6 +927,14 @@ def main():
                 "hp_adaptive_pm_vs_baseline": None
                 if hp_pm_fused_wall is None
                 else hp_pm_base_est / hp_pm_fused_wall,
+                "hp_adaptive_pm_pallas_wall_s": None
+                if hp_pm_pallas_wall is None else round(hp_pm_pallas_wall, 4),
+                "hp_adaptive_pm_pallas_vs_xla": None
+                if hp_pm_pallas_wall is None or hp_pm_fused_wall is None
+                else round(hp_pm_fused_wall / hp_pm_pallas_wall, 2),
+                "hp_adaptive_pm_pallas_vs_baseline": None
+                if hp_pm_pallas_wall is None
+                else hp_pm_base_est / hp_pm_pallas_wall,
                 "hp_adaptive_pm_ensemble": hp_pm_b,
                 "hp_adaptive_pm_iterations": hp_pm_iters,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,

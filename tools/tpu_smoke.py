@@ -503,6 +503,59 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("fd_per_member_estimate_B20480", e)
 
+    # 17g. the fused per-member MIXED-ORDER (hp) slab kernel: per-member
+    # partitions AND order vectors as register-tile operands, blended
+    # per-order operator tables, three sequential marches in one launch
+    # (the hp loop's engine='pallas') vs the vmapped XLA mixed pipeline
+    try:
+        from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+            dg_adjoint_interp_mixed,
+            dg_adjoint_march_mixed,
+        )
+        from adjoint_ode_adaptivity_tpu.march.dg_mixed import (
+            dg_march_mixed,
+            dg_time_operators_mixed,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab_mixed import (
+            make_pallas_dg_estimate_hp_per_member,
+        )
+
+        n_user, fo, b_hp, k_hp = 3, 2, 1024, 16
+        mops_s = dg_time_operators_mixed(n_user + fo)
+        interp_s = dg_adjoint_interp_mixed(mops_s)
+        rnghp = np.random.default_rng(9)
+        tc_hp = np.sort(rnghp.uniform(0.1, 1.9, (b_hp, k_hp - 1)), axis=1)
+        t_hp = jnp.asarray(
+            np.concatenate(
+                [np.zeros((b_hp, 1)), tc_hp, np.full((b_hp, 1), 2.0)],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+        ns_hp = jnp.asarray(
+            rnghp.integers(1, n_user + 1, (b_hp, k_hp)), jnp.int32
+        )
+        y_hp = jnp.asarray(rnghp.uniform(0.5, 2.0, b_hp), jnp.float32)
+        hp_run = make_pallas_dg_estimate_hp_per_member(
+            mops_s, interp_s, f_sin, n_elements=k_hp, n_max_user=n_user,
+            fine_offset=fo, newton_iters=6, interpret=interp,
+        )
+        _, _, _, err_hp = hp_run(t_hp, ns_hp, y_hp)
+
+        def _hp_member(t_m, n_m, y_m):
+            res_c = dg_march_mixed(
+                mops_s, f_sin, t_m, n_m, y_m, newton_iters=6
+            )
+            adj = dg_adjoint_march_mixed(
+                mops_s, interp_s, f_sin, res_c.u, t_m, n_m, y_m
+            )
+            return adj.err
+
+        err_hx = jax.jit(jax.vmap(_hp_member))(t_hp, ns_hp, y_hp)
+        check("dg_slab_hp_per_member_B1024_K16", err_hp, err_hx, 1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_hp_per_member_B1024_K16", e)
+
     # 18. element-sharded pallas pipeline on a 1-device mesh — the REAL
     # hardware compile of the shard_map-composed kernels (multi-device
     # equality is pinned on the CPU mesh in tests/test_pallas_sharded.py)
