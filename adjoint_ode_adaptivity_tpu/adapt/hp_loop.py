@@ -159,6 +159,7 @@ def run_adaptive_dg_hp(
     newton_maxit: int = 500,
     newton_iters: int | None = None,
     adjoint_mode: str = "solve",
+    engine: str = "xla",
     mesh=None,
     mesh_axis: str = "data",
     callback: Callable | None = None,
@@ -202,7 +203,17 @@ def run_adaptive_dg_hp(
     ``.fused_args``) so a caller (bench.py) can time a genuinely warm
     run; each call otherwise builds a fresh jit closure that cannot hit
     the previous call's cache (same contract as
-    :func:`~adjoint_ode_adaptivity_tpu.adapt.dg_loop.run_adaptive_dg`)."""
+    :func:`~adjoint_ode_adaptivity_tpu.adapt.dg_loop.run_adaptive_dg`).
+
+    ``engine="pallas"`` (ensemble ``y0`` only): the shared partition and
+    order vector broadcast across members and the whole member pipeline
+    runs as ONE fused kernel launch per iteration
+    (:func:`~adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab_mixed.make_pallas_dg_estimate_hp_per_member`).
+    Requires elementwise ``f``/``g_u``, ``adjoint_mode="solve"``, B a
+    multiple of 8 (per shard under ``mesh=``) and fixed-count Newton
+    (``newton_iters``, default 8)."""
+    if engine not in ("xla", "pallas"):
+        raise ValueError(engine)
     if mode not in ("h", "p", "hp"):
         raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
     if not 1 <= n0 <= n_max:
@@ -246,17 +257,80 @@ def run_adaptive_dg_hp(
             dg_radau_interp_mixed(mops)
             if adjoint_mode == "reconstruct" else None
         )
+        if engine == "pallas":
+            if not ensemble:
+                raise ValueError(
+                    "engine='pallas' requires an ensemble (B,) y0"
+                )
+            if adjoint_mode != "solve":
+                raise ValueError(
+                    "engine='pallas' supports adjoint_mode='solve' only"
+                )
+            b_ens = int(y0_arr.shape[0])
+            n_shard = 1 if mesh is None else mesh.shape[mesh_axis]
+            if b_ens % (8 * n_shard):
+                raise ValueError(
+                    f"B={b_ens} must be a multiple of 8 per shard "
+                    f"({n_shard} devices): the kernel maps members onto "
+                    "8-row sublane tiles"
+                )
+            from adjoint_ode_adaptivity_tpu.ops.pallas import (
+                ensure_scoped_vmem,
+            )
+            from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab_mixed import (
+                make_pallas_dg_estimate_hp_per_member,
+            )
+
+            ensure_scoped_vmem()
+            _pl_run = make_pallas_dg_estimate_hp_per_member(
+                mops, interp, f, None, max_k, n_max_user=n_max,
+                fine_offset=fine_offset, g_u=g_u,
+                newton_iters=newton_iters or 8,
+                interpret=jax.default_backend() != "tpu",
+            )
+            if mesh is not None:
+                from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
+                    ensemble_batched,
+                )
+
+                # the broadcast copies shard WITH the members
+                _pl_dp = ensemble_batched(
+                    lambda y, t, n, _r=_pl_run: _r(t, n, y),
+                    mesh, axis=mesh_axis, shard_extras={0, 1},
+                )
+                _pl_run = lambda t, n, y: _pl_dp(y, t, n)  # noqa: E731
+
+            def _pallas_members(times, ns):
+                """Shared partition/orders broadcast over the ensemble."""
+                t_b = jnp.broadcast_to(times, (b_ens,) + times.shape)
+                n_b = jnp.broadcast_to(ns, (b_ens,) + ns.shape)
+                u_b, u_fb, v_b, err_b = _pl_run(t_b, n_b, y0_arr)
+                j_cb = jax.vmap(
+                    lambda u_m: dg_element_functional_mixed(
+                        mops, u_m, times, ns, g
+                    )
+                )(u_b)
+                j_fb = jax.vmap(
+                    lambda u_m: dg_element_functional_mixed(
+                        mops, u_m, times, ns + fine_offset, g
+                    )
+                )(u_fb)
+                return u_b, v_b, err_b, j_cb, j_fb
+
         _member = _make_member_solver(
             mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
             newton_tol, newton_maxit, newton_iters,
-        )
+        ) if engine == "xla" else None
 
         @jax.jit
         def iteration(times, ns):
             if ensemble:
-                u_b, v_b, err_b, j_cb, j_fb = jax.vmap(
-                    lambda ym: _member(times, ns, ym)
-                )(jnp.asarray(y0_arr))
+                if engine == "pallas":
+                    u_b, v_b, err_b, j_cb, j_fb = _pallas_members(times, ns)
+                else:
+                    u_b, v_b, err_b, j_cb, j_fb = jax.vmap(
+                        lambda ym: _member(times, ns, ym)
+                    )(jnp.asarray(y0_arr))
                 u_r, v_r = u_b, v_b
                 err_adj = jnp.mean(err_b, axis=0)  # signed mean (history/est)
                 abs_err = jnp.mean(jnp.abs(err_b), axis=0)  # the signal

@@ -180,7 +180,8 @@ def main(argv=None):
             k0=args.k0, n0=args.order, n_max=args.n_max, mode=args.hp,
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
             newton_iters=args.newton_iters,
-            adjoint_mode=args.adjoint, mesh=hp_mesh,
+            adjoint_mode=args.adjoint,
+            engine=args.engine or "xla", mesh=hp_mesh,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,
         )

@@ -201,6 +201,32 @@ def test_per_member_loop_engine_parity():
         np.testing.assert_array_equal(a.est_total, b.est_total)
 
 
+def test_ensemble_signal_loop_engine_parity():
+    # the SHARED-partition ensemble-signal hp loop: pallas engine
+    # broadcasts the partition/orders over the members into the same
+    # fused kernel; decisions pinned equal to the XLA engine
+    from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp
+
+    y0s = np.linspace(0.6, 1.8, 8)
+    kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=3,
+              newton_iters=8)
+    hx = run_adaptive_dg_hp(F_SIN, y0s, (0.0, 2.0), **kw)
+    hp_ = run_adaptive_dg_hp(F_SIN, y0s, (0.0, 2.0), engine="pallas", **kw)
+    assert len(hx) == len(hp_)
+    for a, b in zip(hx, hp_):
+        np.testing.assert_array_equal(a.ns, b.ns)
+        np.testing.assert_allclose(a.times, b.times, atol=1e-6)
+        np.testing.assert_allclose(a.est_total, b.est_total, atol=5e-5)
+    # device_loop composes (bit-identical history to the host pallas loop)
+    hd = run_adaptive_dg_hp(
+        F_SIN, y0s, (0.0, 2.0), engine="pallas", device_loop=True, **kw
+    )
+    assert len(hd) == len(hp_)
+    for a, b in zip(hp_, hd):
+        np.testing.assert_array_equal(a.ns, b.ns)
+        np.testing.assert_array_equal(a.est_total, b.est_total)
+
+
 def test_per_member_loop_pallas_dp_mesh():
     # pallas engine under a dp mesh: per-member decisions equal 1-device
     from jax.sharding import Mesh
