@@ -151,6 +151,16 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
             live = live_masks(ns_k, order_offset)
             a_eff = _blend(mm, a_fwd, np_m, np_m, lo)
             phi_eff = _blend(mm, phi, q, np_m, lo)
+            # hoisted once per element: Φᵀ·w tiles reused by the residual
+            # and every Jacobian row of every Newton iteration
+            phiw = [
+                [
+                    None if phi_eff[qq][i] is None
+                    else phi_eff[qq][i] * float(wq[qq])
+                    for i in range(np_m)
+                ]
+                for qq in range(q)
+            ]
             rows0 = tuple(u_prev * live[i] for i in range(np_m))
 
             def newton_body(_, rows):
@@ -167,6 +177,16 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                 ]
                 fq = [f(u_qs[qq], t_qs[qq]) for qq in range(q)]
                 dfq = [f_u(u_qs[qq], t_qs[qq]) for qq in range(q)]
+                # hoisted once per iteration: f′·Φ tiles shared across all
+                # Jacobian rows (i) — entries factor as phiw[q][i]·dphi[q][j]
+                dphi = [
+                    [
+                        None if phi_eff[qq][j] is None
+                        else dfq[qq] * phi_eff[qq][j]
+                        for j in range(np_m)
+                    ]
+                    for qq in range(q)
+                ]
                 res = []
                 for i in range(np_m):
                     acc = sum(
@@ -175,9 +195,9 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                         if a_eff[i][j] is not None
                     )
                     acc = acc + (h / 2.0) * sum(
-                        (phi_eff[qq][i] * float(wq[qq])) * fq[qq]
+                        phiw[qq][i] * fq[qq]
                         for qq in range(q)
-                        if phi_eff[qq][i] is not None
+                        if phiw[qq][i] is not None
                     )
                     if i == 0:
                         acc = acc + u_prev
@@ -192,11 +212,10 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                             else zeros_like(u_prev)
                         )
                         terms = [
-                            (phi_eff[qq][i] * float(wq[qq]))
-                            * (dfq[qq] * phi_eff[qq][j])
+                            phiw[qq][i] * dphi[qq][j]
                             for qq in range(q)
-                            if phi_eff[qq][i] is not None
-                            and phi_eff[qq][j] is not None
+                            if phiw[qq][i] is not None
+                            and dphi[qq][j] is not None
                         ]
                         if terms:
                             acc = acc + (h / 2.0) * sum(terms)
@@ -284,7 +303,25 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                          else zeros_like(h))) * h * 0.5
             for i in range(np_m)
         ]
-        # system matrix: a_adj_eff + m_w (weighted mass at ns+1)
+        # system matrix: a_adj_eff + m_w (weighted mass at ns+1); Φᵀ·w and
+        # f′·Φ tiles hoisted out of the (i, j) entry loops (same factoring
+        # and multiply association as the forward Newton Jacobian)
+        phiw_a = [
+            [
+                None if phi_eff[qq][i] is None
+                else phi_eff[qq][i] * float(wq[qq])
+                for i in range(np_m)
+            ]
+            for qq in range(q)
+        ]
+        dphi_a = [
+            [
+                None if phi_eff[qq][j] is None
+                else dfq[qq] * phi_eff[qq][j]
+                for j in range(np_m)
+            ]
+            for qq in range(q)
+        ]
         a_mat = []
         for i in range(np_m):
             arow = []
@@ -295,11 +332,10 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                     else zeros_like(h)
                 )
                 terms = [
-                    (phi_eff[qq][i] * float(wq[qq]))
-                    * (dfq[qq] * phi_eff[qq][j])
+                    phiw_a[qq][i] * dphi_a[qq][j]
                     for qq in range(q)
-                    if phi_eff[qq][i] is not None
-                    and phi_eff[qq][j] is not None
+                    if phiw_a[qq][i] is not None
+                    and dphi_a[qq][j] is not None
                 ]
                 if terms:
                     acc = acc + (h / 2.0) * sum(terms)
@@ -330,13 +366,7 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
                 if s_t_eff[i][j] is not None
             )
             acc = acc + (h / 2.0) * dotq(
-                [
-                    (phi_eff[qq][i] * float(wq[qq]))
-                    if phi_eff[qq][i] is not None
-                    else None
-                    for qq in range(q)
-                ],
-                fq,
+                [phiw_a[qq][i] for qq in range(q)], fq
             )
             if e_end[i] is not None:
                 acc = acc - e_end[i] * uh_end
