@@ -582,6 +582,7 @@ def run_adaptive_dg_hp_per_member(
     engine: str = "xla",
     mesh=None,
     mesh_axis: str = "data",
+    checkpoint_dir: str | None = None,
     iteration=None,
     device_loop: bool = False,
 ) -> list[HPPerMemberAdaptResult]:
@@ -599,6 +600,12 @@ def run_adaptive_dg_hp_per_member(
     data-parallelizes the members over ``mesh_axis`` (initial conditions,
     per-member partitions and order vectors all shard member-wise;
     decisions pinned equal to the single-device loop in tests).
+
+    ``checkpoint_dir``: orbax-checkpoint the per-member partitions,
+    order vectors, refining mask and history each iteration (one
+    end-of-run save in device_loop mode) and resume from the latest
+    checkpoint when present — same contract as the other adaptive
+    loops.
 
     ``iteration``: prebuilt jitted per-iteration function from a prior
     identically-configured call (the returned history carries
@@ -633,14 +640,71 @@ def run_adaptive_dg_hp_per_member(
         )
     do_p = mode in ("p", "hp")
     do_h = mode in ("h", "hp")
+    history: list[HPPerMemberAdaptResult] = []
+    it0 = 0
+    restored = None
+    if checkpoint_dir is not None:
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw = restore_checkpoint_raw(checkpoint_dir)
+            history = [
+                HPPerMemberAdaptResult(
+                    times=np.asarray(h["times"]),
+                    ns=np.asarray(h["ns"]),
+                    err=np.asarray(h["err"]),
+                    j_coarse=np.asarray(h["j_coarse"]),
+                    j_fine=np.asarray(h["j_fine"]),
+                    est_total=np.asarray(h["est_total"]),
+                    n_active=np.asarray(h["n_active"]),
+                    n_refining=int(h["n_refining"]),
+                )
+                for h in raw["history"]
+            ]
+            restored = raw
+            it0 = len(history)
+            if history[-1].n_refining == 0:
+                return history
     max_k = k0 + (maxit + 1 if mode != "p" else 1)
-    row_t = np.linspace(t_span[0], t_span[1], k0 + 1)
-    row_t = np.concatenate([row_t, np.full(max_k - k0, row_t[-1])])
-    times0 = jnp.asarray(np.broadcast_to(row_t, (b, max_k + 1)).copy())
-    row_n = np.concatenate(
-        [np.full(k0, n0, np.int32), np.ones(max_k - k0, np.int32)]
-    )
-    ns0 = jnp.asarray(np.broadcast_to(row_n, (b, max_k)).copy())
+    if restored is not None:
+        max_k = max(max_k, np.asarray(restored["times"]).shape[1] - 1)
+    if restored is not None:
+        # re-pad the restored per-member state to this run's max_k
+        # (zero-width slabs at order 1 are exact identities)
+        t_res = np.asarray(restored["times"])
+        n_res = np.asarray(restored["ns"])
+        if t_res.shape[1] < max_k + 1:
+            t_res = np.concatenate(
+                [
+                    t_res,
+                    np.repeat(
+                        t_res[:, -1:], max_k + 1 - t_res.shape[1], axis=1
+                    ),
+                ],
+                axis=1,
+            )
+            n_res = np.concatenate(
+                [
+                    n_res,
+                    np.ones((b, max_k - n_res.shape[1]), np.int32),
+                ],
+                axis=1,
+            )
+        times0 = jnp.asarray(t_res)
+        ns0 = jnp.asarray(n_res.astype(np.int32))
+        refining0 = jnp.asarray(np.asarray(restored["refining"]) != 0)
+    else:
+        row_t = np.linspace(t_span[0], t_span[1], k0 + 1)
+        row_t = np.concatenate([row_t, np.full(max_k - k0, row_t[-1])])
+        times0 = jnp.asarray(np.broadcast_to(row_t, (b, max_k + 1)).copy())
+        row_n = np.concatenate(
+            [np.full(k0, n0, np.int32), np.ones(max_k - k0, np.int32)]
+        )
+        ns0 = jnp.asarray(np.broadcast_to(row_n, (b, max_k)).copy())
+        refining0 = jnp.ones((b,), bool)
     y0_arr = jnp.asarray(np.asarray(y0s))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -653,6 +717,7 @@ def run_adaptive_dg_hp_per_member(
         y0_arr = jax.device_put(y0_arr, shard_b)
         times0 = jax.device_put(times0, shard_b2)
         ns0 = jax.device_put(ns0, shard_b2)
+        refining0 = jax.device_put(refining0, shard_b)
 
     if iteration is None:
         mops = dg_time_operators_mixed(n_max + fine_offset, n_gq)
@@ -763,14 +828,31 @@ def run_adaptive_dg_hp_per_member(
         out.fused_args = fused_args
         return out
 
-    history: list[HPPerMemberAdaptResult] = []
+    def _save(times_s, ns_s, refining_s):
+        if checkpoint_dir is None:
+            return
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            checkpoint_dir,
+            len(history),
+            {
+                "times": np.asarray(times_s),
+                "ns": np.asarray(ns_s).astype(np.int32),
+                "refining": np.asarray(refining_s).astype(np.int32),
+                "history": [dict(r._asdict()) for r in history],
+            },
+        )
+
     if device_loop:
         shapes = jax.eval_shape(
             iteration, times0, ns0, jnp.ones((b,), bool)
         )
 
         @jax.jit
-        def _run_fused(times_b, ns_b):
+        def _run_fused(times_b, ns_b, refining_b):
             bufs = tuple(
                 jnp.zeros((maxit + 1,) + s.shape, s.dtype)
                 for s in shapes[3:]
@@ -802,29 +884,35 @@ def run_adaptive_dg_hp_per_member(
                 _, _, _, _, it, cont = carry
                 return (it <= maxit) & cont
 
-            _, _, _, bufs, n_done, _ = jax.lax.while_loop(
+            t_f, ns_f, ref_f, bufs, n_done, _ = jax.lax.while_loop(
                 cond, body,
-                (times_b, ns_b, jnp.ones((b,), bool), bufs, jnp.int32(0),
+                (times_b, ns_b, refining_b, bufs, jnp.int32(it0),
                  jnp.array(True)),
             )
+            return bufs, n_done, t_f, ns_f, ref_f
+
+        def run_fused(times_b, ns_b, refining_b=None):
+            if refining_b is None:  # bench warm-reuse calls (t, ns) only
+                refining_b = jnp.ones((times_b.shape[0],), bool)
+            bufs, n_done, *_ = _run_fused(times_b, ns_b, refining_b)
             return bufs, n_done
 
-        run_fused = _run_fused
         fused_args = (times0, ns0)
-        bufs, n_done = _run_fused(times0, ns0)
+        bufs, n_done, t_f, ns_f, ref_f = _run_fused(times0, ns0, refining0)
         n_done = int(n_done)
         bufs = [np.asarray(x) for x in bufs]
-        for i in range(n_done):
+        for i in range(it0, n_done):
             history.append(HPPerMemberAdaptResult(
                 times=bufs[5][i], ns=bufs[6][i], err=bufs[0][i],
                 j_coarse=bufs[1][i], j_fine=bufs[2][i], est_total=bufs[3][i],
                 n_active=bufs[4][i], n_refining=int(bufs[7][i]),
             ))
+        _save(t_f, ns_f, ref_f)
         return _wrap(history)
 
     times_b, ns_b = times0, ns0
-    refining = jnp.ones((b,), bool)
-    for it in range(maxit + 1):
+    refining = refining0
+    for it in range(it0, maxit + 1):
         t_new, ns_new, ref_new, err, j_c, j_f, est, n_act = iteration(
             times_b, ns_b, refining
         )
@@ -835,6 +923,7 @@ def run_adaptive_dg_hp_per_member(
             n_active=np.asarray(n_act),
             n_refining=int(jnp.sum(ref_new)),
         ))
+        _save(t_new, ns_new, ref_new)
         if not bool(jnp.any(ref_new)) or it == maxit:
             break
         times_b, ns_b, refining = t_new, ns_new, ref_new

@@ -148,6 +148,7 @@ def main(argv=None):
                 newton_iters=args.newton_iters,
                 engine=args.engine or "xla",
                 mesh=hp_mesh, device_loop=args.device_loop,
+                checkpoint_dir=args.checkpoint_dir,
             )
             for it, r in enumerate(history):
                 print(

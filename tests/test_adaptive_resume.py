@@ -265,3 +265,51 @@ class TestHPResume:
                 np.asarray(r_res.err), np.asarray(r_ref.err)
             )
             assert float(r_res.est_total) == float(r_ref.est_total)
+
+
+class TestHPPerMemberResume:
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        # per-member hp loop: the checkpoint carries each member's
+        # partition, ORDER VECTOR and refining mask; a resumed run (with
+        # re-padding for the larger maxit) reproduces the uninterrupted
+        # history on the live slots
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        y0s = np.random.default_rng(17).uniform(0.5, 2.0, 8)
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=1e-6, newton_iters=8)
+        ref = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=5, **kw
+        )
+
+        ck = str(tmp_path / "hppm")
+        part = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=1, checkpoint_dir=ck, **kw
+        )
+        assert len(part) == 2
+        full = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=5, checkpoint_dir=ck, **kw
+        )
+        assert len(full) == len(ref)
+        for r_res, r_ref in zip(full, ref):
+            k_pad = min(r_res.ns.shape[1], r_ref.ns.shape[1])
+            np.testing.assert_allclose(
+                r_res.times[:, : k_pad + 1], r_ref.times[:, : k_pad + 1],
+                atol=1e-12,
+            )
+            np.testing.assert_array_equal(
+                r_res.ns[:, :k_pad], r_ref.ns[:, :k_pad]
+            )
+            np.testing.assert_array_equal(r_res.n_active, r_ref.n_active)
+            np.testing.assert_allclose(
+                r_res.est_total, r_ref.est_total, atol=1e-12
+            )
+            assert r_res.n_refining == r_ref.n_refining
+        # resume into the fused device loop: continues to the same end
+        fused = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), maxit=5, checkpoint_dir=ck,
+            device_loop=True, **kw
+        )
+        assert len(fused) == len(ref)  # checkpoint at maxit=5 is complete:
+        # no new work, restored history returned as-is
