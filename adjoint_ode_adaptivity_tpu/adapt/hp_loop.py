@@ -21,8 +21,13 @@ p-refinement ever retraces.  Refinement policy per iteration at
   elements below ``n_max`` — a saturated element cannot improve in p).
 - ``mode="h"``: bisect it (children inherit the parent's order).
 - ``mode="hp"``: raise the order while ``ns[ref_i] < n_max``, else bisect —
-  p-exhaustion-then-h, the simplest honest hp strategy; smarter smoothness
-  indicators can reuse this loop by swapping the selector.
+  p-exhaustion-then-h, the simplest honest hp strategy.
+- ``mode="smooth"``: decide p-vs-h from the element's MODAL DECAY (the
+  classic smoothness-indicator strategy): p-refine when the top
+  orthonormal-Legendre mode of the element's own solution carries at most
+  a ``smooth_theta`` fraction of the modal energy (fast decay — smooth,
+  order pays off exponentially), bisect otherwise (slow decay — a local
+  feature the order cannot chase); saturation still forces h.
 """
 from __future__ import annotations
 
@@ -67,12 +72,16 @@ class HPAdaptResult(NamedTuple):
 
 
 
-def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h):
+def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h,
+                      smooth_ok=None):
     """One p/h refinement candidate at the |AWR| argmax on a padded
     partition: raise the argmax-eligible element's order (p), bisect the
-    argmax element with order inheritance (h), or p-until-saturated-then-h
-    (hp).  Shared by the shared-partition and per-member loops — the
-    single place that encodes the refinement semantics."""
+    argmax element with order inheritance (h), p-until-saturated-then-h
+    (hp), or decide p-vs-h from the element's MODAL DECAY
+    (``smooth``: p where ``smooth_ok[k]`` — fast decay, the error is a
+    resolution-order artifact — else bisect; saturation still forces h).
+    Shared by the shared-partition and per-member loops — the single
+    place that encodes the refinement semantics."""
     ref_any = jnp.argmax(abs_err)
     # p-eligibility: order-refinable LIVE elements only (zero-width
     # padding slabs must never be selected)
@@ -82,6 +91,9 @@ def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h):
         ref_i, use_p = ref_p, jnp.array(True)
     elif mode == "h":
         ref_i, use_p = ref_any, jnp.array(False)
+    elif mode == "smooth":
+        ref_i = ref_any
+        use_p = smooth_ok[ref_any] & eligible[ref_any]
     else:  # hp: p until the argmax element saturates, then bisect it
         ref_i, use_p = ref_any, eligible[ref_any]
     ns_p = ns.at[ref_i].add(jnp.where(eligible[ref_i], 1, 0)) if do_p else ns
@@ -98,6 +110,42 @@ def _refine_candidate(times, ns, abs_err, mode, n_max, do_p, do_h):
     else:
         times_h, ns_h = times, ns
     return jnp.where(use_p, times, times_h), jnp.where(use_p, ns_p, ns_h)
+
+
+def _make_modal_smoothness(n_max_user, np_max, theta):
+    """Builds ``smooth(u, ns) -> (K,) bool``: True where the top
+    orthonormal-Legendre mode of the element's nodal solution (at the
+    element's OWN order ``ns[k]``) carries at most a ``theta`` fraction
+    of the modal l2 energy — fast decay ⇒ the solution is smooth there
+    and p-refinement is the effective move (the classic hp decay
+    indicator, e.g. Houston–Süli).  The energy is normalized over modes
+    ``1..n`` (the mean mode is excluded so a rough wiggle cannot hide
+    under a large mean — at ``n == 1`` the mean stays in, otherwise the
+    lone slope mode would always read as rough).  Works on the padded
+    ``(K, np_max)`` nodal layout of the mixed solvers (padded nodal
+    entries are exactly zero and the padded inv-Vandermonde columns are
+    zero, so padding never leaks into the coefficients)."""
+    from adjoint_ode_adaptivity_tpu.ops.jacobi import jacobi_gl
+    from adjoint_ode_adaptivity_tpu.ops.operators import vandermonde_1d
+
+    inv_v = np.zeros((n_max_user, np_max, np_max))
+    for n in range(1, n_max_user + 1):
+        r = jacobi_gl(0.0, 0.0, n)
+        inv_v[n - 1, : n + 1, : n + 1] = np.linalg.inv(vandermonde_1d(n, r))
+    inv_v = jnp.asarray(inv_v)
+
+    def smooth(u, ns):
+        t = inv_v[ns - 1]  # (K, np_max, np_max) per-element nodal→modal
+        c = jnp.einsum("kij,kj->ki", t, u)
+        idx = jnp.arange(np_max)[None, :]
+        lo = jnp.where(ns >= 2, 1, 0)[:, None]
+        live = (idx >= lo) & (idx <= ns[:, None])
+        top = idx == ns[:, None]
+        e_top = jnp.sum(jnp.where(top, c, 0.0) ** 2, axis=1)
+        e_all = jnp.sum(jnp.where(live, c, 0.0) ** 2, axis=1)
+        return e_top <= (theta * theta) * (e_all + 1e-30)
+
+    return smooth
 
 
 def _make_member_solver(mops, interp, radau, f, g, g_u, fine_offset,
@@ -160,6 +208,7 @@ def run_adaptive_dg_hp(
     newton_iters: int | None = None,
     adjoint_mode: str = "solve",
     engine: str = "xla",
+    smooth_theta: float = 0.3,
     mesh=None,
     mesh_axis: str = "data",
     callback: Callable | None = None,
@@ -205,6 +254,14 @@ def run_adaptive_dg_hp(
     the previous call's cache (same contract as
     :func:`~adjoint_ode_adaptivity_tpu.adapt.dg_loop.run_adaptive_dg`).
 
+    ``mode="smooth"`` decides p-vs-h per refinement from the element's
+    MODAL DECAY instead of p-until-saturated: the element at the |AWR|
+    argmax p-refines when its top orthonormal-Legendre mode carries at
+    most a ``smooth_theta`` energy fraction (fast decay — smooth there)
+    and bisects otherwise (slow decay — an unresolved feature that
+    raising the order cannot fix efficiently); the ensemble variant
+    tests the ensemble-MEAN solution.
+
     ``engine="pallas"`` (ensemble ``y0`` only): the shared partition and
     order vector broadcast across members and the whole member pipeline
     runs as ONE fused kernel launch per iteration
@@ -214,8 +271,10 @@ def run_adaptive_dg_hp(
     (``newton_iters``, default 8)."""
     if engine not in ("xla", "pallas"):
         raise ValueError(engine)
-    if mode not in ("h", "p", "hp"):
-        raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
+    if mode not in ("h", "p", "hp", "smooth"):
+        raise ValueError(
+            f"mode must be 'h', 'p', 'hp' or 'smooth', got {mode!r}"
+        )
     if not 1 <= n0 <= n_max:
         raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
     if adjoint_mode not in ("solve", "reconstruct"):
@@ -232,8 +291,8 @@ def run_adaptive_dg_hp(
     ns = np.concatenate(
         [np.full(k0, n0, np.int32), np.ones(max_k - k0, np.int32)]
     )
-    do_p = mode in ("p", "hp")
-    do_h = mode in ("h", "hp")
+    do_p = mode in ("p", "hp", "smooth")
+    do_h = mode in ("h", "hp", "smooth")
     y0_arr = np.asarray(y0)
     ensemble = y0_arr.ndim == 1
     if mesh is not None:
@@ -321,6 +380,10 @@ def run_adaptive_dg_hp(
             mops, interp, radau, f, g, g_u, fine_offset, adjoint_mode,
             newton_tol, newton_maxit, newton_iters,
         ) if engine == "xla" else None
+        _smooth = (
+            _make_modal_smoothness(n_max, mops.np_max, smooth_theta)
+            if mode == "smooth" else None
+        )
 
         @jax.jit
         def iteration(times, ns):
@@ -338,8 +401,12 @@ def run_adaptive_dg_hp(
             else:
                 u_r, v_r, err_adj, j_c, j_f = _member(times, ns, y0)
                 abs_err = jnp.abs(err_adj)
+            smooth_ok = None
+            if mode == "smooth":
+                u_s = jnp.mean(u_r, axis=0) if ensemble else u_r
+                smooth_ok = _smooth(u_s, ns)
             times_new, ns_new = _refine_candidate(
-                times, ns, abs_err, mode, n_max, do_p, do_h
+                times, ns, abs_err, mode, n_max, do_p, do_h, smooth_ok
             )
             # Σ err computed HERE so the host and device-loop paths use the
             # bit-identical value (XLA would otherwise reassociate the
@@ -580,6 +647,7 @@ def run_adaptive_dg_hp_per_member(
     newton_iters: int | None = None,
     adjoint_mode: str = "solve",
     engine: str = "xla",
+    smooth_theta: float = 0.3,
     mesh=None,
     mesh_axis: str = "data",
     checkpoint_dir: str | None = None,
@@ -626,8 +694,10 @@ def run_adaptive_dg_hp_per_member(
     b = int(np.asarray(y0s).shape[0])
     if engine not in ("xla", "pallas"):
         raise ValueError(engine)
-    if mode not in ("h", "p", "hp"):
-        raise ValueError(f"mode must be 'h', 'p' or 'hp', got {mode!r}")
+    if mode not in ("h", "p", "hp", "smooth"):
+        raise ValueError(
+            f"mode must be 'h', 'p', 'hp' or 'smooth', got {mode!r}"
+        )
     if not 1 <= n0 <= n_max:
         raise ValueError(f"n0={n0} must satisfy 1 <= n0 <= n_max={n_max}")
     if adjoint_mode not in ("solve", "reconstruct"):
@@ -638,8 +708,8 @@ def run_adaptive_dg_hp_per_member(
             "must fit the operator stack (silent table clamping otherwise "
             "- see march.dg_mixed._check_orders)"
         )
-    do_p = mode in ("p", "hp")
-    do_h = mode in ("h", "hp")
+    do_p = mode in ("p", "hp", "smooth")
+    do_h = mode in ("h", "hp", "smooth")
     history: list[HPPerMemberAdaptResult] = []
     it0 = 0
     restored = None
@@ -776,7 +846,7 @@ def run_adaptive_dg_hp_per_member(
                         mops, u_m, t_m, n_m + fine_offset, g
                     )
                 )(u_f, times_b, ns_b)
-                return err, j_c, j_f
+                return u_c, err, j_c, j_f
 
         else:
             member = _make_member_solver(
@@ -786,20 +856,33 @@ def run_adaptive_dg_hp_per_member(
 
             def _solve_batch(times_b, ns_b):
                 def one(t_m, n_m, y_m):
-                    _, _, err_adj, j_c, j_f = member(t_m, n_m, y_m)
-                    return err_adj, j_c, j_f
+                    u_m, _, err_adj, j_c, j_f = member(t_m, n_m, y_m)
+                    return u_m, err_adj, j_c, j_f
 
                 return jax.vmap(one)(times_b, ns_b, y0_arr)
 
+        _smooth = (
+            _make_modal_smoothness(n_max, mops.np_max, smooth_theta)
+            if mode == "smooth" else None
+        )
+
         @jax.jit
         def iteration(times_b, ns_b, refining):
-            err, j_c, j_f = _solve_batch(times_b, ns_b)
+            u_cb, err, j_c, j_f = _solve_batch(times_b, ns_b)
             est = jnp.sum(err, axis=1)
-            t_new, n_new = jax.vmap(
-                lambda t_m, n_m, e_m: _refine_candidate(
-                    t_m, n_m, e_m, mode, n_max, do_p, do_h
-                )
-            )(times_b, ns_b, jnp.abs(err))
+            if mode == "smooth":
+                sm_b = jax.vmap(_smooth)(u_cb, ns_b)
+                t_new, n_new = jax.vmap(
+                    lambda t_m, n_m, e_m, s_m: _refine_candidate(
+                        t_m, n_m, e_m, mode, n_max, do_p, do_h, s_m
+                    )
+                )(times_b, ns_b, jnp.abs(err), sm_b)
+            else:
+                t_new, n_new = jax.vmap(
+                    lambda t_m, n_m, e_m: _refine_candidate(
+                        t_m, n_m, e_m, mode, n_max, do_p, do_h
+                    )
+                )(times_b, ns_b, jnp.abs(err))
             done = jnp.abs(est) < tol
             changed = jnp.any(t_new != times_b, axis=1) | jnp.any(
                 n_new != ns_b, axis=1

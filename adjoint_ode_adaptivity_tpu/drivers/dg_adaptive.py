@@ -67,12 +67,20 @@ def main(argv=None):
              "(Submit_schedule_frontera) in one compile-once loop",
     )
     p.add_argument(
-        "--hp", choices=["h", "p", "hp"], default=None,
+        "--hp", choices=["h", "p", "hp", "smooth"], default=None,
         help="hp-adaptive loop on the mixed per-element-order solvers "
              "(dg_march.m's latent Ns-vector capability): refine the ORDER "
              "at the argmax element ('p'), bisect it ('h' — children "
-             "inherit the order), or p-until-saturated-then-h ('hp'); "
-             "--order sets the starting order, --n-max the p cap",
+             "inherit the order), p-until-saturated-then-h ('hp'), or "
+             "decide p-vs-h from the element's modal decay ('smooth' — "
+             "see --smooth-theta); --order sets the starting order, "
+             "--n-max the p cap",
+    )
+    p.add_argument(
+        "--smooth-theta", type=float, default=0.3,
+        help="--hp smooth only: p-refine when the argmax element's top "
+             "Legendre mode holds at most this fraction of the modal "
+             "energy, else bisect",
     )
     p.add_argument(
         "--newton-iters", type=int, default=None,
@@ -147,6 +155,7 @@ def main(argv=None):
                 tol=args.tol, maxit=args.maxit, adjoint_mode=args.adjoint,
                 newton_iters=args.newton_iters,
                 engine=args.engine or "xla",
+                smooth_theta=args.smooth_theta,
                 mesh=hp_mesh, device_loop=args.device_loop,
                 checkpoint_dir=args.checkpoint_dir,
             )
@@ -182,7 +191,8 @@ def main(argv=None):
             tol=args.tol, maxit=args.maxit, callback=hp_callback,
             newton_iters=args.newton_iters,
             adjoint_mode=args.adjoint,
-            engine=args.engine or "xla", mesh=hp_mesh,
+            engine=args.engine or "xla",
+            smooth_theta=args.smooth_theta, mesh=hp_mesh,
             checkpoint_dir=args.checkpoint_dir,
             device_loop=args.device_loop,
         )
