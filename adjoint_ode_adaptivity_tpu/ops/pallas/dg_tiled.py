@@ -266,18 +266,20 @@ def _plain_shifts(m_ext):
     return sp1, sm1
 
 
-def _grid_masks(c, c_last, w, lm, m_ext):
+def _grid_masks(c, cf, cl, w, lm, m_ext):
     """first/last global-element masks inside chunk ``c``'s extended window
-    (global element 0 = sublane 0, local lane w of chunk 0; element K-1 =
-    sublane 7, local lane w+lm-1 of chunk c_last)."""
+    (global element 0 = sublane 0, local lane w of chunk ``cf``; element K-1
+    = sublane 7, local lane w+lm-1 of chunk ``cl``).  ``cf``/``cl`` arrive
+    as SMEM scalars so the same compiled kernel serves every shard of the
+    multi-chip composition (−1 ⇒ the boundary is not on this device)."""
     s_i = lax.broadcasted_iota(jnp.int32, (8, m_ext), 0)
     j_i = lax.broadcasted_iota(jnp.int32, (8, m_ext), 1)
-    first = (s_i == 0) & (j_i == w) & (c == 0)
-    last = (s_i == 7) & (j_i == w + lm - 1) & (c == c_last)
+    first = (s_i == 0) & (j_i == w) & (c == cf)
+    last = (s_i == 7) & (j_i == w + lm - 1) & (c == cl)
     return first, last
 
 
-def _fwd_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
+def _fwd_seg_grid_kernel(cfg, dr, lift, seg, w, lm, t0_ref, cfl_ref, lg_ref,
                          uc_ref, rg_ref, traj_out, u_out):
     """Forward phase of one segment for ONE lane-chunk (grid program):
     assemble the extended window from the ghost blocks, march ``seg`` steps
@@ -287,7 +289,7 @@ def _fwd_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
     np_, m_ext = cfg.np_, cfg.k
     c = pl.program_id(0)
     sp1, sm1 = _plain_shifts(m_ext)
-    first, last = _grid_masks(c, c_last, w, lm, m_ext)
+    first, last = _grid_masks(c, cfl_ref[0], cfl_ref[1], w, lm, m_ext)
     dt = cfg.dt
     rows = tuple(
         jnp.concatenate(
@@ -309,7 +311,7 @@ def _fwd_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
         u_out[0, ii] = rows[ii][:, w : w + lm]
 
 
-def _rev_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
+def _rev_seg_grid_kernel(cfg, dr, lift, seg, w, lm, t0_ref, cfl_ref, lg_ref,
                          lc_ref, rg_ref, bound_ref, traj_ref, lam_out,
                          eta_out):
     """Reverse sweep of one segment for one lane-chunk over its stored
@@ -323,7 +325,7 @@ def _rev_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
     np_, m_ext = cfg.np_, cfg.k
     c = pl.program_id(0)
     sp1, sm1 = _plain_shifts(m_ext)
-    first, last = _grid_masks(c, c_last, w, lm, m_ext)
+    first, last = _grid_masks(c, cfl_ref[0], cfl_ref[1], w, lm, m_ext)
     dt = cfg.dt
 
     def bwd_body(j, carry):
@@ -366,6 +368,60 @@ def _rev_seg_grid_kernel(cfg, dr, lift, seg, c_last, w, lm, t0_ref, lg_ref,
     for ii in range(np_):
         lam_out[0, ii] = lu[ii][:, w : w + lm]
     eta_out[0] = eta[:, w : w + lm]
+
+
+def _make_grid_calls(cfg, dr_host, lift_host, segment, w, lm, chunks,
+                     interpret):
+    """``(fwd_call, rev_call)`` pallas_call builders for the grid-streamed
+    per-segment kernels — shared by the single-device factory below and the
+    multi-chip composition (``dg_tiled_sharded.py``).  Both calls take the
+    SMEM float t0 and the SMEM (2,) int32 ``[cf, cl]`` global-boundary
+    chunk indices (−1 ⇒ that boundary is not on this device)."""
+    np_, m_ext = cfg.np_, cfg.k
+    c = chunks
+    fwd_kern = functools.partial(
+        _fwd_seg_grid_kernel, cfg, dr_host, lift_host, segment, w, lm
+    )
+    rev_kern = functools.partial(
+        _rev_seg_grid_kernel, cfg, dr_host, lift_host, segment, w, lm
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ghost_spec = pl.BlockSpec((1, np_, 8, w), lambda i: (i, 0, 0, 0))
+    center_spec = pl.BlockSpec((1, np_, 8, lm), lambda i: (i, 0, 0, 0))
+    traj_spec = pl.BlockSpec(
+        (1, segment, np_, 8, m_ext), lambda i: (i, 0, 0, 0, 0)
+    )
+    bound_spec = pl.BlockSpec((1, np_, 8, m_ext), lambda i: (i, 0, 0, 0))
+    eta_spec = pl.BlockSpec((1, 8, lm), lambda i: (i, 0, 0))
+
+    def fwd_call(t0s, cfl, lg, u_c, rg):
+        return pl.pallas_call(
+            fwd_kern,
+            grid=(c,),
+            out_shape=(
+                jax.ShapeDtypeStruct((c, segment, np_, 8, m_ext), u_c.dtype),
+                jax.ShapeDtypeStruct((c, np_, 8, lm), u_c.dtype),
+            ),
+            in_specs=[smem, smem, ghost_spec, center_spec, ghost_spec],
+            out_specs=(traj_spec, center_spec),
+            interpret=interpret,
+        )(t0s, cfl, lg, u_c, rg)
+
+    def rev_call(t0s, cfl, lg, lam_c, rg, bound, traj):
+        return pl.pallas_call(
+            rev_kern,
+            grid=(c,),
+            out_shape=(
+                jax.ShapeDtypeStruct((c, np_, 8, lm), lam_c.dtype),
+                jax.ShapeDtypeStruct((c, 8, lm), lam_c.dtype),
+            ),
+            in_specs=[smem, smem, ghost_spec, center_spec, ghost_spec,
+                      bound_spec, traj_spec],
+            out_specs=(center_spec, eta_spec),
+            interpret=interpret,
+        )(t0s, cfl, lg, lam_c, rg, bound, traj)
+
+    return fwd_call, rev_call
 
 
 def make_pallas_fwd_adj_estimate_tiled_grid(
@@ -421,20 +477,10 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
     c = chunks
     n_steps = segment * n_segments
 
-    fwd_kern = functools.partial(
-        _fwd_seg_grid_kernel, cfg, dr_host, lift_host, segment, c - 1, w, lm
+    fwd_call, rev_call = _make_grid_calls(
+        cfg, dr_host, lift_host, segment, w, lm, c, interpret
     )
-    rev_kern = functools.partial(
-        _rev_seg_grid_kernel, cfg, dr_host, lift_host, segment, c - 1, w, lm
-    )
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ghost_spec = pl.BlockSpec((1, np_, 8, w), lambda i: (i, 0, 0, 0))
-    center_spec = pl.BlockSpec((1, np_, 8, lm), lambda i: (i, 0, 0, 0))
-    traj_spec = pl.BlockSpec(
-        (1, segment, np_, 8, m_ext), lambda i: (i, 0, 0, 0, 0)
-    )
-    bound_spec = pl.BlockSpec((1, np_, 8, m_ext), lambda i: (i, 0, 0, 0))
-    eta_spec = pl.BlockSpec((1, 8, lm), lambda i: (i, 0, 0))
+    cfl_host = jnp.asarray([0, c - 1], jnp.int32)
 
     cm1 = np.asarray([(i - 1) % c for i in range(c)])
     cp1 = np.asarray([(i + 1) % c for i in range(c)])
@@ -458,33 +504,6 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
         lg, rg = _ghosts(x_c)
         return jnp.concatenate([lg, x_c, rg], axis=-1)
 
-    def fwd_call(t0s, lg, u_c, rg):
-        return pl.pallas_call(
-            fwd_kern,
-            grid=(c,),
-            out_shape=(
-                jax.ShapeDtypeStruct((c, segment, np_, 8, m_ext), u_c.dtype),
-                jax.ShapeDtypeStruct((c, np_, 8, lm), u_c.dtype),
-            ),
-            in_specs=[smem, ghost_spec, center_spec, ghost_spec],
-            out_specs=(traj_spec, center_spec),
-            interpret=interpret,
-        )(t0s, lg, u_c, rg)
-
-    def rev_call(t0s, lg, lam_c, rg, bound, traj):
-        return pl.pallas_call(
-            rev_kern,
-            grid=(c,),
-            out_shape=(
-                jax.ShapeDtypeStruct((c, np_, 8, lm), lam_c.dtype),
-                jax.ShapeDtypeStruct((c, 8, lm), lam_c.dtype),
-            ),
-            in_specs=[smem, ghost_spec, center_spec, ghost_spec, bound_spec,
-                      traj_spec],
-            out_specs=(center_spec, eta_spec),
-            interpret=interpret,
-        )(t0s, lg, lam_c, rg, bound, traj)
-
     def _to_chunked(x):
         # (Np, K) element order -> chunk-major (C, Np, 8, Lm)
         return jnp.moveaxis(x.reshape(np_, 8, c, lm), 2, 0)
@@ -501,7 +520,7 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
         def fwd_segment(u_c, s):
             lg, rg = _ghosts(u_c)
             t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            traj_s, u_next = fwd_call(t0s, lg, u_c, rg)
+            traj_s, u_next = fwd_call(t0s, cfl_host, lg, u_c, rg)
             return u_next, traj_s
 
         u_final_c, trajs = lax.scan(
@@ -520,7 +539,9 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
             traj_s, bound_s, s = xs
             lg, rg = _ghosts(lam_c)
             t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            lam_new, eta_c = rev_call(t0s, lg, lam_c, rg, bound_s, traj_s)
+            lam_new, eta_c = rev_call(
+                t0s, cfl_host, lg, lam_c, rg, bound_s, traj_s
+            )
             return (lam_new, eta + eta_c), None
 
         eta0 = jnp.zeros((c, 8, lm), u0.dtype)

@@ -21,6 +21,12 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_sharded import (
     ghost_width,
     make_pallas_fwd_adj_estimate_sharded_blocked,
 )
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
+    make_pallas_fwd_adj_estimate_tiled_grid,
+)
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled_sharded import (
+    make_pallas_fwd_adj_estimate_tiled_grid_sharded,
+)
 
 
 def _mesh(n):
@@ -116,4 +122,73 @@ class TestShardedPipeline:
         with pytest.raises(ValueError, match="ghost width"):
             make_pallas_fwd_adj_estimate_sharded_blocked(
                 disc, a, dt, _mesh(8), segment=32, n_segments=1, interpret=True
+            )
+
+
+class TestShardedTiledGrid:
+    """Element-sharded + HBM-streamed composition (dg_tiled_sharded.py):
+    each device streams its local chunks through VMEM with the grid kernels,
+    ring ppermutes carry the wrap rows — K beyond one device's memory."""
+
+    @pytest.mark.parametrize("n_dev,chunks", [(8, 2), (4, 4), (1, 16)])
+    def test_matches_single_device_tiled_grid(self, n_dev, chunks):
+        disc, a, dt, u0, lam = _problem(k=3072)
+        seg, n_seg = 1, 3
+        run_1 = make_pallas_fwd_adj_estimate_tiled_grid(
+            disc, a, dt, segment=seg, n_segments=n_seg, chunks=16,
+            interpret=True,
+        )
+        uf1, lam1, eta1 = run_1(u0, jnp.float32(0.0), lam)
+        run_s = make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+            disc, a, dt, _mesh(n_dev), segment=seg, n_segments=n_seg,
+            chunks=chunks, interpret=True,
+        )
+        ufs, lams, etas = run_s(u0, jnp.float32(0.0), lam)
+        np.testing.assert_allclose(np.asarray(ufs), np.asarray(uf1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lams), np.asarray(lam1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(etas), np.asarray(eta1), atol=1e-6)
+
+    def test_matches_xla_oracle(self):
+        disc, a, dt, u0, lam = _problem(k=3072)
+        seg, n_seg = 1, 3
+        with jax.default_matmul_precision("float32"):
+            ops = advec_operators(disc, a=a, dtype=jnp.float32)
+            ref = advec_fwd_adj_estimate(
+                ops, disc, u0, dt, seg * n_seg, segment=seg, lam_end=lam
+            )
+        run_s = make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+            disc, a, dt, _mesh(8), segment=seg, n_segments=n_seg, chunks=2,
+            interpret=True,
+        )
+        ufs, lams, etas = run_s(u0, jnp.float32(0.0), lam)
+        np.testing.assert_allclose(
+            np.asarray(ufs), np.asarray(ref.u_final), atol=3e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(etas), np.asarray(ref.eta), atol=3e-6
+        )
+
+    def test_jit_whole_pipeline(self):
+        disc, a, dt, u0, lam = _problem(k=3072)
+        run_s = make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+            disc, a, dt, _mesh(8), segment=1, n_segments=2, chunks=2,
+            interpret=True,
+        )
+        uf, lam0, eta = jax.jit(
+            lambda u: run_s(u, jnp.float32(0.0), lam)
+        )(u0)
+        assert np.all(np.isfinite(np.asarray(eta)))
+
+    def test_validation_errors(self):
+        disc, a, dt, u0, lam = _problem(k=3072)
+        with pytest.raises(ValueError, match="not divisible"):
+            make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+                disc, a, dt, _mesh(7), segment=1, n_segments=2, chunks=2,
+                interpret=True,
+            )
+        with pytest.raises(ValueError, match="ghost width"):
+            # lm = 3072/8/8/6 = 8 < w = 20
+            make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+                disc, a, dt, _mesh(8), segment=1, n_segments=2, chunks=6,
+                interpret=True,
             )

@@ -580,6 +580,29 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("sharded_pallas_1dev_mesh_N2_K10k", e)
 
+    # 18b. element-sharded + HBM-STREAMED (tiled-grid) pipeline on a
+    # 1-device mesh — hardware compile of the shard_map + grid-streamed
+    # composition (ppermute wrap rows + Mosaic-pipelined chunk DMAs;
+    # multi-device equality pinned on the CPU mesh in
+    # tests/test_pallas_sharded.py::TestShardedTiledGrid)
+    try:
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled_sharded import (
+            make_pallas_fwd_adj_estimate_tiled_grid_sharded,
+        )
+
+        mesh1t = Mesh(np.array(jax.devices()[:1]), ("space",))
+        run_ts = make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+            disc, A, dt, mesh1t, segment=8, n_segments=n_steps // 8,
+            chunks=5, interpret=interp,
+        )
+        _, _, eta_ts = run_ts(u0, jnp.float32(0.0), lam)
+        check("sharded_tiled_grid_1dev_mesh_N2_K10k", eta_ts, ref.eta,
+              5e-3, 1e-7)
+    except Exception as e:  # noqa: BLE001
+        fail("sharded_tiled_grid_1dev_mesh_N2_K10k", e)
+
     ok = all(r["ok"] for r in RESULTS)
     print(
         json.dumps(
