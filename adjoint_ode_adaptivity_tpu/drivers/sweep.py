@@ -33,16 +33,31 @@ def generate_commands(driver: str, seeds: list[int], extra: str) -> list[str]:
     return [f"{base} --seed {s} {extra}".strip() for s in seeds]
 
 
-def run_commands(cmds: list[str], parallel: int = 1, check: bool = True) -> list[int]:
+def run_commands(
+    cmds: list[str],
+    parallel: int = 1,
+    check: bool = True,
+    retries: int = 0,
+) -> list[int]:
     """Execute ``cmds`` with at most ``parallel`` concurrent processes.
 
     A simple slot scheduler: slot ``i`` exports ``SWEEP_SLOT=i`` to its
     process (device-pinning hook). Returns the list of return codes in
     command order; raises on the first nonzero code when ``check`` (after
     draining the running slots).
+
+    ``retries`` adds the failure recovery the reference farm lacks (its
+    only failure tooling is the manual ``scancel.sh``,
+    Submit_schedule_frontera/scancel.sh:1-7 — a died job restarts by hand):
+    a run exiting nonzero is requeued up to ``retries`` times, with
+    ``SWEEP_ATTEMPT`` in its environment so the run can resume from its own
+    checkpoint (every adaptive/training driver takes ``--checkpoint-dir``).
+    The recorded return code is the final attempt's.
     """
     parallel = max(1, int(parallel))
+    retries = max(0, int(retries))
     codes: list[int | None] = [None] * len(cmds)
+    attempts = [0] * len(cmds)
     running: dict[int, tuple[int, subprocess.Popen]] = {}  # slot -> (idx, proc)
     free = list(range(parallel))[::-1]
     pending = list(enumerate(cmds))[::-1]
@@ -57,29 +72,41 @@ def run_commands(cmds: list[str], parallel: int = 1, check: bool = True) -> list
             if done:
                 for s in done:
                     idx, pr = running.pop(s)
-                    codes[idx] = pr.returncode
+                    rc = pr.returncode
+                    if rc != 0 and attempts[idx] < retries:
+                        attempts[idx] += 1
+                        print(
+                            f"==> FAILED (rc={rc}) attempt {attempts[idx]}/"
+                            f"{retries + 1}, requeueing: {cmds[idx]}"
+                        )
+                        pending.append((idx, cmds[idx]))
+                    else:
+                        codes[idx] = rc
                     free.append(s)
                 return
             if not block:
                 return
             time.sleep(0.05)
 
-    while pending:
-        if not free:
+    while pending or running:
+        if not pending or not free:
             _reap(block=True)
             continue
         idx, c = pending.pop()
         slot = free.pop()
         print(f"==> [slot {slot}] {c}")
-        env = dict(os.environ, SWEEP_SLOT=str(slot))
+        env = dict(
+            os.environ, SWEEP_SLOT=str(slot), SWEEP_ATTEMPT=str(attempts[idx])
+        )
         running[slot] = (idx, subprocess.Popen(shlex.split(c), env=env))
-    while running:
-        _reap(block=True)
     out = [int(c) for c in codes]  # type: ignore[arg-type]
-    if check:
-        bad = [(cmds[i], rc) for i, rc in enumerate(out) if rc != 0]
-        if bad:
-            raise subprocess.CalledProcessError(bad[0][1], bad[0][0])
+    failed = [(cmds[i], rc) for i, rc in enumerate(out) if rc != 0]
+    if failed:
+        print(f"==> {len(failed)}/{len(cmds)} runs failed after retries:")
+        for c, rc in failed:
+            print(f"==>   rc={rc}: {c}")
+    if check and failed:
+        raise subprocess.CalledProcessError(failed[0][1], failed[0][0])
     return out
 
 
@@ -94,6 +121,10 @@ def main(argv=None):
         "--parallel", type=int, default=1,
         help="max concurrent runs (reference farm: 4 per node)",
     )
+    p.add_argument(
+        "--retries", type=int, default=0,
+        help="requeue a failed run up to N times (SWEEP_ATTEMPT exported)",
+    )
     args = p.parse_args(argv)
 
     cmds = generate_commands(args.driver, args.seeds, args.extra)
@@ -105,7 +136,7 @@ def main(argv=None):
         for c in cmds:
             print(c)
     if args.run:
-        run_commands(cmds, parallel=args.parallel)
+        run_commands(cmds, parallel=args.parallel, retries=args.retries)
     return cmds
 
 

@@ -266,6 +266,37 @@ class TestSweep:
             run_commands(cmds, parallel=2)
         assert run_commands(cmds, parallel=1, check=False) == [3]
 
+    def test_run_commands_retry_recovers(self, tmp_path):
+        # failure recovery the reference farm lacks (scancel.sh is manual):
+        # a run that dies is requeued with SWEEP_ATTEMPT exported — here the
+        # first attempt leaves a marker and exits 1, the retry sees the
+        # marker (and SWEEP_ATTEMPT=1) and succeeds
+        import sys
+
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import run_commands
+
+        marker = tmp_path / "attempted"
+        script = (
+            "import os,sys; p=r'%s'; "
+            "sys.exit(0) if os.path.exists(p) and "
+            "os.environ['SWEEP_ATTEMPT']=='1' else "
+            "(open(p,'w').close(), sys.exit(1))" % marker
+        )
+        cmds = [f'{sys.executable} -S -c "{script}"']
+        assert run_commands(cmds, parallel=1, retries=2) == [0]
+        assert marker.exists()
+
+    def test_run_commands_retry_exhausted(self):
+        import subprocess
+        import sys
+
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import run_commands
+
+        cmds = [f"{sys.executable} -S -c \"raise SystemExit(7)\""]
+        with pytest.raises(subprocess.CalledProcessError):
+            run_commands(cmds, parallel=1, retries=1)
+        assert run_commands(cmds, parallel=1, retries=1, check=False) == [7]
+
 
 class TestNewLossMethod:
     def test_new_loss_smoke(self, tmp_path, monkeypatch, capsys):
