@@ -28,9 +28,24 @@ import sys
 import time
 
 
-def generate_commands(driver: str, seeds: list[int], extra: str) -> list[str]:
+def generate_commands(
+    driver: str,
+    seeds: list[int],
+    extra: str,
+    checkpoint_root: str | None = None,
+) -> list[str]:
+    """One command per seed. ``checkpoint_root`` appends a PER-SEED
+    ``--checkpoint-dir {root}/seed_{s}`` (every adaptive/training driver
+    accepts it and auto-resumes from it), so concurrent seeds never share a
+    checkpoint directory and a ``--retries`` requeue genuinely resumes."""
     base = f"{sys.executable} -m adjoint_ode_adaptivity_tpu.drivers.{driver}"
-    return [f"{base} --seed {s} {extra}".strip() for s in seeds]
+    cmds = [f"{base} --seed {s} {extra}".strip() for s in seeds]
+    if checkpoint_root:
+        cmds = [
+            f"{c} --checkpoint-dir {os.path.join(checkpoint_root, f'seed_{s}')}"
+            for c, s in zip(cmds, seeds)
+        ]
+    return cmds
 
 
 def run_commands(
@@ -49,10 +64,13 @@ def run_commands(
     ``retries`` adds the failure recovery the reference farm lacks (its
     only failure tooling is the manual ``scancel.sh``,
     Submit_schedule_frontera/scancel.sh:1-7 — a died job restarts by hand):
-    a run exiting nonzero is requeued up to ``retries`` times, with
-    ``SWEEP_ATTEMPT`` in its environment so the run can resume from its own
-    checkpoint (every adaptive/training driver takes ``--checkpoint-dir``).
-    The recorded return code is the final attempt's.
+    a run exiting nonzero is requeued up to ``retries`` times. Requeued
+    attempts resume from a checkpoint only when the command carries a
+    ``--checkpoint-dir`` (use ``generate_commands(checkpoint_root=...)`` /
+    ``--checkpoint-root`` for per-seed directories); otherwise they restart
+    from scratch. ``SWEEP_ATTEMPT`` (0-based attempt counter) is exported
+    purely as information for the run. The recorded return code is the
+    final attempt's.
     """
     parallel = max(1, int(parallel))
     retries = max(0, int(retries))
@@ -98,7 +116,23 @@ def run_commands(
         env = dict(
             os.environ, SWEEP_SLOT=str(slot), SWEEP_ATTEMPT=str(attempts[idx])
         )
-        running[slot] = (idx, subprocess.Popen(shlex.split(c), env=env))
+        try:
+            running[slot] = (idx, subprocess.Popen(shlex.split(c), env=env))
+        except OSError as e:
+            # launch failure (missing binary, bad command): route through
+            # the same requeue/record path as a nonzero exit instead of
+            # aborting mid-drain with children still running
+            free.append(slot)
+            if attempts[idx] < retries:
+                attempts[idx] += 1
+                print(
+                    f"==> LAUNCH FAILED ({e}) attempt {attempts[idx]}/"
+                    f"{retries + 1}, requeueing: {c}"
+                )
+                pending.append((idx, c))
+            else:
+                print(f"==> LAUNCH FAILED ({e}): {c}")
+                codes[idx] = 127
     out = [int(c) for c in codes]  # type: ignore[arg-type]
     failed = [(cmds[i], rc) for i, rc in enumerate(out) if rc != 0]
     if failed:
@@ -125,9 +159,17 @@ def main(argv=None):
         "--retries", type=int, default=0,
         help="requeue a failed run up to N times (SWEEP_ATTEMPT exported)",
     )
+    p.add_argument(
+        "--checkpoint-root", default=None,
+        help="per-seed --checkpoint-dir ROOT/seed_S on every command, so "
+             "retried runs resume instead of restarting",
+    )
     args = p.parse_args(argv)
 
-    cmds = generate_commands(args.driver, args.seeds, args.extra)
+    cmds = generate_commands(
+        args.driver, args.seeds, args.extra,
+        checkpoint_root=args.checkpoint_root,
+    )
     if args.out:
         with open(args.out, "w") as f:
             f.write("\n".join(cmds) + "\n")

@@ -424,6 +424,52 @@ def _make_grid_calls(cfg, dr_host, lift_host, segment, w, lm, chunks,
     return fwd_call, rev_call
 
 
+def _run_grid_pipeline(fwd_call, rev_call, ghosts_fn, cfl, segment,
+                       n_segments, u_c0, lam_c0, t0, dt):
+    """Shared segment-scan driver for the grid-streamed pipelines (the
+    single-device factory below and ``dg_tiled_sharded.py``): forward scan
+    storing each segment's trajectory block, then the reverse sweep.  Each
+    segment's boundary state (its END state = the next segment's
+    ghost-fresh entry; the final segment's is rebuilt from the final state)
+    is indexed straight out of the stored trajectory inside the reverse
+    scan — materializing it as a separate array would duplicate 1/segment
+    of the trajectory footprint in exactly the HBM-envelope regime these
+    pipelines exist for.  Returns ``(u_final_c, lam0_c, eta_c)`` in the
+    chunk-major (C, Np, 8, Lm) layout."""
+    dt_ = jnp.asarray(dt, u_c0.dtype)
+
+    def fwd_segment(u_c, s):
+        lg, rg = ghosts_fn(u_c)
+        t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
+        traj_s, u_next = fwd_call(t0s, cfl, lg, u_c, rg)
+        return u_next, traj_s
+
+    u_final_c, trajs = lax.scan(fwd_segment, u_c0, jnp.arange(n_segments))
+    lg_f, rg_f = ghosts_fn(u_final_c)
+    ext_final = jnp.concatenate([lg_f, u_final_c, rg_f], axis=-1)
+
+    def rev_segment(carry, xs):
+        lam_c, eta = carry
+        traj_s, s = xs
+        nxt = lax.dynamic_index_in_dim(
+            trajs, jnp.minimum(s + 1, n_segments - 1), axis=0, keepdims=False
+        )[:, 0]
+        bound_s = jnp.where(s == n_segments - 1, ext_final, nxt)
+        lg, rg = ghosts_fn(lam_c)
+        t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
+        lam_new, eta_c = rev_call(t0s, cfl, lg, lam_c, rg, bound_s, traj_s)
+        return (lam_new, eta + eta_c), None
+
+    eta0 = jnp.zeros((u_c0.shape[0], 8, u_c0.shape[3]), u_c0.dtype)
+    (lam0_c, eta_c), _ = lax.scan(
+        rev_segment,
+        (lam_c0, eta0),
+        (trajs, jnp.arange(n_segments)),
+        reverse=True,
+    )
+    return u_final_c, lam0_c, eta_c
+
+
 def make_pallas_fwd_adj_estimate_tiled_grid(
     disc: Discretization1D,
     a: float,
@@ -499,11 +545,6 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
         rg = rg.at[c - 1].set(jnp.roll(le[0], -1, axis=1))
         return lg, rg
 
-    def _ext_all(x_c):
-        """All chunks' extended windows (C, Np, 8, m_ext)."""
-        lg, rg = _ghosts(x_c)
-        return jnp.concatenate([lg, x_c, rg], axis=-1)
-
     def _to_chunked(x):
         # (Np, K) element order -> chunk-major (C, Np, 8, Lm)
         return jnp.moveaxis(x.reshape(np_, 8, c, lm), 2, 0)
@@ -513,43 +554,9 @@ def make_pallas_fwd_adj_estimate_tiled_grid(
 
     def run(u0, t0, lam_end):
         t0 = jnp.asarray(t0, u0.dtype)
-        dt_ = jnp.asarray(dt, u0.dtype)
-        u_c0 = _to_chunked(u0)
-        lam_c0 = _to_chunked(lam_end)
-
-        def fwd_segment(u_c, s):
-            lg, rg = _ghosts(u_c)
-            t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            traj_s, u_next = fwd_call(t0s, cfl_host, lg, u_c, rg)
-            return u_next, traj_s
-
-        u_final_c, trajs = lax.scan(
-            fwd_segment, u_c0, jnp.arange(n_segments)
-        )
-        # trajs: (n_seg, C, seg, Np, 8, m_ext) — segment-ENTRY states per
-        # chunk (ghost-fresh).  Segment s's END state = segment s+1's entry;
-        # the last segment's boundary windows are rebuilt from the final
-        # global state.
-        bounds = jnp.concatenate(
-            [trajs[1:, :, 0], _ext_all(u_final_c)[None]], axis=0
-        )
-
-        def rev_segment(carry, xs):
-            lam_c, eta = carry
-            traj_s, bound_s, s = xs
-            lg, rg = _ghosts(lam_c)
-            t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            lam_new, eta_c = rev_call(
-                t0s, cfl_host, lg, lam_c, rg, bound_s, traj_s
-            )
-            return (lam_new, eta + eta_c), None
-
-        eta0 = jnp.zeros((c, 8, lm), u0.dtype)
-        (lam0_c, eta_c), _ = lax.scan(
-            rev_segment,
-            (lam_c0, eta0),
-            (trajs, bounds, jnp.arange(n_segments)),
-            reverse=True,
+        u_final_c, lam0_c, eta_c = _run_grid_pipeline(
+            fwd_call, rev_call, _ghosts, cfl_host, segment, n_segments,
+            _to_chunked(u0), _to_chunked(lam_end), t0, dt,
         )
         # (C, 8, Lm) chunk-blocked -> global blocked (8, M) -> element order
         eta = jnp.transpose(eta_c, (1, 0, 2)).reshape(k)

@@ -21,8 +21,10 @@ Ghost plumbing per segment (the only inter-device traffic):
 - The roll's wrap row is the only off-device data: local element -j is the
   PREVIOUS device's element L-j (its sublane 7, last chunk, right edge) and
   local element 8*m_loc+j is the NEXT device's element j (sublane 0, first
-  chunk, left edge).  Two ``lax.ppermute``s of (Np, 1, W) arrays per
-  segment — Np*W*4 B each way on ICI, independent of K.
+  chunk, left edge).  One (Np, 1, W) ``lax.ppermute`` each way per ghost
+  assembly — two in the forward segment, two in the reverse segment (plus
+  two in the one-off final-state boundary build), i.e. 4·Np·W·4 B per
+  segment of full fwd+reverse pipeline on ICI, independent of K.
 - On a 1-device mesh the ppermutes are identities and the construction
   degenerates to exactly the single-device rolled wrap (pinned in tests).
 
@@ -54,7 +56,10 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
     PallasAdvecConfig,
     _check_uniform,
 )
-from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import _make_grid_calls
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
+    _make_grid_calls,
+    _run_grid_pipeline,
+)
 
 __all__ = ["make_pallas_fwd_adj_estimate_tiled_grid_sharded"]
 
@@ -139,10 +144,6 @@ def make_pallas_fwd_adj_estimate_tiled_grid_sharded(
         rg = rg.at[c - 1].set(jnp.concatenate([le[0][:, 1:], nxt], axis=1))
         return lg, rg
 
-    def _ext_all(x_c):
-        lg, rg = _ghosts(x_c)
-        return jnp.concatenate([lg, x_c, rg], axis=-1)
-
     def _to_chunked(x):
         # local (Np, L) element order -> chunk-major (C, Np, 8, Lm)
         return jnp.moveaxis(x.reshape(np_, 8, c, lm), 2, 0)
@@ -158,39 +159,9 @@ def make_pallas_fwd_adj_estimate_tiled_grid_sharded(
                 jnp.where(didx == n_dev - 1, c - 1, -1),
             ]
         ).astype(jnp.int32)
-        dt_ = jnp.asarray(dt, u_loc.dtype)
-        u_c0 = _to_chunked(u_loc)
-        lam_c0 = _to_chunked(lam_loc)
-
-        def fwd_segment(u_c, s):
-            lg, rg = _ghosts(u_c)
-            t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            traj_s, u_next = fwd_call(t0s, cfl, lg, u_c, rg)
-            return u_next, traj_s
-
-        u_final_c, trajs = lax.scan(fwd_segment, u_c0, jnp.arange(n_segments))
-        # segment s's end state = segment s+1's (ghost-fresh) entry; the
-        # last segment's boundary windows are rebuilt from the final state
-        bounds = jnp.concatenate(
-            [trajs[1:, :, 0], _ext_all(u_final_c)[None]], axis=0
-        )
-
-        def rev_segment(carry, xs):
-            lam_c, eta = carry
-            traj_s, bound_s, s = xs
-            lg, rg = _ghosts(lam_c)
-            t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
-            lam_new, eta_c = rev_call(
-                t0s, cfl, lg, lam_c, rg, bound_s, traj_s
-            )
-            return (lam_new, eta + eta_c), None
-
-        eta0 = jnp.zeros((c, 8, lm), u_loc.dtype)
-        (lam0_c, eta_c), _ = lax.scan(
-            rev_segment,
-            (lam_c0, eta0),
-            (trajs, bounds, jnp.arange(n_segments)),
-            reverse=True,
+        u_final_c, lam0_c, eta_c = _run_grid_pipeline(
+            fwd_call, rev_call, _ghosts, cfl, segment, n_segments,
+            _to_chunked(u_loc), _to_chunked(lam_loc), t0, dt,
         )
         eta = jnp.transpose(eta_c, (1, 0, 2)).reshape(l_elem)
         return _from_chunked(u_final_c), _from_chunked(lam0_c), eta

@@ -297,6 +297,33 @@ class TestSweep:
             run_commands(cmds, parallel=1, retries=1)
         assert run_commands(cmds, parallel=1, retries=1, check=False) == [7]
 
+    def test_run_commands_launch_failure_recorded(self):
+        # a missing binary must not abort the drain (orphaning live
+        # children) — it records rc=127 through the same path as a
+        # nonzero exit, and healthy commands still complete
+        import sys
+
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import run_commands
+
+        cmds = [
+            "definitely-not-a-binary-xyz --flag",
+            f"{sys.executable} -S -c \"raise SystemExit(0)\"",
+        ]
+        assert run_commands(cmds, parallel=2, retries=1, check=False) == [127, 0]
+
+    def test_generate_commands_checkpoint_root(self, tmp_path):
+        from adjoint_ode_adaptivity_tpu.drivers.sweep import generate_commands
+
+        cmds = generate_commands(
+            "fd_adaptive", [5, 6], "--quiet",
+            checkpoint_root=str(tmp_path / "ck"),
+        )
+        assert len(cmds) == 2
+        assert cmds[0].endswith(f"--checkpoint-dir {tmp_path / 'ck' / 'seed_5'}")
+        assert cmds[1].endswith(f"--checkpoint-dir {tmp_path / 'ck' / 'seed_6'}")
+        # per-seed dirs differ (concurrent seeds must not share a checkpoint)
+        assert cmds[0].split()[-1] != cmds[1].split()[-1]
+
 
 class TestNewLossMethod:
     def test_new_loss_smoke(self, tmp_path, monkeypatch, capsys):

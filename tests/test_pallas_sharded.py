@@ -144,9 +144,32 @@ class TestShardedTiledGrid:
             chunks=chunks, interpret=True,
         )
         ufs, lams, etas = run_s(u0, jnp.float32(0.0), lam)
-        np.testing.assert_allclose(np.asarray(ufs), np.asarray(uf1), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(lams), np.asarray(lam1), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(etas), np.asarray(eta1), atol=1e-6)
+        # the per-element instruction streams are identical — the sharded
+        # composition is BIT-equal to the single-device kernel here
+        assert np.array_equal(np.asarray(ufs), np.asarray(uf1))
+        assert np.array_equal(np.asarray(lams), np.asarray(lam1))
+        assert np.array_equal(np.asarray(etas), np.asarray(eta1))
+
+    def test_multistep_segments_multi_device(self):
+        # segment=2 exercises the W = 10*seg + 10 wrap-row exchange and the
+        # stored trajectory's ghost degradation across DEVICE boundaries —
+        # the parametrized cases run segment=1, and a 1-device mesh reduces
+        # the ppermutes to identities, so neither covers this regime
+        disc, a, dt, u0, lam = _problem(k=2048)
+        seg, n_seg = 2, 2
+        run_1 = make_pallas_fwd_adj_estimate_tiled_grid(
+            disc, a, dt, segment=seg, n_segments=n_seg, chunks=8,
+            interpret=True,
+        )
+        uf1, lam1, eta1 = run_1(u0, jnp.float32(0.0), lam)
+        run_s = make_pallas_fwd_adj_estimate_tiled_grid_sharded(
+            disc, a, dt, _mesh(4), segment=seg, n_segments=n_seg, chunks=2,
+            interpret=True,
+        )
+        ufs, lams, etas = run_s(u0, jnp.float32(0.0), lam)
+        assert np.array_equal(np.asarray(ufs), np.asarray(uf1))
+        assert np.array_equal(np.asarray(lams), np.asarray(lam1))
+        assert np.array_equal(np.asarray(etas), np.asarray(eta1))
 
     def test_matches_xla_oracle(self):
         disc, a, dt, u0, lam = _problem(k=3072)

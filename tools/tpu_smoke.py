@@ -597,9 +597,13 @@ def main():
             disc, A, dt, mesh1t, segment=8, n_segments=n_steps // 8,
             chunks=5, interpret=interp,
         )
+        t_ts = time.perf_counter()
         _, _, eta_ts = run_ts(u0, jnp.float32(0.0), lam)
+        jax.block_until_ready(eta_ts)
+        ts_elapsed = time.perf_counter() - t_ts
         check("sharded_tiled_grid_1dev_mesh_N2_K10k", eta_ts, ref.eta,
               5e-3, 1e-7)
+        RESULTS[-1]["elapsed_s_incl_dispatch"] = round(ts_elapsed, 4)
     except Exception as e:  # noqa: BLE001
         fail("sharded_tiled_grid_1dev_mesh_N2_K10k", e)
 
