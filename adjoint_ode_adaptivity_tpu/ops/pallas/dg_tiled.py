@@ -430,12 +430,15 @@ def _run_grid_pipeline(fwd_call, rev_call, ghosts_fn, cfl, segment,
     single-device factory below and ``dg_tiled_sharded.py``): forward scan
     storing each segment's trajectory block, then the reverse sweep.  Each
     segment's boundary state (its END state = the next segment's
-    ghost-fresh entry; the final segment's is rebuilt from the final state)
-    is indexed straight out of the stored trajectory inside the reverse
-    scan — materializing it as a separate array would duplicate 1/segment
-    of the trajectory footprint in exactly the HBM-envelope regime these
-    pipelines exist for.  Returns ``(u_final_c, lam0_c, eta_c)`` in the
-    chunk-major (C, Np, 8, Lm) layout."""
+    ghost-fresh entry; the final segment's is rebuilt from the final
+    state) rides the reverse scan's CARRY: the reverse iteration over
+    segment s+1 already holds traj_{s+1} and hands its entry block down —
+    zero extra HBM footprint or traffic (materializing a boundary array
+    costs 1/segment of the trajectory footprint, and in-scan gathers of
+    the big trajectory do not fuse: both measured slower in exactly the
+    HBM-envelope regime these pipelines exist for).  Returns
+    ``(u_final_c, lam0_c, eta_c)`` in the chunk-major (C, Np, 8, Lm)
+    layout."""
     dt_ = jnp.asarray(dt, u_c0.dtype)
 
     def fwd_segment(u_c, s):
@@ -449,21 +452,18 @@ def _run_grid_pipeline(fwd_call, rev_call, ghosts_fn, cfl, segment,
     ext_final = jnp.concatenate([lg_f, u_final_c, rg_f], axis=-1)
 
     def rev_segment(carry, xs):
-        lam_c, eta = carry
+        lam_c, eta, bound_s = carry
         traj_s, s = xs
-        nxt = lax.dynamic_index_in_dim(
-            trajs, jnp.minimum(s + 1, n_segments - 1), axis=0, keepdims=False
-        )[:, 0]
-        bound_s = jnp.where(s == n_segments - 1, ext_final, nxt)
         lg, rg = ghosts_fn(lam_c)
         t0s = jnp.reshape(t0 + s * segment * dt_, (1,))
         lam_new, eta_c = rev_call(t0s, cfl, lg, lam_c, rg, bound_s, traj_s)
-        return (lam_new, eta + eta_c), None
+        # segment s-1 (next reverse iteration) ends at THIS segment's entry
+        return (lam_new, eta + eta_c, traj_s[:, 0]), None
 
     eta0 = jnp.zeros((u_c0.shape[0], 8, u_c0.shape[3]), u_c0.dtype)
-    (lam0_c, eta_c), _ = lax.scan(
+    (lam0_c, eta_c, _), _ = lax.scan(
         rev_segment,
-        (lam_c0, eta0),
+        (lam_c0, eta0, ext_final),
         (trajs, jnp.arange(n_segments)),
         reverse=True,
     )
