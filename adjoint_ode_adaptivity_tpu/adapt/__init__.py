@@ -3,21 +3,26 @@
 from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
     AdaptResult,
     AdaptState,
+    FDPerMemberAdaptResult,
     adapt_iteration,
     backtrack_iteration,
     run_adaptive_fd,
     run_adaptive_fd_backtrack,
     run_adaptive_fd_backtrack_padded,
+    run_adaptive_fd_per_member,
 )
 from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
     DGAdaptResult,
     DGPerMemberAdaptResult,
     run_adaptive_dg,
+    run_adaptive_dg_ensemble,
     run_adaptive_dg_per_member,
 )
 from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
     HPAdaptResult,
+    HPPerMemberAdaptResult,
     run_adaptive_dg_hp,
+    run_adaptive_dg_hp_per_member,
 )
 from adjoint_ode_adaptivity_tpu.adapt.policy import (
     bisect_refine,
@@ -35,15 +40,20 @@ __all__ = [
     "DGAdaptResult",
     "DGPerMemberAdaptResult",
     "run_adaptive_dg",
+    "run_adaptive_dg_ensemble",
     "run_adaptive_dg_per_member",
     "HPAdaptResult",
+    "HPPerMemberAdaptResult",
     "run_adaptive_dg_hp",
+    "run_adaptive_dg_hp_per_member",
     "AdaptState",
     "AdaptResult",
+    "FDPerMemberAdaptResult",
     "adapt_iteration",
     "run_adaptive_fd",
     "run_adaptive_fd_backtrack",
     "run_adaptive_fd_backtrack_padded",
+    "run_adaptive_fd_per_member",
     "backtrack_iteration",
     "bisect_refine_padded_masked",
     "coarsen_merge_padded",

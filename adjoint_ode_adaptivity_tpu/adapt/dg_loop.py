@@ -41,6 +41,22 @@ __all__ = [
 ]
 
 
+def _resumed_history(history):
+    """Early-return wrapper for a resumed-already-complete run: keeps the
+    wrapped-return attribute contract (``.iteration``/``.run_fused``/
+    ``.fused_args`` present); None = nothing prebuilt, a warm-reuse caller
+    passing ``iteration=None`` simply rebuilds."""
+
+    class _H(list):
+        pass
+
+    out = _H(history)
+    out.iteration = None
+    out.run_fused = None
+    out.fused_args = None
+    return out
+
+
 class DGAdaptResult(NamedTuple):
     times: np.ndarray  # partition at this iteration
     u: np.ndarray  # (K, Np) coarse primal
@@ -207,7 +223,7 @@ def run_adaptive_dg_ensemble(
             restored_n_active = int(raw["n_active"])
             it0 = len(history)
             if abs(history[-1].est_total_mean) < tol:
-                return history
+                return _resumed_history(history)
     max_k = k0 + maxit + 1
     if restored_times is not None:
         max_k = max(max_k, len(restored_times) - 1)
@@ -521,11 +537,27 @@ def run_adaptive_dg_per_member(
             restored = raw
             it0 = len(history)
             if history[-1].n_refining == 0:
-                return history
+                return _resumed_history(history)
     max_k = k0 + maxit + 1
     if restored is not None:
         max_k = max(max_k, np.asarray(restored["times"]).shape[1] - 1)
     n_pad = max_k + 1  # node slots per member
+    if restored is not None and history and history[0].times.shape[1] < n_pad:
+        # re-pad restored rows to this run's width so the whole history is
+        # shape-uniform (zero-width slabs at t_end; padding err is exactly
+        # 0 — same hardening as the per-member FD loop)
+        def _repad(r):
+            wt = n_pad - r.times.shape[1]
+            return r._replace(
+                times=np.concatenate(
+                    [r.times, np.repeat(r.times[:, -1:], wt, axis=1)], axis=1
+                ),
+                err=np.concatenate(
+                    [r.err, np.zeros((r.err.shape[0], wt))], axis=1
+                ),
+            )
+
+        history = [_repad(r) for r in history]
 
     if iteration is not None:
         pass  # caller-supplied prebuilt jitted iteration (bench reuse)

@@ -103,7 +103,10 @@ def adapt_iteration(
 
     times_new, n_active_new = bisect_refine_padded(state.times, state.n_active, err_steps)
     if functional.name == "J=u_N":
-        j_coarse = u[state.n_active]  # terminal value at the last active node
+        # the reference convention is J ≡ u_{N-1} (functionals.py: value is
+        # u[-2] on an unpadded grid) — the SECOND-to-last active node, the
+        # same node _k_vector targets on the fine grid
+        j_coarse = u[state.n_active - 1]
     else:
         j_coarse = functional.value(u, dt)
     new_state = AdaptState(times=times_new, n_active=n_active_new, it=state.it + 1)
@@ -196,6 +199,9 @@ def run_adaptive_fd(
             # padding convention repeats the final time = zero-width
             # steps, exact identities)
             cur = state.times.shape[0]
+            # ... or FEWER: keep the restored width so the device-loop
+            # buffers match the state (same guard as the per-member loop)
+            max_nodes = max(max_nodes, cur)
             if max_nodes > cur:
                 state = state._replace(
                     times=jnp.concatenate(
@@ -682,7 +688,11 @@ def run_adaptive_fd_per_member(
             restored = raw
             it0 = len(history)
             if history[-1].n_refining == 0:
-                return history
+                from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+                    _resumed_history,
+                )
+
+                return _resumed_history(history)
             max_nodes = max(max_nodes, np.asarray(raw["times"]).shape[1])
             if history[0].times.shape[1] < max_nodes:
                 # re-pad restored rows to this run's width so the whole

@@ -286,6 +286,19 @@ def run_adaptive_dg_hp(
             "- see march.dg_mixed._check_orders)"
         )
     max_k = k0 + (maxit + 1 if mode != "p" else 1)
+    raw_ckpt = None
+    if checkpoint_dir is not None:
+        # restore BEFORE sizing: the engines below bake the padded element
+        # count in, and a resume may come from a run with a LARGER maxit
+        # (same pattern as run_adaptive_dg_ensemble / the per-member loops)
+        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint_raw,
+        )
+
+        if latest_step(checkpoint_dir) is not None:
+            raw_ckpt = restore_checkpoint_raw(checkpoint_dir)
+            max_k = max(max_k, len(np.asarray(raw_ckpt["times"])) - 1)
     times = np.linspace(t_span[0], t_span[1], k0 + 1)
     times = np.concatenate([times, np.full(max_k - k0, times[-1])])
     ns = np.concatenate(
@@ -435,13 +448,8 @@ def run_adaptive_dg_hp(
     n_active = k0
     it0 = 0
     if checkpoint_dir is not None:
-        from adjoint_ode_adaptivity_tpu.train.checkpoint import (
-            latest_step,
-            restore_checkpoint_raw,
-        )
-
-        if latest_step(checkpoint_dir) is not None:
-            raw = restore_checkpoint_raw(checkpoint_dir)
+        if raw_ckpt is not None:
+            raw = raw_ckpt
             history = [
                 HPAdaptResult(
                     times=np.asarray(h["times"]),
@@ -471,6 +479,11 @@ def run_adaptive_dg_hp(
             it0 = len(history)
             if abs(history[-1].est_total) < tol:
                 return _wrap(history)
+            if bool(np.asarray(raw.get("saturated", False))):
+                # the run stopped because nothing could refine (p-mode with
+                # every live element order-saturated): re-running the
+                # identical iteration would append a duplicate history entry
+                return _wrap(history)
     times = jnp.asarray(times)
     ns = jnp.asarray(ns)
     if device_loop:
@@ -487,6 +500,19 @@ def run_adaptive_dg_hp(
                 jnp.zeros((maxit + 1, ns.shape[0]), jnp.int32),
                 jnp.zeros((maxit + 1,), shapes[2].dtype),  # Σerr
             )
+            if mesh is not None:
+                # shard the (maxit+1, B, ·) u/v history buffers on the
+                # member axis — XLA would otherwise replicate the largest
+                # buffers in the module across the mesh
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = NamedSharding(mesh, PartitionSpec(None, mesh_axis))
+                n_members = int(y0_arr.shape[0])  # mesh= implies ensemble
+                bufs = tuple(
+                    jax.lax.with_sharding_constraint(bb, spec)
+                    if bb.ndim >= 2 and bb.shape[1] == n_members else bb
+                    for bb in bufs
+                )
 
             def body(carry):
                 t, nsv, bufs, it, _ = carry
@@ -546,6 +572,11 @@ def run_adaptive_dg_hp(
                 save_checkpoint,
             )
 
+            # the while_loop stops for one of three reasons: tol reached
+            # (caught by the resume's est test), maxit exhausted, or
+            # SATURATION (nothing could refine) — persist the third so a
+            # resume doesn't re-run the identical iteration
+            sat = n_done <= maxit and abs(float(bufs[7][n_done - 1])) >= tol
             t_f = np.asarray(t_f)
             save_checkpoint(
                 checkpoint_dir,
@@ -554,10 +585,12 @@ def run_adaptive_dg_hp(
                     "times": t_f,
                     "ns": np.asarray(ns_f),
                     "n_active": int((np.diff(t_f) > 0).sum()),
+                    "saturated": sat,
                     "history": [dict(r._asdict()) for r in history],
                 },
             )
         return _wrap(history)
+    saturated = False
     for it in range(it0, maxit + 1):
         u, v, err, j_c, j_f, est, times_new, ns_new = iteration(times, ns)
         est_total = float(est)
@@ -593,7 +626,7 @@ def run_adaptive_dg_hp(
             if not changed:
                 # p-mode with every live element order-saturated: nothing
                 # can refine, further iterations would re-run identically
-                done = True
+                done = saturated = True
         if checkpoint_dir is not None:
             from adjoint_ode_adaptivity_tpu.train.checkpoint import (
                 save_checkpoint,
@@ -606,6 +639,7 @@ def run_adaptive_dg_hp(
                     "times": np.asarray(times),
                     "ns": np.asarray(ns),
                     "n_active": n_active,
+                    "saturated": saturated,
                     "history": [dict(r._asdict()) for r in history],
                 },
             )
@@ -737,7 +771,11 @@ def run_adaptive_dg_hp_per_member(
             restored = raw
             it0 = len(history)
             if history[-1].n_refining == 0:
-                return history
+                from adjoint_ode_adaptivity_tpu.adapt.dg_loop import (
+                    _resumed_history,
+                )
+
+                return _resumed_history(history)
     max_k = k0 + (maxit + 1 if mode != "p" else 1)
     if restored is not None:
         max_k = max(max_k, np.asarray(restored["times"]).shape[1] - 1)
@@ -766,6 +804,25 @@ def run_adaptive_dg_hp_per_member(
         times0 = jnp.asarray(t_res)
         ns0 = jnp.asarray(n_res.astype(np.int32))
         refining0 = jnp.asarray(np.asarray(restored["refining"]) != 0)
+        if history and history[0].times.shape[1] < max_k + 1:
+            # re-pad restored HISTORY rows too, so the whole history is
+            # shape-uniform (same hardening as the per-member FD/DG loops)
+            def _repad(r):
+                wt = max_k + 1 - r.times.shape[1]
+                return r._replace(
+                    times=np.concatenate(
+                        [r.times, np.repeat(r.times[:, -1:], wt, axis=1)],
+                        axis=1,
+                    ),
+                    ns=np.concatenate(
+                        [r.ns, np.ones((b, wt), r.ns.dtype)], axis=1
+                    ),
+                    err=np.concatenate(
+                        [r.err, np.zeros((r.err.shape[0], wt))], axis=1
+                    ),
+                )
+
+            history = [_repad(r) for r in history]
     else:
         row_t = np.linspace(t_span[0], t_span[1], k0 + 1)
         row_t = np.concatenate([row_t, np.full(max_k - k0, row_t[-1])])
@@ -944,6 +1001,18 @@ def run_adaptive_dg_hp_per_member(
                 jnp.zeros((maxit + 1,) + ns_b.shape, jnp.int32),
                 jnp.zeros((maxit + 1,), jnp.int32),
             )
+            if mesh is not None:
+                # shard the history buffers on the member axis like the
+                # FD/DG device loops — XLA would otherwise replicate them
+                # (per-device memory × n_devices at ensemble scale)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = NamedSharding(mesh, PartitionSpec(None, mesh_axis))
+                bufs = tuple(
+                    jax.lax.with_sharding_constraint(bb, spec)
+                    if bb.ndim >= 2 and bb.shape[1] == b else bb
+                    for bb in bufs
+                )
 
             def body(carry):
                 t, nsv, refining, bufs, it, _ = carry
@@ -990,7 +1059,11 @@ def run_adaptive_dg_hp_per_member(
                 j_coarse=bufs[1][i], j_fine=bufs[2][i], est_total=bufs[3][i],
                 n_active=bufs[4][i], n_refining=int(bufs[7][i]),
             ))
-        _save(t_f, ns_f, ref_f)
+        if n_done > it0:
+            # guard a zero-iteration resume (it0 > maxit): re-saving at an
+            # existing orbax step would raise (same guard as the FD/DG
+            # device loops)
+            _save(t_f, ns_f, ref_f)
         return _wrap(history)
 
     times_b, ns_b = times0, ns0

@@ -231,6 +231,107 @@ class TestDGPerMemberResume:
             assert r_res.n_refining == r_ref.n_refining
 
 
+class TestResumeHardening:
+    """Review findings (round 3): resumes that come from a run with a
+    LARGER maxit, saturation stops, and zero-iteration resumes."""
+
+    def test_fd_resume_smaller_maxit_device_loop(self, tmp_path):
+        # the restored grid is WIDER than this run's max_nodes; the
+        # device-loop buffers must size to the restored width (previously a
+        # dynamic_update_slice trace error)
+        from adjoint_ode_adaptivity_tpu import odes
+        from adjoint_ode_adaptivity_tpu.adapt import run_adaptive_fd
+        from adjoint_ode_adaptivity_tpu.march import euler_step
+
+        step = euler_step(odes.get_ode("du/dt=sin(u)").f)
+        kw = dict(n_steps0=2, functional_name="J=int(u^2)", ref_factor=4,
+                  tol=0.0)
+        ck = str(tmp_path / "fd_small")
+        first = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), maxit=8, checkpoint_dir=ck, **kw
+        )
+        assert len(first) == 9
+        resumed = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), maxit=3, checkpoint_dir=ck,
+            device_loop=True, **kw
+        )
+        # it0 > maxit: nothing new to do, the restored history returns
+        assert len(resumed) == len(first)
+        assert float(resumed[-1].err_total) == float(first[-1].err_total)
+
+    def test_hp_saturation_resume_is_noop(self, tmp_path):
+        # p-mode saturates every live element at n_max with tol=0; the
+        # saturation stop is persisted, so re-invoking with the same
+        # checkpoint must NOT append a duplicate iteration
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp,
+        )
+
+        kw = dict(k0=2, n0=1, n_max=2, mode="p", tol=0.0, maxit=8)
+        ck = str(tmp_path / "hp_sat")
+        first = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck, **kw
+        )
+        assert len(first) < 9  # saturated before maxit
+        again = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck, **kw
+        )
+        assert len(again) == len(first)
+        # same through the fused device loop
+        ck2 = str(tmp_path / "hp_sat_dev")
+        first_d = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck2, device_loop=True,
+            **kw
+        )
+        assert len(first_d) == len(first)
+        again_d = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), checkpoint_dir=ck2, device_loop=True,
+            **kw
+        )
+        assert len(again_d) == len(first_d)
+
+    def test_hp_resume_smaller_maxit(self, tmp_path):
+        # the hp loop sizes max_k (and bakes kernels) from the WIDER of
+        # this run's maxit and the restored partition
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp,
+        )
+
+        kw = dict(k0=2, n0=1, n_max=3, mode="hp", tol=0.0)
+        ck = str(tmp_path / "hp_small")
+        first = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=6, checkpoint_dir=ck, **kw
+        )
+        assert len(first) == 7
+        resumed = run_adaptive_dg_hp(
+            F_SIN, 1.0, (0.0, 2.0), maxit=2, checkpoint_dir=ck, **kw
+        )
+        assert len(resumed) == len(first)
+        assert float(resumed[-1].est_total) == float(first[-1].est_total)
+
+    def test_hp_pm_zero_iteration_resume_no_resave(self, tmp_path):
+        # a resume whose checkpoint already holds maxit+1 iterations runs
+        # ZERO new iterations; the device loop must not re-save at an
+        # existing orbax step (previously unguarded)
+        from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+            run_adaptive_dg_hp_per_member,
+        )
+
+        y0s = np.linspace(0.6, 1.4, 8)
+        kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=2,
+                  newton_iters=8)
+        ck = str(tmp_path / "hppm0")
+        first = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), checkpoint_dir=ck, **kw
+        )
+        assert len(first) == 3 and first[-1].n_refining > 0
+        again = run_adaptive_dg_hp_per_member(
+            F_SIN, y0s, (0.0, 2.0), checkpoint_dir=ck, device_loop=True,
+            **kw
+        )
+        assert len(again) == len(first)
+
+
 class TestHPResume:
     def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
         from adjoint_ode_adaptivity_tpu.adapt.hp_loop import run_adaptive_dg_hp

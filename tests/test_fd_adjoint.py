@@ -299,6 +299,24 @@ class TestAdaptiveLoop:
         assert errs[-1] < errs[0] / 10
         assert errs[-1] < 0.05
 
+    def test_padded_j_coarse_matches_reference_convention_u_n(self):
+        # the reference's terminal functional is J ≡ u_{N-1} (functionals.py
+        # docstring: K = e_{N-1}, value = u[-2]); the padded loop must report
+        # j_coarse at the SECOND-to-last active node, not the last one
+        ode = odes.get_ode("du/dt=sin(u)")
+        step = euler_step(ode.f)
+        history = run_adaptive_fd(
+            step, 1.0, (0.0, 2.0), n_steps0=2, functional_name="J=u_N",
+            ref_factor=4, tol=0.0, maxit=3,
+        )
+        functional = fnl.get_functional("J=u_N")
+        for r in history:
+            n = int(r.n_steps_used)
+            dt = jnp.diff(r.times_used[: n + 1])
+            u_unpadded = forward_march(step, 1.0, dt)
+            j_ref = float(functional.value(u_unpadded, dt))
+            np.testing.assert_allclose(float(r.j_coarse), j_ref, rtol=1e-12)
+
     def test_effectivity_exact_linear_case(self):
         """For a linear ODE + linear functional the adjoint-weighted residual
         identity is EXACT:  Σ res·v = J(u_H) − J(u_h)  where u_H is the
