@@ -22,9 +22,14 @@ from adjoint_ode_adaptivity_tpu.adjoint.dg_time import (
 )
 from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
     MixedAdjointInterp,
+    MixedRadauInterp,
     dg_adjoint_interp_mixed,
     dg_adjoint_march_mixed,
+    dg_adjoint_reconstruct_mixed,
+    dg_adjoint_solve_low_mixed,
+    dg_awr_from_adjoint_mixed,
     dg_element_functional_mixed,
+    dg_radau_interp_mixed,
 )
 from adjoint_ode_adaptivity_tpu.adjoint.advec import (
     advec_adjoint_march,
@@ -44,9 +49,14 @@ __all__ = [
     "dg_element_functional",
     "continuous_err_contribution",
     "MixedAdjointInterp",
+    "MixedRadauInterp",
     "dg_adjoint_interp_mixed",
     "dg_adjoint_march_mixed",
+    "dg_adjoint_reconstruct_mixed",
+    "dg_adjoint_solve_low_mixed",
+    "dg_awr_from_adjoint_mixed",
     "dg_element_functional_mixed",
+    "dg_radau_interp_mixed",
     "advec_adjoint_march",
     "advec_fwd_adj_estimate",
     "terminal_integral_cotangent",

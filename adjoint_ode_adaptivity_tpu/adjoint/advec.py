@@ -148,11 +148,7 @@ def advec_fwd_adj_estimate(
         return u_out, u  # return segment-entry state for checkpointing
 
     # ---- forward: store one state per segment
-    def fwd_scan(u, seg_idx):
-        u_out, u_in = fwd_segment(u, seg_idx)
-        return u_out, u_in
-
-    u_final, seg_starts = lax.scan(fwd_scan, u0, jnp.arange(n_seg))
+    u_final, seg_starts = lax.scan(fwd_segment, u0, jnp.arange(n_seg))
 
     # ---- terminal cotangent
     lam = terminal_integral_cotangent(disc, u0.dtype) if lam_end is None else lam_end
@@ -177,27 +173,31 @@ def advec_fwd_adj_estimate(
         seg_idx = n_seg - 1 - seg_rev_idx
         u_in = jax.tree_util.tree_map(lambda x: x[seg_idx], seg_starts)
 
-        # recompute the segment's states (stored in scan order)
+        # recompute the segment's ENTRY states only (u_{n+1} rides the
+        # reverse scan's carry: row i's exit state is row i+1's entry, the
+        # last row's is the segment-exit state — storing it as a second
+        # stacked buffer would double the in-segment recompute memory)
         def recompute(u, i):
             t = t0 + (seg_idx * segment + i) * dt
-            u_next = lsrk_step(ops, u, t, dt)
-            return u_next, (u, u_next, t)
+            return lsrk_step(ops, u, t, dt), (u, t)
 
-        _, (us, u_nexts, ts) = lax.scan(recompute, u_in, jnp.arange(segment))
+        u_end, (us, ts) = lax.scan(recompute, u_in, jnp.arange(segment))
 
         # reverse sweep within the segment
         def rev_body(carry, xs):
-            lam, eta = carry
-            u_n, u_np1, t_n = xs
+            lam, eta, u_np1 = carry
+            u_n, t_n = xs
             # step-doubling residual r = u_{n+1} − Φ_{dt/2}²(u_n)
             half = lsrk_step(ops, u_n, t_n, dt / 2)
             half2 = lsrk_step(ops, half, t_n + dt / 2, dt / 2)
             r = u_np1 - half2
             eta = eta + jnp.sum(lam * r, axis=0)  # per-element contribution
             (lam,) = step_t(lam)
-            return (lam, eta), None
+            return (lam, eta, u_n), None
 
-        (lam, eta), _ = lax.scan(rev_body, (lam, eta), (us, u_nexts, ts), reverse=True)
+        (lam, eta, _), _ = lax.scan(
+            rev_body, (lam, eta, u_end), (us, ts), reverse=True
+        )
         return (lam, eta), None
 
     eta0 = jnp.zeros((u0.shape[1],), u0.dtype)

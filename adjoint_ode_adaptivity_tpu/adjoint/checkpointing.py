@@ -172,7 +172,9 @@ def simulate_schedule(steps: int, snaps: int, schedule=None) -> dict:
     """Validate a schedule by simulation. Returns stats:
     {'forward_steps': recomputation count, 'max_slots': peak slots used}.
     Raises AssertionError on an invalid reversal order."""
-    schedule = schedule or plan_schedule(steps, snaps)
+    # `or` would silently replace an explicitly passed EMPTY schedule (the
+    # thing a validator most needs to reject) with a fresh correct plan
+    schedule = schedule if schedule is not None else plan_schedule(steps, snaps)
     pos = 0
     slots: dict[int, int] = {}
     next_reverse = steps  # we must reverse steps in order steps-1 ... 0

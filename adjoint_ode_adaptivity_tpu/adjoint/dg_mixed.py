@@ -171,6 +171,7 @@ def dg_element_functional_mixed(
 ) -> jnp.ndarray:
     """J = Σ_k ∫_k g(u_h) dt with per-element orders (the mixed-order
     counterpart of :func:`~adjoint_ode_adaptivity_tpu.adjoint.dg_time.dg_element_functional`)."""
+    _check_orders(ns, mops.n_max)
     times = jnp.asarray(times)
     dtype = u.dtype
     ns = jnp.asarray(ns, jnp.int32)

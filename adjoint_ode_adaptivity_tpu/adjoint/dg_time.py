@@ -44,6 +44,7 @@ __all__ = [
     "dg_adjoint_march",
     "dg_element_functional",
     "dg_adjoint_reconstruct",
+    "dg_awr_from_adjoint",
     "continuous_err_contribution",
 ]
 
@@ -210,8 +211,8 @@ def dg_adjoint_reconstruct(
     """Reconstruct a low-order adjoint to order n+1 through left-Radau
     collocation + the known right-endpoint inflow value (adj_rec.m:34-47).
 
-    Returns (K, Np_primal+2) coefficients? No — nodal values of the
-    reconstructed polynomial at the (n+1)-order GL nodes of each element.
+    Returns the (K, Np_primal+1) NODAL values of the reconstructed
+    polynomial at the (n+1)-order GL nodes of each element.
     """
     n = ops_primal.n
     m = n + 1  # reconstruction order
@@ -286,4 +287,8 @@ def continuous_err_contribution(
     jumps = adj_fn(times[:-1]) * (u[:, 0] - u_in)
     if include_jumps == "all":
         return err - jumps
+    if include_jumps != "first":
+        raise ValueError(
+            f"include_jumps must be 'all' or 'first', got {include_jumps!r}"
+        )
     return err.at[0].add(-jumps[0])

@@ -5,7 +5,8 @@ limiting; the reference carries the Hesthaven–Warburton limiter toolkit
 (utils/SlopeLimit*.m) but never invokes it from any driver. Here the
 capability is completed: u_t + (u²/2)_x = 0 discretised with nodal DG and a
 local Lax–Friedrichs numerical flux, marched with LSRK4(5), with the ΠN/Π1
-minmod limiters applied after every step (the standard H-W pattern).
+minmod limiters applied after every RK STAGE (the standard H-W pattern —
+per-stage, not per-step; see ``burgers_march``).
 
 TPU-first: same (Np, K) layout and shift-based neighbour traces as the
 advection march; the limiter is the vectorised mask-based one from
