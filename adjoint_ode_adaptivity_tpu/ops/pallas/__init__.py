@@ -1,6 +1,7 @@
 """Pallas TPU kernels for the DG hot loops."""
 
 import os
+import re
 
 from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
     make_pallas_burgers_march,
@@ -68,8 +69,13 @@ def ensure_scoped_vmem() -> None:
     importing jax is fine). Call this before building any batched/blocked
     kernel outside bench.py."""
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "xla_tpu_scoped_vmem_limit_kib" not in cur:
+    m = re.search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)", cur)
+    if m is None:
         os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + _VMEM_FLAG).strip()
+    elif int(m.group(1)) < 49152:
+        # a stale smaller limit (e.g. round-2's 32768) must not win: the
+        # capacity guards in _vmem.py assume 48 MB
+        os.environ["LIBTPU_INIT_ARGS"] = cur.replace(m.group(0), _VMEM_FLAG)
 
 
 def pick_chunk(n_steps: int, candidates=(64, 32, 16, 8, 4, 2, 1)) -> int:

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from adjoint_ode_adaptivity_tpu.march.lsrk import RK4A, RK4B
 from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+    _is_uniform,
     _masks_blk,
     _shift_m1_b as _shift_m1,
     _shift_m1_blk,
@@ -208,7 +209,7 @@ def _host_tables(disc: Discretization1D, limiter: str):
         (float(disc.lift[ii, 0]), float(disc.lift[ii, 1])) for ii in range(np_)
     )
     rx0 = float(disc.rx[0, 0])
-    if np.allclose(disc.rx, rx0) and np.allclose(disc.fscale, rx0):
+    if _is_uniform(disc, rx0):
         h = float(x[-1, 0] - x[0, 0])
         x0 = float(x[0, 0] + h / 2)
         xi = tuple(float(x[ii, 0] - x0) for ii in range(np_))

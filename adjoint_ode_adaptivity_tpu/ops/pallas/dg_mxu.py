@@ -241,10 +241,14 @@ def make_pallas_fwd_adj_estimate_grid_mxu(
     batched contract — ``u0/lam_end`` (Np, B, K), ``eta`` (B, K) — same
     outputs as ``make_pallas_fwd_adj_estimate_grid_batched`` (tested).
     Built for high orders (Np = 8 fills the sublanes and the volume dot
-    dominates); correct for any Np ≤ 8.
+    dominates); correct for 2 ≤ Np ≤ 8 (the transpose's edge-row
+    concatenate needs distinct first/last rows — Np = 1 would be plain
+    upwind finite volume, which none of the DG pipelines target).
     """
     rx, _ = _check_uniform(disc)
     np_, k, b = disc.np_, disc.k, batch
+    if not 2 <= np_ <= 8:
+        raise ValueError(f"Np={np_} unsupported (need 2 <= Np <= 8)")
     cfg = _MxuCfg(np_, b, k, a, rx, dt, segment, interpret)
     n = b * k
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)

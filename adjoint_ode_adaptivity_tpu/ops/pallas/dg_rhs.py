@@ -71,9 +71,25 @@ class PallasAdvecConfig(NamedTuple):
     geom: tuple = None
 
 
+def _is_uniform(disc: Discretization1D, rx0: float) -> bool:
+    # rtol between the roundoff wobble of uniform-by-construction meshes
+    # and real grading: f64 linspace vertices carry ~K·2^-52 relative
+    # wobble in the element widths (~2e-10 at K=10^6) so 1e-7 accepts
+    # them with margin, while a mesh graded by even 1e-6 must NOT be
+    # silently flattened onto element 0's geometry (allclose's default
+    # 1e-5 rtol did exactly that). Wobble above 1e-7 — e.g. vertices
+    # round-tripped through f32 — is indistinguishable from real fine
+    # grading and correctly takes the geom path (or raises where only
+    # uniform is supported).
+    return bool(
+        np.allclose(disc.rx, rx0, rtol=1e-7, atol=0.0)
+        and np.allclose(disc.fscale, rx0, rtol=1e-7, atol=0.0)
+    )
+
+
 def _check_uniform(disc: Discretization1D) -> tuple[float, float]:
     rx = float(disc.rx[0, 0])
-    if not (np.allclose(disc.rx, rx) and np.allclose(disc.fscale, rx)):
+    if not _is_uniform(disc, rx):
         raise ValueError("pallas DG kernels require a uniform mesh")
     return rx, rx
 
@@ -85,7 +101,7 @@ def _geom_or_uniform(disc: Discretization1D, m: int | None = None):
     ``startup_1d(vx=...)``). ``m``: lane count of the blocked-single
     layout (K/8); None = the batched lane layout ((1, K) rows)."""
     rx0 = float(disc.rx[0, 0])
-    if np.allclose(disc.rx, rx0) and np.allclose(disc.fscale, rx0):
+    if _is_uniform(disc, rx0):
         return rx0, rx0, None
     shape = (1, disc.k) if m is None else (8, m)
     rxv = np.ascontiguousarray(disc.rx[0, :], dtype=np.float32)
@@ -261,6 +277,27 @@ def _forward_kernel(cfg, dr, lift, t0_ref, u_ref, u_out):
     u_out[:] = jax.lax.fori_loop(0, cfg.steps_per_call, one_step, u_ref[:])
 
 
+def _make_fwd_chunk(cfg, dr_host, lift_host, interpret):
+    """One forward-march kernel launch: ``chunk(u, t0) -> u`` advancing
+    ``cfg.steps_per_call`` steps. Shared by the plain march and the
+    chunked fwd+adj pipeline (which launches it once per segment)."""
+
+    def chunk(u, t0):
+        kern = functools.partial(_forward_kernel, cfg, dr_host, lift_host)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), u)
+
+    return chunk
+
+
 def make_pallas_advec_march(
     disc: Discretization1D,
     a: float,
@@ -277,19 +314,8 @@ def make_pallas_advec_march(
     )
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
-
-    def chunk(u, t0):
-        kern = functools.partial(_forward_kernel, cfg, dr_host, lift_host)
-        return pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(jnp.reshape(t0, (1,)), u)
+    chunk = _make_fwd_chunk(cfg, dr_host, lift_host, interpret)
+    steps_per_call = cfg.steps_per_call
 
     def march(u0, t0, n_calls: int):
         def body(u, i):
@@ -422,7 +448,7 @@ def make_pallas_fwd_adj_estimate(
     )
     dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
     lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
-    fwd_chunk_src = make_pallas_advec_march(disc, a, dt, segment, interpret)
+    fwd_chunk = _make_fwd_chunk(cfg, dr_host, lift_host, interpret)
 
     def adj_chunk(lu, eta, ckpt, t0):
         kern = functools.partial(_adj_estimate_kernel, cfg, dr_host, lift_host)
@@ -449,14 +475,12 @@ def make_pallas_fwd_adj_estimate(
             interpret=interpret,
         )(jnp.reshape(t0, (1,)), jnp.asarray(RK_PACKED), ckpt, lu, eta)
 
-    # reuse the forward chunk pallas_call from make_pallas_advec_march via
-    # its closure; we need the per-chunk function, so rebuild it here.
     def run(u0, t0, n_segments: int, lam_end):
         seg_dt = segment * dt
 
         def fwd_body(u, i):
             t = (t0 + i * seg_dt).astype(u0.dtype)
-            u_next = fwd_chunk_src(u, t, 1)
+            u_next = fwd_chunk(u, t)
             return u_next, u  # save the segment-entry state
 
         u_final, ckpts = jax.lax.scan(fwd_body, u0, jnp.arange(n_segments))

@@ -40,7 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 from adjoint_ode_adaptivity_tpu.march.dg_batched import _det, ge_solve_rows
 from adjoint_ode_adaptivity_tpu.march.dg_time import DGTimeOperators
 
-__all__ = ["make_pallas_dg_estimate_ensemble"]
+__all__ = ["make_pallas_dg_estimate_ensemble", "pick_lane_block"]
+
+
+def pick_lane_block(b8: int, block_members: int | None, interpret: bool) -> int:
+    """Lane-block width for a member-blocked ensemble grid: the largest
+    block <= block_members//8 lanes that divides ``b8``. Mosaic lane blocks
+    must be 128-aligned (or the full array); interpret mode has no such
+    constraint. Falls back to one program (blk = b8) when no aligned
+    divisor exists. Shared by the uniform and mixed-order slab factories."""
+    if block_members is None:
+        return b8
+    if block_members < 8 or block_members % 8:
+        raise ValueError(
+            f"block_members={block_members} must be a positive multiple of 8"
+        )
+    cap = min(b8, block_members // 8)
+    if interpret:
+        blk = cap
+        while b8 % blk:
+            blk -= 1
+        return blk
+    blk = (cap // 128) * 128
+    while blk >= 128 and b8 % blk:
+        blk -= 128
+    return blk if blk >= 128 else b8
 
 
 def _cramer(jac, res):
@@ -266,26 +290,7 @@ def make_pallas_dg_estimate_ensemble(
         # members are independent: grid over ensemble blocks keeps the
         # per-program working set (state + outputs) VMEM-resident at ANY
         # B — the reference's 100k-IC scale runs in one launch
-        blk = b8
-        if block_members is not None:
-            if block_members % 8:
-                raise ValueError(
-                    f"block_members={block_members} must be a multiple of 8"
-                )
-            cap = min(b8, block_members // 8)
-            if interpret:
-                blk = cap
-                while b8 % blk:
-                    blk -= 1
-            else:
-                # Mosaic lane blocks must be 128-aligned (or the full
-                # array): largest 128-multiple <= cap dividing b8, else
-                # fall back to one program
-                blk = (cap // 128) * 128
-                while blk >= 128 and b8 % blk:
-                    blk -= 128
-                if blk < 128:
-                    blk = b8
+        blk = pick_lane_block(b8, block_members, interpret)
         n_blocks = b8 // blk
         y0_t = jnp.asarray(y0s, jnp.float32).reshape(8, b8)
         times = jnp.asarray(times, jnp.float32)

@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import MixedAdjointInterp
 from adjoint_ode_adaptivity_tpu.march.dg_batched import ge_solve_rows
 from adjoint_ode_adaptivity_tpu.march.dg_mixed import MixedDGTimeOperators
+from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import pick_lane_block
 
 __all__ = ["make_pallas_dg_estimate_hp_per_member"]
 
@@ -416,6 +417,11 @@ def make_pallas_dg_estimate_hp_per_member(
     if f_u is None:
         def f_u(u, t):  # noqa: F811 - deliberate default
             return jax.jvp(lambda uu: f(uu, t), (u,), (jnp.ones_like(u),))[1]
+    if fine_offset < 1:
+        raise ValueError(
+            f"fine_offset={fine_offset} must be >= 1 (the adjoint runs at "
+            "ns + 1 and needs its tables in the operator stack)"
+        )
     if mops.n_max != n_max_user + fine_offset:
         raise ValueError(
             f"mops stack n_max={mops.n_max} must equal n_max_user + "
@@ -436,23 +442,7 @@ def make_pallas_dg_estimate_hp_per_member(
         if b % 8:
             raise ValueError(f"B={b} must be a multiple of 8")
         b8 = b // 8
-        blk = b8
-        if block_members is not None:
-            if block_members % 8:
-                raise ValueError(
-                    f"block_members={block_members} must be a multiple of 8"
-                )
-            cap = min(b8, block_members // 8)
-            if interpret:
-                blk = cap
-                while b8 % blk:
-                    blk -= 1
-            else:
-                blk = (cap // 128) * 128
-                while blk >= 128 and b8 % blk:
-                    blk -= 128
-                if blk < 128:
-                    blk = b8
+        blk = pick_lane_block(b8, block_members, interpret)
         n_blocks = b8 // blk
         y0_t = jnp.asarray(y0s, jnp.float32).reshape(8, b8)
         times = jnp.asarray(times, jnp.float32)

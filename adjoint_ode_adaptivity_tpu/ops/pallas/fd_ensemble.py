@@ -37,6 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import (
+    STORED_VMEM_LIMIT_BYTES,
+    STORED_VMEM_STACK_FACTOR,
+)
+
 __all__ = ["make_pallas_fd_ensemble", "make_pallas_fd_estimate_per_member"]
 
 
@@ -228,6 +233,34 @@ def _pm_kernel(f, f_u, n_steps, rf, convention, dt_ref, u0_ref, err_out,
         )
 
 
+def _pick_pm_lane_block(width: int) -> int:
+    """Lane-block width for the per-member grid: the largest 128-ALIGNED
+    divisor of ``width`` <= 2560 (Mosaic lane blocks must be
+    128-multiples); no aligned divisor -> the full array, which is always
+    a legal single program."""
+    if width <= 2560:
+        return width
+    return next((d for d in range(2560, 127, -128) if width % d == 0), width)
+
+
+def _check_pm_vmem(n_steps: int, blk: int, interpret: bool) -> None:
+    """Refuse hardware configs whose per-member kernel cannot fit scoped
+    VMEM with an actionable error (interpret mode has no such limit).
+    Live set ≈ dts (n_steps) + tc (n_steps+1) + traj (n_steps+1) + blocks
+    (n_steps) + ~10 temporaries, each an (8, blk) f32 tile; limit and
+    measured stack factor from _vmem (the single source of truth)."""
+    if interpret:
+        return
+    approx = (4 * n_steps + 12) * 8 * blk * 4 * STORED_VMEM_STACK_FACTOR
+    if approx > STORED_VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"n_steps={n_steps} at lane block {blk} would need "
+            f"~{approx / 2**20:.0f} MB of scoped VMEM (limit "
+            f"{STORED_VMEM_LIMIT_BYTES // 2**20} MB); split the march "
+            "into windows or reduce maxit"
+        )
+
+
 def make_pallas_fd_estimate_per_member(
     f: Callable,
     f_u: Callable,
@@ -249,6 +282,9 @@ def make_pallas_fd_estimate_per_member(
     8; the member axis blocks into grid programs above 2560 lanes."""
     if convention not in ("strided", "block"):
         raise ValueError(convention)
+    from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
+
+    ensure_scoped_vmem()  # the unrolled body needs the 48 MB scoped limit
 
     def run(dt_b, u0s):
         (n,) = u0s.shape
@@ -259,13 +295,9 @@ def make_pallas_fd_estimate_per_member(
                 f"per-member dt {dt_b.shape} != (B={n}, n_steps={n_steps})"
             )
         width = n // 8
-        blk = width
-        if width > 2560:
-            for cand in (2560, 2048, 1280, 1024, 640, 512):
-                if width % cand == 0:
-                    blk = cand
-                    break
+        blk = _pick_pm_lane_block(width)
         n_blocks = width // blk
+        _check_pm_vmem(n_steps, blk, interpret)
         u0t = u0s.reshape(8, width)
         # (B, n_steps) -> (n_steps, 8, width): same member->(sublane,
         # lane) map as u0

@@ -117,3 +117,40 @@ class TestMetrics:
         t = StepTimer()
         t.lap()
         assert t.mean >= 0
+
+
+class TestEnsureScopedVmem:
+    """ensure_scoped_vmem must install the 48 MB scoped-VMEM flag and
+    UPGRADE a stale smaller value (e.g. round-2's 32768) — the _vmem.py
+    capacity guards assume the 48 MB limit."""
+
+    def _with_env(self, value):
+        import os
+
+        from adjoint_ode_adaptivity_tpu.ops.pallas import ensure_scoped_vmem
+
+        old = os.environ.get("LIBTPU_INIT_ARGS")
+        try:
+            if value is None:
+                os.environ.pop("LIBTPU_INIT_ARGS", None)
+            else:
+                os.environ["LIBTPU_INIT_ARGS"] = value
+            ensure_scoped_vmem()
+            return os.environ["LIBTPU_INIT_ARGS"]
+        finally:
+            if old is None:
+                os.environ.pop("LIBTPU_INIT_ARGS", None)
+            else:
+                os.environ["LIBTPU_INIT_ARGS"] = old
+
+    def test_sets_when_absent(self):
+        assert "--xla_tpu_scoped_vmem_limit_kib=49152" in self._with_env(None)
+
+    def test_upgrades_stale_smaller_limit(self):
+        got = self._with_env("--foo=1 --xla_tpu_scoped_vmem_limit_kib=32768")
+        assert "--xla_tpu_scoped_vmem_limit_kib=49152" in got
+        assert "32768" not in got and "--foo=1" in got
+
+    def test_keeps_larger_limit(self):
+        got = self._with_env("--xla_tpu_scoped_vmem_limit_kib=65536")
+        assert got == "--xla_tpu_scoped_vmem_limit_kib=65536"

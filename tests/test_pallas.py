@@ -245,6 +245,44 @@ class TestStoredRunVmemGuard:
 
 
 class TestPallasFDEnsemble:
+    def test_pm_lane_block_128_aligned_or_full(self):
+        """Mosaic lane blocks must be 128-multiples (or the full array):
+        widths with no aligned divisor fall back to one program instead of
+        emitting a misaligned BlockSpec."""
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            _pick_pm_lane_block,
+        )
+
+        assert _pick_pm_lane_block(2560) == 2560  # at/below the cap: as-is
+        assert _pick_pm_lane_block(5120) == 2560
+        assert _pick_pm_lane_block(4096) == 2048
+        # 12500 = 2^2·5^5 has no 128-aligned divisor -> full array
+        assert _pick_pm_lane_block(12_500) == 12_500
+        for w in (2561, 3000, 7680):
+            blk = _pick_pm_lane_block(w)
+            assert w % blk == 0 and (blk % 128 == 0 or blk == w)
+
+    def test_pm_vmem_guard_hardware_only(self):
+        """The scoped-VMEM capacity guard is a hardware constraint: deep
+        interpret-mode (CPU) studies must not be refused by it, and the
+        hardware threshold derives from _vmem's limit and stack factor."""
+        from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import (
+            STORED_VMEM_LIMIT_BYTES,
+            STORED_VMEM_STACK_FACTOR,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            _check_pm_vmem,
+        )
+
+        # (4·1200+12)·8·2560·4 ≈ 376 MB raw: over any plausible limit
+        _check_pm_vmem(1200, 2560, interpret=True)  # no raise
+        with pytest.raises(ValueError, match="scoped VMEM"):
+            _check_pm_vmem(1200, 2560, interpret=False)
+        # just-fits config on hardware: raw·factor at 99% of the limit
+        n_ok = int(STORED_VMEM_LIMIT_BYTES * 0.99
+                   / (STORED_VMEM_STACK_FACTOR * 8 * 2560 * 4) - 12) // 4
+        _check_pm_vmem(n_ok, 2560, interpret=False)  # no raise
+
     def test_matches_xla_ensemble_pipeline(self):
         from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
             make_pallas_fd_ensemble,

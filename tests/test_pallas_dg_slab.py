@@ -130,6 +130,21 @@ class TestDGSlabKernel:
                 dg_time_operators(8), dg_time_operators(9), F, F_U, 4
             )
 
+    def test_pick_lane_block(self):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.dg_slab import (
+            pick_lane_block,
+        )
+
+        assert pick_lane_block(512, None, False) == 512
+        # interpret mode: any divisor <= cap
+        assert pick_lane_block(12, 48, True) == 6
+        # hardware: 128-aligned divisor, else the full array
+        assert pick_lane_block(1024, 2048, False) == 256
+        assert pick_lane_block(100, 256, False) == 100
+        for bad in (0, -8, 4, 12):
+            with pytest.raises(ValueError, match="positive multiple of 8"):
+                pick_lane_block(512, bad, True)
+
     def test_per_member_times_matches_xla(self):
         # (B, K+1) per-member partitions as (8, B/8) geometry tiles —
         # random interior nodes per member plus a zero-width tail slab
