@@ -31,14 +31,19 @@ __all__ = [
     "native_available",
 ]
 
-_LIB_PATHS = [
-    Path(__file__).resolve().parents[2] / "native" / "librevolve.so",
-]
+def _lib_candidates():
+    """Native-planner search order: the repo checkout's ``native/`` build
+    (make -C native), then the in-package ``_native`` dir where a pip
+    install's setup.py places the (ABI-suffixed) shared object."""
+    here = Path(__file__).resolve()
+    cands = [here.parents[2] / "native" / "librevolve.so"]
+    cands += sorted((here.parents[1] / "_native").glob("librevolve*.so"))
+    return cands
 
 
 @lru_cache(maxsize=1)
 def _load_native():
-    for p in _LIB_PATHS:
+    for p in _lib_candidates():
         if p.exists():
             try:
                 lib = ctypes.CDLL(str(p))

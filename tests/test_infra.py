@@ -154,3 +154,19 @@ class TestEnsureScopedVmem:
     def test_keeps_larger_limit(self):
         got = self._with_env("--xla_tpu_scoped_vmem_limit_kib=65536")
         assert got == "--xla_tpu_scoped_vmem_limit_kib=65536"
+
+
+def test_native_lib_search_includes_package_dir():
+    """pip installs place the compiled planner inside the package
+    (setup.py -> _native/librevolve*.so); the ctypes loader must search
+    there after the repo checkout's native/ build."""
+    from pathlib import Path
+
+    cands = ck._lib_candidates()
+    assert cands, "no candidates"
+    assert cands[0].name == "librevolve.so" and cands[0].parent.name == "native"
+    pkg_native = Path(ck.__file__).resolve().parents[1] / "_native"
+    assert all(
+        c.parent == pkg_native and c.name.startswith("librevolve")
+        for c in cands[1:]
+    )
