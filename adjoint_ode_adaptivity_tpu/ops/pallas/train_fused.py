@@ -1,0 +1,250 @@
+"""Fused training-epoch kernel for per-step ResBlockSimple nets.
+
+The L4 (train-through-the-solver) axis in one Pallas launch: the S-step
+forward-Euler march ``u_{n+1} = u_n + dt_n · Σ_i w2_i · relu(w1_i·(u_n −
+b_i))`` (models/blocks.py ResBlockSimple, scalar state d=1 — the
+reference's trained configuration, python/models.py:38-65), the terminal
+mean-squared error against targets, AND the hand-derived reverse sweep
+producing the full parameter gradient — all inside the kernel, so the
+(F × B) activation sheets never touch HBM. The XLA path
+(train/loop.make_per_step_train_step: vmap ∘ value_and_grad ∘ scan)
+re-materializes each step's (F, B) intermediates through HBM; at the
+bench configuration (S=10, F=500, B=8192) that is ~40 MB of traffic per
+direction per step, which is exactly what this kernel deletes. The adam
+update stays outside in optax — the kernel returns (loss, grads) with the
+same semantics as value_and_grad of the XLA loss (pinned in
+tests/test_pallas_train.py).
+
+Layout (Mosaic-friendly by construction):
+- members ride the LANES: each grid program owns a (1, L) member block
+  of ``u0``/``true``/``weight`` (L = the largest 128-multiple <= 8192
+  dividing B — at the bench size one program owns the whole batch); the
+  trajectory it stores for the reverse sweep is (S+1, 1, L) — a few
+  hundred KB of VMEM at most.
+- neurons ride 8-SUBLANE chunks: each parameter is packed host-side as
+  (S·C, 8, 1) with C = ceil(F/8) (zero-padded — a zero neuron is exactly
+  inert through relu in both passes), so every per-(step, chunk) access
+  is a LEADING-dim dynamic index — the one fully unconstrained dynamic
+  index in Mosaic (last-two-dims tiling untouched); the (8, 1) column
+  broadcasts over the member lanes and the outer product (neuron ×
+  member) is a single (8, 128) vreg op.
+- gradients accumulate in the (S·C, 8, 1) packing across the SEQUENTIAL
+  member-block grid (every program maps to the same output block;
+  program 0 initializes), then unpack to the flax pytree in XLA.
+
+Backward (relu': 1[s > 0], matching jax.grad's relu(0) → 0 convention):
+with ``g = dL/du_{n+1}``, ``s_i = w1_i (u_n − b_i)``, ``a_i = relu(s_i)``:
+  dL/dw2_i += Σ_m g·dt·a_i
+  dL/dw1_i += Σ_m g·dt·w2_i·1[s_i>0]·(u_n − b_i)
+  dL/db_i  −= Σ_m g·dt·w2_i·1[s_i>0]·w1_i
+  dL/du_n   = g·(1 + dt·Σ_i w2_i·w1_i·1[s_i>0])
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_pallas_resblock_epoch_grad", "pack_params", "unpack_grads"]
+
+
+def _pick_lanes(b: int, cap: int = 8192) -> int:
+    """Member-block lane width: the largest 128-multiple <= cap dividing
+    B. Wider blocks amortize the per-chunk loop and param-load overhead —
+    measured on the v5e at S=10/F=500/B=8192: 128 lanes 11.1 ms/epoch,
+    1024 → 1.44 ms, 8192 (one program) → 0.47 ms; the (8, L) working set
+    stays a few hundred KB of VMEM even at the 8192 cap."""
+    return next(d for d in range(cap, 127, -128) if b % d == 0)
+
+
+def pack_params(params: Any, n_steps: int, features: int) -> jnp.ndarray:
+    """Flax ResBlockSimple stacked params → one (3, S·C, 8, 1) f32 array
+    (order: bias, weights1, weights2), C = ceil(F/8), zero-padded. Pure
+    XLA reshapes — runs per epoch between adam updates at negligible cost.
+    """
+    c = -(-features // 8)
+    pad = c * 8 - features
+
+    def one(x):  # (S, F) -> (S*C, 8, 1)
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        return x.reshape(n_steps * c, 8, 1)
+
+    b = params["bias"].reshape(n_steps, features)
+    w1 = params["weights1"].reshape(n_steps, features)
+    w2 = params["weights2"].reshape(n_steps, features)
+    return jnp.stack([one(b), one(w1), one(w2)])
+
+
+def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int) -> dict:
+    """(3, S·C, 8, 1) gradient accumulators → the flax param-dict pytree
+    (bias/weights1 as (S, F, 1), weights2 as (S, 1, F))."""
+    c = -(-features // 8)
+    flat = packed.reshape(3, n_steps, c * 8)[:, :, :features]
+    return {
+        "bias": flat[0][:, :, None],
+        "weights1": flat[1][:, :, None],
+        "weights2": flat[2][:, None, :],
+    }
+
+
+def _epoch_kernel(n_steps, c, b_total, dt_ref, p_ref, u0_ref, true_ref,
+                  w_ref, loss_ref, gp_ref, traj):
+    """One member-block program: forward march (trajectory to scratch),
+    terminal loss contribution, reverse sweep accumulating packed grads."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        loss_ref[:] = jnp.zeros_like(loss_ref)
+        gp_ref[:] = jnp.zeros_like(gp_ref)
+
+    u = u0_ref[:]  # (1, LANES)
+    traj[0] = u
+
+    def fwd_step(n, u):
+        # (8, L) partial accumulator: ONE sublane reduction per step
+        # instead of one per chunk
+        def chunk(cc, acc8):
+            col = n * c + cc
+            b_col = p_ref[0, col]  # (8, 1)
+            w1_col = p_ref[1, col]
+            w2_col = p_ref[2, col]
+            s = w1_col * (u - b_col)  # (8, LANES) outer product
+            return acc8 + w2_col * jnp.maximum(s, 0.0)
+
+        acc8 = jax.lax.fori_loop(
+            0, c, chunk, jnp.zeros((8, u.shape[1]), u.dtype)
+        )
+        u_next = u + dt_ref[n] * jnp.sum(acc8, axis=0, keepdims=True)
+        traj[n + 1] = u_next
+        return u_next
+
+    u_fin = jax.lax.fori_loop(0, n_steps, fwd_step, u)
+
+    w = w_ref[:]
+    e = (u_fin - true_ref[:]) * w
+    loss_ref[:] += e * e / b_total  # (1, LANES) partial, summed in XLA
+    g = 2.0 * e / b_total  # dL/du_N (weight is 0/1 so e carries it)
+
+    def bwd_step(i, g):
+        n = n_steps - 1 - i
+        u_n = traj[n]
+        dt_n = dt_ref[n]
+        gdt = g * dt_n  # (1, LANES)
+
+        def chunk(cc, du8):
+            col = n * c + cc
+            b_col = p_ref[0, col]
+            w1_col = p_ref[1, col]
+            w2_col = p_ref[2, col]
+            s = w1_col * (u_n - b_col)
+            mask = (s > 0.0).astype(s.dtype)
+            a = s * mask  # == relu(s)
+            ds = gdt * (w2_col * mask)  # (8, LANES): dL/ds_i per member
+            # w1/b are lane-constant per chunk, so the gw1/gb reductions
+            # reuse Σds: gw1 = Σ(ds·u) − b·Σds, gb = −w1·Σds
+            s_ds = jnp.sum(ds, axis=1, keepdims=True)
+            gp_ref[2, col] += jnp.sum(gdt * a, axis=1, keepdims=True)
+            gp_ref[1, col] += (
+                jnp.sum(ds * u_n, axis=1, keepdims=True) - b_col * s_ds
+            )
+            gp_ref[0, col] += -w1_col * s_ds
+            return du8 + ds * w1_col
+
+        du8 = jax.lax.fori_loop(
+            0, c, chunk, jnp.zeros((8, g.shape[1]), g.dtype)
+        )
+        return g + jnp.sum(du8, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_steps, bwd_step, g)
+
+
+def make_pallas_resblock_epoch_grad(
+    n_steps: int,
+    features: int,
+    interpret: bool = False,
+    max_lanes: int = 8192,
+):
+    """Returns ``run(params, dt, u0s, trues, weights=None) -> (loss,
+    grads)`` — value_and_grad of the terminal-MSE epoch loss for a
+    per-step ResBlockSimple net, as ONE kernel launch.
+
+    ``params``: the stacked flax pytree ({'bias': (S, F, 1), 'weights1':
+    (S, F, 1), 'weights2': (S, 1, F)}). ``u0s``/``trues``: (B,) member
+    ICs and terminal targets, B a multiple of 128 (pad with
+    ``weights=0`` members otherwise). ``weights``: optional (B,) 0/1
+    member mask; the loss is Σ w·e² / Σ w (mean over live members).
+    Gradients match ``jax.grad`` of the XLA loss (relu'(0) = 0
+    convention included) at f32 roundoff — tests/test_pallas_train.py.
+    """
+    c = -(-features // 8)
+
+    def run(params, dt, u0s, trues, weights=None):
+        (b,) = u0s.shape
+        if b % 128:
+            raise ValueError(f"B={b} must be a multiple of 128")
+        lanes = _pick_lanes(b, max_lanes)
+        n_blocks = b // lanes
+        if weights is None:
+            weights = jnp.ones((b,), jnp.float32)
+            b_live = float(b)
+            b_live_arr = None
+        else:
+            b_live_arr = jnp.sum(weights)
+            b_live = 1.0  # divide by Σw after the kernel
+        packed = pack_params(params, n_steps, features)
+        dt = jnp.asarray(dt, jnp.float32)
+        kern = functools.partial(
+            _epoch_kernel, n_steps, c, b_live if b_live_arr is None else 1.0
+        )
+        loss_rows, gp = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((3, n_steps * c, 8, 1), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, n_steps * c, 8, 1), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, lanes), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_steps * c, 8, 1),
+                             lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_steps + 1, 1, lanes), jnp.float32)
+            ],
+            interpret=interpret,
+        )(
+            dt,
+            packed,
+            jnp.reshape(u0s.astype(jnp.float32), (1, b)),
+            jnp.reshape(trues.astype(jnp.float32), (1, b)),
+            jnp.reshape(weights.astype(jnp.float32), (1, b)),
+        )
+        loss = jnp.sum(loss_rows)
+        grads = unpack_grads(gp, n_steps, features)
+        if b_live_arr is not None:
+            loss = loss / b_live_arr
+            grads = jax.tree_util.tree_map(
+                lambda x: x / b_live_arr, grads
+            )
+        return loss, grads
+
+    return run

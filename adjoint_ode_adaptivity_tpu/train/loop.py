@@ -37,6 +37,7 @@ __all__ = [
     "create_train_state",
     "make_shared_train_step",
     "make_per_step_train_step",
+    "make_per_step_train_step_fused",
     "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
     "evaluate",
@@ -101,6 +102,38 @@ def make_per_step_train_step(net, tx: optax.GradientTransformation):
             return jnp.mean(losses)
 
         loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_per_step_train_step_fused(
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    features: int,
+    interpret: bool = False,
+):
+    """``make_per_step_train_step`` for ResBlockSimple with the epoch's
+    value_and_grad fused into ONE Pallas launch
+    (ops.pallas.train_fused — forward march, terminal MSE, and the
+    hand-derived reverse sweep all in VMEM; the (F × B) activation
+    sheets never touch HBM). Same (state, dt, u0_batch, true_batch) →
+    (state, loss) contract and the same gradients as the XLA step at f32
+    roundoff (tests/test_pallas_train.py); adam stays in optax. B must
+    be a multiple of 128."""
+    from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
+        make_pallas_resblock_epoch_grad,
+    )
+
+    grad_fn = make_pallas_resblock_epoch_grad(
+        n_steps, features, interpret=interpret
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, dt, u0_batch, true_batch):
+        loss, grads = grad_fn(state.params, dt, u0_batch, true_batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

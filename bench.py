@@ -796,6 +796,42 @@ def main():
         t_elapsed, _ = chained_slope(mk_train, t_u0, k_hi=128)
         train_rate = 1.0 / t_elapsed
 
+    # ---- same epoch with the FUSED Pallas training kernel
+    # (ops/pallas/train_fused.py: forward march + terminal MSE + the
+    # hand-derived reverse sweep in ONE launch — the (F × B) activation
+    # sheets never leave VMEM; adam stays in optax). Same adam trajectory
+    # as the XLA step (tests/test_pallas_train.py).
+    train_rate_pallas = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_per_step_train_step_fused,
+        )
+
+        t_step_f = make_per_step_train_step_fused(t_tx, t_steps, 500)
+
+        def mk_train_fused(k_epochs):
+            @jax.jit
+            def g(u0b):
+                def body(st, _):
+                    st, loss = t_step_f(st, t_dt, u0b, t_true)
+                    return st, loss
+
+                st, losses = jax.lax.scan(
+                    body, t_state0, None, length=k_epochs
+                )
+                live = sum(
+                    jnp.sum(leaf)
+                    for leaf in jax.tree_util.tree_leaves(st.params)
+                )
+                return losses[-1] + 1e-20 * live
+            return g
+
+        try:
+            tf_elapsed, _ = chained_slope(mk_train_fused, t_u0, k_hi=128)
+            train_rate_pallas = 1.0 / tf_elapsed
+        except Exception:  # noqa: BLE001 - keep bench alive on regress
+            train_rate_pallas = None
+
     # ---- K-envelope rows (BASELINE.md): the resident blocked-single
     # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
     # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
@@ -913,6 +949,7 @@ def main():
                 "dg_slab_100k_solves_per_sec": dg100k_rate,
                 "dg_slab_100k_batch": dg100k_b,
                 "train_epochs_per_sec_w500_b8192": train_rate,
+                "train_epochs_per_sec_w500_b8192_pallas": train_rate_pallas,
                 "fd_adaptive_pm_fused_wall_s": None
                 if fd_pm_wall is None else round(fd_pm_wall, 4),
                 "fd_adaptive_pm_per_study_ms": None

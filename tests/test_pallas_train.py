@@ -1,0 +1,140 @@
+"""Fused training-epoch kernel (ops/pallas/train_fused.py) vs the XLA
+value_and_grad path (interpret mode on CPU; the smoke gate runs the same
+kernel on hardware)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from adjoint_ode_adaptivity_tpu.models.blocks import ResBlockSimple
+from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
+    make_pallas_resblock_epoch_grad,
+    pack_params,
+    unpack_grads,
+)
+from adjoint_ode_adaptivity_tpu.train.loop import (
+    create_train_state,
+    make_per_step_train_step,
+    make_per_step_train_step_fused,
+)
+
+S, F, B = 6, 37, 256  # odd F exercises the zero-padded neuron chunks
+
+
+def _setup(seed=0, f=F):
+    net = ResBlockSimple(features=f)
+    key = jax.random.PRNGKey(seed)
+    p1 = net.init(key, jnp.ones(1), 0.0, 0.1)["params"]
+    params = jax.tree_util.tree_map(
+        lambda l: jnp.stack([l] * S).astype(jnp.float32), p1
+    )
+    # perturb per-step so steps are distinguishable
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    leaves = [
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    dt = jnp.asarray(
+        np.random.default_rng(seed).uniform(0.05, 0.15, S), jnp.float32
+    )
+    u0s = jnp.asarray(
+        np.random.default_rng(seed + 2).uniform(-2, 2, B), jnp.float32
+    )
+    trues = jnp.sin(u0s) + 0.3
+    return net, params, dt, u0s, trues
+
+
+def _xla_value_and_grad(net, params, dt, u0s, trues):
+    from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+    from adjoint_ode_adaptivity_tpu.train.losses import terminal_mse
+
+    def step(u, t, d, p):
+        return net.apply({"params": p}, u, t, d)
+
+    def batch_loss(p):
+        def one(u0, true):
+            u = forward_march_per_step(step, jnp.atleast_1d(u0), dt, p)
+            return terminal_mse(u, true)
+
+        return jnp.mean(jax.vmap(one)(u0s, trues))
+
+    return jax.value_and_grad(batch_loss)(params)
+
+
+class TestFusedEpochGrad:
+    def test_matches_xla_value_and_grad(self):
+        net, params, dt, u0s, trues = _setup()
+        want_loss, want_grads = _xla_value_and_grad(
+            net, params, dt, u0s, trues
+        )
+        run = make_pallas_resblock_epoch_grad(S, F, interpret=True)
+        loss, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
+        for k in ("bias", "weights1", "weights2"):
+            np.testing.assert_allclose(
+                grads[k], want_grads[k], rtol=2e-5, atol=1e-7, err_msg=k
+            )
+
+    def test_multi_program_grid_accumulation(self):
+        # max_lanes=128 forces 2 member-block programs at B=256; grads
+        # must equal the single-pass XLA result (the sequential grid
+        # accumulates into the shared output block)
+        net, params, dt, u0s, trues = _setup(seed=3)
+        _, want_grads = _xla_value_and_grad(net, params, dt, u0s, trues)
+        run = make_pallas_resblock_epoch_grad(
+            S, F, interpret=True, max_lanes=128
+        )
+        _, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(
+            grads["weights2"], want_grads["weights2"], rtol=2e-5, atol=1e-7
+        )
+
+    def test_member_weights_exclude_padding(self):
+        # a zero-weight member must contribute nothing: weighted run over
+        # B members with the tail masked == plain run over the live head
+        net, params, dt, u0s, trues = _setup(seed=5)
+        n_live = 128
+        w = jnp.asarray(np.arange(B) < n_live, jnp.float32)
+        run = make_pallas_resblock_epoch_grad(S, F, interpret=True)
+        loss_w, grads_w = run(params, dt, u0s, trues, weights=w)
+        loss_h, grads_h = run(params, dt, u0s[:n_live], trues[:n_live])
+        np.testing.assert_allclose(loss_w, loss_h, rtol=1e-6)
+        np.testing.assert_allclose(
+            grads_w["bias"], grads_h["bias"], rtol=1e-5, atol=1e-8
+        )
+
+    def test_pack_unpack_round_trip(self):
+        _, params, _, _, _ = _setup(seed=7)
+        packed = pack_params(params, S, F)
+        assert packed.shape == (3, S * (-(-F // 8)), 8, 1)
+        back = unpack_grads(packed, S, F)
+        for k in ("bias", "weights1", "weights2"):
+            np.testing.assert_array_equal(back[k], params[k])
+
+    def test_b_not_multiple_of_lanes_raises(self):
+        _, params, dt, u0s, trues = _setup()
+        run = make_pallas_resblock_epoch_grad(S, F, interpret=True)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            run(params, dt, u0s[:100], trues[:100])
+
+
+class TestFusedTrainStep:
+    def test_adam_trajectory_matches_xla_step(self):
+        net, params, dt, u0s, trues = _setup(seed=9)
+        tx = optax.adam(1e-3)
+        st_x = create_train_state(params, tx)
+        st_p = create_train_state(params, tx)
+        step_x = make_per_step_train_step(net, tx)
+        step_p = make_per_step_train_step_fused(tx, S, F, interpret=True)
+        for _ in range(3):
+            st_x, loss_x = step_x(st_x, dt, u0s, trues)
+            st_p, loss_p = step_p(st_p, dt, u0s, trues)
+            np.testing.assert_allclose(loss_p, loss_x, rtol=2e-6)
+        for lx, lp in zip(
+            jax.tree_util.tree_leaves(st_x.params),
+            jax.tree_util.tree_leaves(st_p.params),
+        ):
+            np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-6)

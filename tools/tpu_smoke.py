@@ -607,6 +607,65 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("sharded_tiled_grid_1dev_mesh_N2_K10k", e)
 
+    # 19. fused training-epoch kernel (forward march + terminal MSE +
+    # hand-derived reverse sweep in one launch) vs XLA value_and_grad at
+    # the bench shape family (S=10, F=500, B=1024 here)
+    try:
+        import optax  # noqa: F401 - presence check only
+
+        from adjoint_ode_adaptivity_tpu.models.blocks import ResBlockSimple
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
+            make_pallas_resblock_epoch_grad,
+        )
+
+        s_tr, f_tr, b_tr = 10, 500, 1024
+        net_tr = ResBlockSimple(features=f_tr)
+        p1_tr = net_tr.init(
+            jax.random.PRNGKey(7), jnp.ones(1), 0.0, 0.1
+        )["params"]
+        p_tr = jax.tree_util.tree_map(
+            lambda l: jnp.stack([l] * s_tr), p1_tr
+        )
+        dt_tr = jnp.full((s_tr,), 0.1, jnp.float32)
+        u0_tr = jnp.asarray(
+            np.random.default_rng(13).uniform(0.5, 2.0, b_tr), jnp.float32
+        )
+        true_tr = jnp.sin(u0_tr) + 0.3
+
+        def _step_tr(u, t, d, p):
+            return net_tr.apply({"params": p}, u, t, d)
+
+        def _loss_tr(p):
+            def one(u0, tv):
+                u = forward_march_per_step(
+                    _step_tr, jnp.atleast_1d(u0), dt_tr, p
+                )
+                return jnp.squeeze(
+                    jnp.square(jnp.squeeze(u[-1]) - tv)
+                )
+
+            return jnp.mean(jax.vmap(one)(u0_tr, true_tr))
+
+        want_l, want_g = jax.jit(jax.value_and_grad(_loss_tr))(p_tr)
+        run_tr = make_pallas_resblock_epoch_grad(s_tr, f_tr, interpret=interp)
+        got_l, got_g = jax.jit(
+            lambda p: run_tr(p, dt_tr, u0_tr, true_tr)
+        )(p_tr)
+        jax.block_until_ready(got_l)
+        flat_w = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(want_g)]
+            + [jnp.reshape(want_l, (1,))]
+        )
+        flat_g = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(got_g)]
+            + [jnp.reshape(got_l, (1,))]
+        )
+        check("train_fused_epoch_grad_S10_F500_B1024", flat_g, flat_w,
+              5e-4, 1e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("train_fused_epoch_grad_S10_F500_B1024", e)
+
     ok = all(r["ok"] for r in RESULTS)
     print(
         json.dumps(
