@@ -114,6 +114,8 @@ def make_per_step_train_step_fused(
     n_steps: int,
     features: int,
     interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """``make_per_step_train_step`` for ResBlockSimple with the epoch's
     value_and_grad fused into ONE Pallas launch
@@ -122,7 +124,16 @@ def make_per_step_train_step_fused(
     sheets never touch HBM). Same (state, dt, u0_batch, true_batch) →
     (state, loss) contract and the same gradients as the XLA step at f32
     roundoff (tests/test_pallas_train.py); adam stays in optax. B must
-    be a multiple of 128."""
+    be a multiple of 128 (per shard, under ``mesh``). Zero-``dt``
+    (padding) steps are exact identities with exactly-zero gradients, so
+    the padded adaptive trainer composes unchanged.
+
+    With ``mesh``, members shard over ``mesh_axis`` (dp): each device
+    runs the fused kernel on its member shard, loss and gradients reduce
+    with ``psum`` (shards are equal-sized, so the global batch mean is
+    the mean of shard means), and the adam update is computed
+    replicated — no host gather.
+    """
     from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
         make_pallas_resblock_epoch_grad,
     )
@@ -131,9 +142,32 @@ def make_per_step_train_step_fused(
         n_steps, features, interpret=interpret
     )
 
+    if mesh is None:
+        value_and_grad = grad_fn
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d = mesh.shape[mesh_axis]
+
+        def local(params, dt, u0l, truel):
+            loss, grads = grad_fn(params, dt, u0l, truel)
+            loss = jax.lax.psum(loss, mesh_axis) / d
+            grads = jax.lax.psum(grads, mesh_axis)
+            grads = jax.tree_util.tree_map(lambda x: x / d, grads)
+            return loss, grads
+
+        def value_and_grad(params, dt, u0b, trueb):
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(mesh_axis), P(mesh_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, dt, u0b, trueb)
+
     @jax.jit
     def train_step(state: TrainState, dt, u0_batch, true_batch):
-        loss, grads = grad_fn(state.params, dt, u0_batch, true_batch)
+        loss, grads = value_and_grad(state.params, dt, u0_batch, true_batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

@@ -138,3 +138,71 @@ class TestFusedTrainStep:
             jax.tree_util.tree_leaves(st_p.params),
         ):
             np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-6)
+
+
+class TestFusedCompositions:
+    def test_dp_mesh_matches_unsharded(self):
+        # members shard over the 8-device CPU mesh; loss and the adam
+        # trajectory must match the unsharded fused step
+        from jax.sharding import Mesh
+
+        net, params, dt, u0s, trues = _setup(seed=11)
+        u0b = jnp.tile(u0s, 4)  # B=1024 -> 128 members/device
+        trueb = jnp.tile(trues, 4)
+        tx = optax.adam(1e-3)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        step_1 = make_per_step_train_step_fused(tx, S, F, interpret=True)
+        step_d = make_per_step_train_step_fused(
+            tx, S, F, interpret=True, mesh=mesh
+        )
+        st_1 = create_train_state(params, tx)
+        st_d = create_train_state(params, tx)
+        for _ in range(2):
+            st_1, loss_1 = step_1(st_1, dt, u0b, trueb)
+            st_d, loss_d = step_d(st_d, dt, u0b, trueb)
+            np.testing.assert_allclose(loss_d, loss_1, rtol=1e-6)
+        for l1, ld in zip(
+            jax.tree_util.tree_leaves(st_1.params),
+            jax.tree_util.tree_leaves(st_d.params),
+        ):
+            np.testing.assert_allclose(ld, l1, rtol=1e-4, atol=1e-7)
+
+    def test_padded_adaptive_trainer_pallas_engine(self):
+        # the padded adaptive trainer with the fused kernel: padded
+        # zero-dt steps stay inert, refinement decisions and losses
+        # match the XLA engine
+        from adjoint_ode_adaptivity_tpu.train.adaptive import (
+            make_padded_adaptive_trainer,
+        )
+
+        net = ResBlockSimple(features=16)
+        p1 = net.init(jax.random.PRNGKey(2), jnp.ones(1), 0.0, 0.1)["params"]
+        tx = optax.adam(1e-3)
+        u0s = jnp.asarray(
+            np.random.default_rng(4).uniform(-2, 2, 128), jnp.float32
+        )
+        trues = jnp.sin(u0s) + 0.3
+        times0 = jnp.linspace(0.0, 1.0, 4, dtype=jnp.float32)
+        results = {}
+        for eng in ("xla", "pallas"):
+            init, tstep, refine = make_padded_adaptive_trainer(
+                net, tx, max_depth=8, train_engine=eng, interpret=True
+            )
+            st = init(p1, times0)
+            losses = []
+            for _ in range(3):
+                st, loss = tstep(st, u0s, trues)
+                losses.append(float(loss))
+            st, err_steps, err_total = refine(st, u0s[:32], trues[:32])
+            results[eng] = (losses, np.asarray(st.times),
+                            int(st.n_active), float(err_total))
+        np.testing.assert_allclose(
+            results["pallas"][0], results["xla"][0], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            results["pallas"][1], results["xla"][1], atol=1e-6
+        )
+        assert results["pallas"][2] == results["xla"][2]
+        np.testing.assert_allclose(
+            results["pallas"][3], results["xla"][3], rtol=2e-4
+        )
