@@ -98,6 +98,12 @@ def main(argv=None):
                         ":487-500): refine depth when the relative loss "
                         "improvement over the epoch window falls below this; "
                         "0 forces width growth")
+    p.add_argument("--train-engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="pallas = the fused training-epoch kernel "
+                        "(ops.pallas.train_fused; per-step ResBlockSimple "
+                        "methods with n-train a multiple of 128). auto = "
+                        "pallas on TPU when eligible, else xla")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -182,6 +188,7 @@ def main(argv=None):
 
     use_mixed = args.method == "new_loss"
     use_shared = args.method == "recurrent"
+    use_fused = False
     if use_mixed:
         t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
         traj_train = rk4_truth(
@@ -201,7 +208,26 @@ def main(argv=None):
 
         train_step = make_per_step_masked_train_step(net, tx)
     else:
-        train_step = make_per_step_train_step(net, tx)
+        # plain per-step ResBlockSimple: eligible for the fused kernel
+        use_fused = args.train_engine == "pallas" or (
+            args.train_engine == "auto"
+            and jax.default_backend() == "tpu"
+            and args.n_train % 128 == 0
+        )
+        if use_fused:
+            from adjoint_ode_adaptivity_tpu.train import (
+                make_per_step_train_step_fused,
+            )
+
+            def _mk_step(s):
+                return make_per_step_train_step_fused(
+                    tx, s, args.width,
+                    interpret=jax.default_backend() != "tpu",
+                )
+
+            train_step = _mk_step(n_steps)
+        else:
+            train_step = make_per_step_train_step(net, tx)
 
     ep_total = 0
     min_loss = jnp.asarray(1e10)
@@ -273,6 +299,8 @@ def main(argv=None):
                     )
 
                     train_step = _mk_shared(net, tx, dt)
+                elif use_fused:
+                    train_step = _mk_step(n_steps)
                 print(f"resumed from checkpoint step {last} (outer it {it})")
             except Exception as e:
                 print(f"resume failed ({type(e).__name__}: {e}); starting fresh")
@@ -351,6 +379,9 @@ def main(argv=None):
 
                 train_step = make_shared_train_step(net, tx, dt)
             else:
+                if use_fused:
+                    # the fused kernel bakes n_steps; rebuild per insertion
+                    train_step = _mk_step(n_steps + 1)
                 mode = "noise" if args.method == "variable_params" else "copy_left"
                 new_params = models.insert_step_params(
                     state.params, idx, mode=mode, key=jrand.PRNGKey(len(t))

@@ -13,6 +13,7 @@ from adjoint_ode_adaptivity_tpu.train.loop import (
     make_mixed_loss_train_step,
     make_per_step_masked_train_step,
     make_per_step_train_step,
+    make_per_step_train_step_fused,
     make_shared_train_step,
 )
 from adjoint_ode_adaptivity_tpu.train.losses import (
@@ -30,6 +31,7 @@ __all__ = [
     "create_train_state",
     "make_shared_train_step",
     "make_per_step_train_step",
+    "make_per_step_train_step_fused",
     "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
     "evaluate",

@@ -151,6 +151,27 @@ class TestTrainDriver:
         out = capsys.readouterr().out
         assert "outer it 0" in out
 
+    def test_fused_engine_matches_xla(self, tmp_path, monkeypatch, capsys):
+        """--train-engine pallas (the fused epoch kernel, interpret mode
+        on CPU) reproduces the XLA engine's losses and refinement,
+        including the rebuild after a depth insertion."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        outs = {}
+        for eng in ("xla", "pallas"):
+            _, t = main([
+                "--method", "variable_params", "--epochs", "3",
+                "--maxit", "1", "--n-train", "128", "--n-test", "4",
+                "--width", "4", "--quiet", "--seed", "2",
+                "--train-engine", eng,
+            ])
+            outs[eng] = (np.asarray(t), capsys.readouterr().out)
+        np.testing.assert_allclose(
+            outs["pallas"][0], outs["xla"][0], atol=1e-6
+        )
+        assert "outer it 1" in outs["pallas"][1]
+
 
 class TestDGEnsembleDriverMode:
     def test_ensemble_mode_smoke(self, capsys):
