@@ -104,6 +104,11 @@ def main(argv=None):
                         "(ops.pallas.train_fused; per-step ResBlockSimple "
                         "methods with n-train a multiple of 128). auto = "
                         "pallas on TPU when eligible, else xla")
+    p.add_argument("--dp", action="store_true",
+                   help="shard the training ensemble over all devices "
+                        "(fused engine only: per-device fused epoch "
+                        "kernels, psum-reduced gradients; n-train must "
+                        "give each device a multiple of 128)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
@@ -189,6 +194,11 @@ def main(argv=None):
     use_mixed = args.method == "new_loss"
     use_shared = args.method == "recurrent"
     use_fused = False
+    if args.dp and (use_mixed or use_shared or use_masked):
+        raise SystemExit(
+            "--dp is only supported with the per-step fused engine "
+            "(methods variable_params/detect)"
+        )
     if use_mixed:
         t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
         traj_train = rk4_truth(
@@ -219,13 +229,31 @@ def main(argv=None):
                 make_per_step_train_step_fused,
             )
 
+            dp_mesh = None
+            if args.dp:
+                from jax.sharding import Mesh
+
+                devs = jax.devices()
+                if args.n_train % (128 * len(devs)):
+                    raise SystemExit(
+                        f"--dp: n-train={args.n_train} must give each of "
+                        f"the {len(devs)} devices a multiple of 128 members"
+                    )
+                dp_mesh = Mesh(np.array(devs), ("data",))
+
             def _mk_step(s):
                 return make_per_step_train_step_fused(
                     tx, s, args.width,
                     interpret=jax.default_backend() != "tpu",
+                    mesh=dp_mesh,
                 )
 
             train_step = _mk_step(n_steps)
+        elif args.dp:
+            raise SystemExit(
+                "--dp requires the fused engine (per-step ResBlockSimple "
+                "method, --train-engine pallas/auto-eligible)"
+            )
         else:
             train_step = make_per_step_train_step(net, tx)
 

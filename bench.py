@@ -33,8 +33,13 @@ import time
 # drop the flag and the batched kernels would fail Mosaic's VMEM check.
 _VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=49152"
 _cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-if "xla_tpu_scoped_vmem_limit_kib" not in _cur:
+_m = __import__("re").search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)", _cur)
+if _m is None:
     os.environ["LIBTPU_INIT_ARGS"] = (_cur + " " + _VMEM_FLAG).strip()
+elif int(_m.group(1)) < 49152:
+    # a stale smaller limit (e.g. round-2's 32768) would fail the batched
+    # kernels' Mosaic VMEM check — upgrade it
+    os.environ["LIBTPU_INIT_ARGS"] = _cur.replace(_m.group(0), _VMEM_FLAG)
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
@@ -310,9 +315,12 @@ def main():
                 [_sys.executable, "-c", code], capture_output=True, text=True,
                 timeout=600,
             )
-            return tuple(
-                float(v) for v in out.stdout.strip().split("\n")[-1].split()
-            )
+            vals = out.stdout.strip().split("\n")[-1].split()
+            # a failed subprocess leaves [] here; tuple() of that would be
+            # an EMPTY tuple and crash the caller's 3-way unpack
+            if out.returncode != 0 or len(vals) != 3:
+                return (None, None, None)
+            return tuple(float(v) for v in vals)
         except Exception:
             return (None, None, None)
 
@@ -387,7 +395,7 @@ def main():
     # the vector lanes, one launch for the whole pipeline. Timing note: a
     # single call sits below this environment's ~27 ms host↔device RPC
     # floor, so the honest measurement chains K data-dependent calls inside
-    # one jit and takes the slope (K=1 vs K=16).
+    # one jit and takes the slope (K=1 vs K=64).
     n_ics, ens_steps, ref_factor = 102_400, 16, 4
     ens_dt = 2.0 / ens_steps
     if on_tpu:
@@ -953,7 +961,7 @@ def main():
                 "fd_adaptive_pm_fused_wall_s": None
                 if fd_pm_wall is None else round(fd_pm_wall, 4),
                 "fd_adaptive_pm_per_study_ms": None
-                if fd_pm_wall is None else round(fd_pm_wall / 1024 * 1e3, 4),
+                if fd_pm_wall is None else round(fd_pm_wall / fd_b * 1e3, 4),
                 "hp_adaptive_pm_fused_wall_s": None
                 if hp_pm_fused_wall is None else round(hp_pm_fused_wall, 4),
                 "hp_adaptive_pm_host_wall_s": None

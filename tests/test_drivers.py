@@ -172,6 +172,25 @@ class TestTrainDriver:
         )
         assert "outer it 1" in outs["pallas"][1]
 
+    def test_dp_flag_matches_single_device(self, tmp_path, monkeypatch,
+                                           capsys):
+        """--dp (members sharded over the 8-device CPU mesh, psum-reduced
+        grads) reproduces the unsharded fused run's refined grid."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        grids = {}
+        for extra in ([], ["--dp"]):
+            _, t = main([
+                "--method", "variable_params", "--epochs", "2",
+                "--maxit", "1", "--n-train", "1024", "--n-test", "4",
+                "--width", "4", "--quiet", "--seed", "3",
+                "--train-engine", "pallas", *extra,
+            ])
+            capsys.readouterr()
+            grids[bool(extra)] = np.asarray(t)
+        np.testing.assert_allclose(grids[True], grids[False], atol=1e-6)
+
 
 class TestDGEnsembleDriverMode:
     def test_ensemble_mode_smoke(self, capsys):
