@@ -194,10 +194,10 @@ def main(argv=None):
     use_mixed = args.method == "new_loss"
     use_shared = args.method == "recurrent"
     use_fused = False
-    if args.dp and (use_mixed or use_shared or use_masked):
+    if args.dp and (use_mixed or use_shared):
         raise SystemExit(
             "--dp is only supported with the per-step fused engine "
-            "(methods variable_params/detect)"
+            "(methods variable_params/detect/width)"
         )
     if use_mixed:
         t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
@@ -213,12 +213,9 @@ def main(argv=None):
         state = create_train_state(p1, tx)
         train_step = make_shared_train_step(net, tx, dt)
         batch_size = max(8, args.n_train // 16)
-    elif use_masked:
-        from adjoint_ode_adaptivity_tpu.train import make_per_step_masked_train_step
-
-        train_step = make_per_step_masked_train_step(net, tx)
     else:
-        # plain per-step ResBlockSimple: eligible for the fused kernel
+        # per-step ResBlockSimple (plain or padded-capacity masked):
+        # eligible for the fused kernel
         use_fused = args.train_engine == "pallas" or (
             args.train_engine == "auto"
             and jax.default_backend() == "tpu"
@@ -226,6 +223,7 @@ def main(argv=None):
         )
         if use_fused:
             from adjoint_ode_adaptivity_tpu.train import (
+                make_per_step_masked_train_step_fused,
                 make_per_step_train_step_fused,
             )
 
@@ -242,10 +240,13 @@ def main(argv=None):
                 dp_mesh = Mesh(np.array(devs), ("data",))
 
             def _mk_step(s):
+                interp = jax.default_backend() != "tpu"
+                if use_masked:
+                    return make_per_step_masked_train_step_fused(
+                        tx, s, capacity, interpret=interp, mesh=dp_mesh
+                    )
                 return make_per_step_train_step_fused(
-                    tx, s, args.width,
-                    interpret=jax.default_backend() != "tpu",
-                    mesh=dp_mesh,
+                    tx, s, args.width, interpret=interp, mesh=dp_mesh
                 )
 
             train_step = _mk_step(n_steps)
@@ -254,6 +255,12 @@ def main(argv=None):
                 "--dp requires the fused engine (per-step ResBlockSimple "
                 "method, --train-engine pallas/auto-eligible)"
             )
+        elif use_masked:
+            from adjoint_ode_adaptivity_tpu.train import (
+                make_per_step_masked_train_step,
+            )
+
+            train_step = make_per_step_masked_train_step(net, tx)
         else:
             train_step = make_per_step_train_step(net, tx)
 

@@ -92,10 +92,18 @@ def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int) -> dict:
     }
 
 
-def _epoch_kernel(n_steps, c, b_total, dt_ref, p_ref, u0_ref, true_ref,
-                  w_ref, loss_ref, gp_ref, traj):
+def _epoch_kernel(n_steps, c, b_total, masked, *refs):
     """One member-block program: forward march (trajectory to scratch),
-    terminal loss contribution, reverse sweep accumulating packed grads."""
+    terminal loss contribution, reverse sweep accumulating packed grads.
+    ``masked`` (static): a per-step active-neuron count rides as an extra
+    SMEM operand and gates each neuron exactly like ResBlockSimpleMasked
+    (inactive slots contribute nothing AND receive exactly-zero grads)."""
+    if masked:
+        (dt_ref, p_ref, u0_ref, true_ref, w_ref, na_ref,
+         loss_ref, gp_ref, traj) = refs
+    else:
+        dt_ref, p_ref, u0_ref, true_ref, w_ref, loss_ref, gp_ref, traj = refs
+        na_ref = None
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -105,6 +113,13 @@ def _epoch_kernel(n_steps, c, b_total, dt_ref, p_ref, u0_ref, true_ref,
 
     u = u0_ref[:]  # (1, LANES)
     traj[0] = u
+    # Mosaic's tpu.iota only produces integers — build int32, then cast
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32)
+
+    def neuron_mask(n, cc):
+        # active = global neuron index (within step n) < n_active[n]
+        return (iota8 + 8.0 * cc.astype(jnp.float32)
+                < na_ref[n]).astype(jnp.float32)
 
     def fwd_step(n, u):
         # (8, L) partial accumulator: ONE sublane reduction per step
@@ -114,6 +129,8 @@ def _epoch_kernel(n_steps, c, b_total, dt_ref, p_ref, u0_ref, true_ref,
             b_col = p_ref[0, col]  # (8, 1)
             w1_col = p_ref[1, col]
             w2_col = p_ref[2, col]
+            if masked:
+                w2_col = w2_col * neuron_mask(n, cc)
             s = w1_col * (u - b_col)  # (8, LANES) outer product
             return acc8 + w2_col * jnp.maximum(s, 0.0)
 
@@ -142,14 +159,19 @@ def _epoch_kernel(n_steps, c, b_total, dt_ref, p_ref, u0_ref, true_ref,
             b_col = p_ref[0, col]
             w1_col = p_ref[1, col]
             w2_col = p_ref[2, col]
+            nm = neuron_mask(n, cc) if masked else None
             s = w1_col * (u_n - b_col)
             mask = (s > 0.0).astype(s.dtype)
             a = s * mask  # == relu(s)
-            ds = gdt * (w2_col * mask)  # (8, LANES): dL/ds_i per member
+            w2_eff = w2_col * nm if masked else w2_col
+            ds = gdt * (w2_eff * mask)  # (8, LANES): dL/ds_i per member
             # w1/b are lane-constant per chunk, so the gw1/gb reductions
-            # reuse Σds: gw1 = Σ(ds·u) − b·Σds, gb = −w1·Σds
+            # reuse Σds: gw1 = Σ(ds·u) − b·Σds, gb = −w1·Σds; the neuron
+            # mask rides ds (and gates gw2 directly), so inactive slots
+            # get exactly zero in all three
             s_ds = jnp.sum(ds, axis=1, keepdims=True)
-            gp_ref[2, col] += jnp.sum(gdt * a, axis=1, keepdims=True)
+            g_w2 = jnp.sum(gdt * a, axis=1, keepdims=True)
+            gp_ref[2, col] += g_w2 * nm if masked else g_w2
             gp_ref[1, col] += (
                 jnp.sum(ds * u_n, axis=1, keepdims=True) - b_col * s_ds
             )
@@ -169,22 +191,29 @@ def make_pallas_resblock_epoch_grad(
     features: int,
     interpret: bool = False,
     max_lanes: int = 8192,
+    masked: bool = False,
 ):
-    """Returns ``run(params, dt, u0s, trues, weights=None) -> (loss,
-    grads)`` — value_and_grad of the terminal-MSE epoch loss for a
-    per-step ResBlockSimple net, as ONE kernel launch.
+    """Returns ``run(params, dt, u0s, trues, weights=None,
+    n_active=None) -> (loss, grads)`` — value_and_grad of the
+    terminal-MSE epoch loss for a per-step ResBlockSimple net, as ONE
+    kernel launch.
 
     ``params``: the stacked flax pytree ({'bias': (S, F, 1), 'weights1':
     (S, F, 1), 'weights2': (S, 1, F)}). ``u0s``/``trues``: (B,) member
     ICs and terminal targets, B a multiple of 128 (pad with
     ``weights=0`` members otherwise). ``weights``: optional (B,) 0/1
     member mask; the loss is Σ w·e² / Σ w (mean over live members).
+    ``masked=True`` is the ResBlockSimpleMasked (padded-width-capacity)
+    net: ``features`` is the CAPACITY and ``n_active`` (S,) gates each
+    step's neurons in-kernel — inactive slots contribute nothing and
+    receive exactly-zero gradients, so width surgery
+    (surgery.grow_width_padded) composes without retracing the kernel.
     Gradients match ``jax.grad`` of the XLA loss (relu'(0) = 0
     convention included) at f32 roundoff — tests/test_pallas_train.py.
     """
     c = -(-features // 8)
 
-    def run(params, dt, u0s, trues, weights=None):
+    def run(params, dt, u0s, trues, weights=None, n_active=None):
         (b,) = u0s.shape
         if b % 128:
             raise ValueError(f"B={b} must be a multiple of 128")
@@ -197,11 +226,34 @@ def make_pallas_resblock_epoch_grad(
         else:
             b_live_arr = jnp.sum(weights)
             b_live = 1.0  # divide by Σw after the kernel
+        if masked and n_active is None:
+            raise ValueError("masked=True requires n_active (S,)")
         packed = pack_params(params, n_steps, features)
         dt = jnp.asarray(dt, jnp.float32)
         kern = functools.partial(
-            _epoch_kernel, n_steps, c, b_live if b_live_arr is None else 1.0
+            _epoch_kernel, n_steps, c,
+            b_live if b_live_arr is None else 1.0, masked,
         )
+        member_spec = pl.BlockSpec((1, lanes), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, n_steps * c, 8, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            member_spec,
+            member_spec,
+            member_spec,
+        ]
+        operands = [
+            dt,
+            packed,
+            jnp.reshape(u0s.astype(jnp.float32), (1, b)),
+            jnp.reshape(trues.astype(jnp.float32), (1, b)),
+            jnp.reshape(weights.astype(jnp.float32), (1, b)),
+        ]
+        if masked:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(jnp.asarray(n_active, jnp.float32))
         loss_rows, gp = pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -209,17 +261,7 @@ def make_pallas_resblock_epoch_grad(
                 jax.ShapeDtypeStruct((1, lanes), jnp.float32),
                 jax.ShapeDtypeStruct((3, n_steps * c, 8, 1), jnp.float32),
             ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((3, n_steps * c, 8, 1), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, lanes), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -231,13 +273,7 @@ def make_pallas_resblock_epoch_grad(
                 pltpu.VMEM((n_steps + 1, 1, lanes), jnp.float32)
             ],
             interpret=interpret,
-        )(
-            dt,
-            packed,
-            jnp.reshape(u0s.astype(jnp.float32), (1, b)),
-            jnp.reshape(trues.astype(jnp.float32), (1, b)),
-            jnp.reshape(weights.astype(jnp.float32), (1, b)),
-        )
+        )(*operands)
         loss = jnp.sum(loss_rows)
         grads = unpack_grads(gp, n_steps, features)
         if b_live_arr is not None:

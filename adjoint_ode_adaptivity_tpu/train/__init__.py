@@ -13,6 +13,7 @@ from adjoint_ode_adaptivity_tpu.train.loop import (
     make_mixed_loss_train_step,
     make_per_step_masked_train_step,
     make_per_step_train_step,
+    make_per_step_masked_train_step_fused,
     make_per_step_train_step_fused,
     make_shared_train_step,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "make_shared_train_step",
     "make_per_step_train_step",
     "make_per_step_train_step_fused",
+    "make_per_step_masked_train_step_fused",
     "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
     "evaluate",

@@ -39,6 +39,7 @@ __all__ = [
     "make_per_step_train_step",
     "make_per_step_train_step_fused",
     "make_per_step_masked_train_step",
+    "make_per_step_masked_train_step_fused",
     "make_mixed_loss_train_step",
     "evaluate",
     "evaluate_masked",
@@ -168,6 +169,65 @@ def make_per_step_train_step_fused(
     @jax.jit
     def train_step(state: TrainState, dt, u0_batch, true_batch):
         loss, grads = value_and_grad(state.params, dt, u0_batch, true_batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_per_step_masked_train_step_fused(
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    capacity: int,
+    interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+):
+    """``make_per_step_masked_train_step`` (padded-width-capacity
+    ResBlockSimpleMasked nets) through the fused epoch kernel: the
+    per-step ``n_active`` gates neurons IN-KERNEL, so width surgery
+    (surgery.grow_width_padded) never retraces and inactive slots get
+    exactly-zero gradients (adam leaves them frozen, same contract as
+    the XLA step). Same (state, dt, n_active, u0_batch, true_batch) →
+    (state, loss) signature; ``mesh`` dp-shards the members as in
+    :func:`make_per_step_train_step_fused`."""
+    from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
+        make_pallas_resblock_epoch_grad,
+    )
+
+    grad_fn = make_pallas_resblock_epoch_grad(
+        n_steps, capacity, interpret=interpret, masked=True
+    )
+
+    if mesh is None:
+        def value_and_grad(params, dt, n_active, u0b, trueb):
+            return grad_fn(params, dt, u0b, trueb, n_active=n_active)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d = mesh.shape[mesh_axis]
+
+        def local(params, dt, n_active, u0l, truel):
+            loss, grads = grad_fn(params, dt, u0l, truel, n_active=n_active)
+            loss = jax.lax.psum(loss, mesh_axis) / d
+            grads = jax.lax.psum(grads, mesh_axis)
+            return loss, jax.tree_util.tree_map(lambda x: x / d, grads)
+
+        def value_and_grad(params, dt, n_active, u0b, trueb):
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(), P(mesh_axis), P(mesh_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, dt, n_active, u0b, trueb)
+
+    @jax.jit
+    def train_step(state: TrainState, dt, n_active, u0_batch, true_batch):
+        loss, grads = value_and_grad(
+            state.params, dt, n_active, u0_batch, true_batch
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

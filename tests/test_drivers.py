@@ -172,6 +172,31 @@ class TestTrainDriver:
         )
         assert "outer it 1" in outs["pallas"][1]
 
+    def test_width_method_fused_matches_xla(self, tmp_path, monkeypatch,
+                                            capsys):
+        """--method width (padded-capacity masked net) through the fused
+        masked kernel: identical width-growth decisions and grids."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        outs = {}
+        for eng in ("xla", "pallas"):
+            _, t = main([
+                "--method", "width", "--epochs", "2", "--maxit", "1",
+                "--n-train", "128", "--n-test", "4", "--width", "4",
+                "--width-capacity", "12", "--quiet", "--seed", "5",
+                "--depth-rel-tol", "0.0", "--train-engine", eng,
+            ])
+            outs[eng] = (np.asarray(t), capsys.readouterr().out)
+        np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0],
+                                   atol=1e-6)
+        assert "width grow" in outs["pallas"][1]
+        # same growth decisions, not just the same grid
+        assert (
+            [l for l in outs["pallas"][1].splitlines() if "outer it" in l]
+            == [l for l in outs["xla"][1].splitlines() if "outer it" in l]
+        )
+
     def test_dp_flag_matches_single_device(self, tmp_path, monkeypatch,
                                            capsys):
         """--dp (members sharded over the 8-device CPU mesh, psum-reduced

@@ -206,3 +206,98 @@ class TestFusedCompositions:
         np.testing.assert_allclose(
             results["pallas"][3], results["xla"][3], rtol=2e-4
         )
+
+
+class TestFusedMasked:
+    def _masked_setup(self, seed=21, cap=24, width=9):
+        from adjoint_ode_adaptivity_tpu.models.blocks import (
+            ResBlockSimpleMasked,
+            masked_params_from_simple,
+        )
+
+        net_s = ResBlockSimple(features=width)
+        p_s = net_s.init(jax.random.PRNGKey(seed), jnp.ones(1), 0.0, 0.1)[
+            "params"
+        ]
+        p1 = masked_params_from_simple(p_s, cap)
+        params = jax.tree_util.tree_map(
+            lambda l: jnp.stack([l] * S).astype(jnp.float32), p1
+        )
+        net_m = ResBlockSimpleMasked(cap)
+        # ragged per-step widths exercise the in-kernel gate per step
+        n_active = jnp.asarray([width, width + 3, width, cap, 1, width],
+                               jnp.int32)
+        dt = jnp.asarray(
+            np.random.default_rng(seed).uniform(0.05, 0.15, S), jnp.float32
+        )
+        u0s = jnp.asarray(
+            np.random.default_rng(seed + 2).uniform(-2, 2, B), jnp.float32
+        )
+        trues = jnp.sin(u0s) + 0.3
+        return net_m, params, n_active, dt, u0s, trues
+
+    def test_masked_matches_xla_value_and_grad(self):
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            _masked_net_step_fn,
+        )
+        from adjoint_ode_adaptivity_tpu.train.losses import terminal_mse
+
+        net_m, params, n_active, dt, u0s, trues = self._masked_setup()
+        cap = 24
+        step = _masked_net_step_fn(net_m)
+
+        def batch_loss(p):
+            def one(u0, true):
+                u = forward_march_per_step(
+                    step, jnp.atleast_1d(u0), dt, (p, n_active)
+                )
+                return terminal_mse(u, true)
+
+            return jnp.mean(jax.vmap(one)(u0s, trues))
+
+        want_loss, want_grads = jax.value_and_grad(batch_loss)(params)
+        run = make_pallas_resblock_epoch_grad(S, cap, interpret=True,
+                                              masked=True)
+        loss, grads = run(params, dt, u0s, trues, n_active=n_active)
+        np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
+        for k in ("bias", "weights1", "weights2"):
+            np.testing.assert_allclose(
+                grads[k], want_grads[k], rtol=2e-5, atol=1e-7, err_msg=k
+            )
+
+    def test_inactive_slots_get_exactly_zero_grads(self):
+        net_m, params, n_active, dt, u0s, trues = self._masked_setup()
+        cap = 24
+        run = make_pallas_resblock_epoch_grad(S, cap, interpret=True,
+                                              masked=True)
+        _, grads = run(params, dt, u0s, trues, n_active=n_active)
+        na = np.asarray(n_active)
+        for k in ("bias", "weights1", "weights2"):
+            g = np.asarray(grads[k]).reshape(S, cap)
+            for n in range(S):
+                assert np.all(g[n, na[n]:] == 0.0), (k, n)
+
+    def test_masked_train_step_matches_xla(self):
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_per_step_masked_train_step,
+            make_per_step_masked_train_step_fused,
+        )
+
+        net_m, params, n_active, dt, u0s, trues = self._masked_setup(seed=23)
+        tx = optax.adam(1e-3)
+        st_x = create_train_state(params, tx)
+        st_p = create_train_state(params, tx)
+        step_x = make_per_step_masked_train_step(net_m, tx)
+        step_p = make_per_step_masked_train_step_fused(
+            tx, S, 24, interpret=True
+        )
+        for _ in range(3):
+            st_x, loss_x = step_x(st_x, dt, n_active, u0s, trues)
+            st_p, loss_p = step_p(st_p, dt, n_active, u0s, trues)
+            np.testing.assert_allclose(loss_p, loss_x, rtol=2e-6)
+        for lx, lp in zip(
+            jax.tree_util.tree_leaves(st_x.params),
+            jax.tree_util.tree_leaves(st_p.params),
+        ):
+            np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-6)

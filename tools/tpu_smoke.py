@@ -478,8 +478,58 @@ def main():
         )
         check("train_fused_epoch_grad_S10_F500_B1024", flat_g, flat_w,
               5e-4, 1e-6)
+        tr_fix = True
     except Exception as e:  # noqa: BLE001
         fail("train_fused_epoch_grad_S10_F500_B1024", e)
+        fail("train_fused_masked_S10_cap500_B1024", e)
+        tr_fix = False
+
+    # 19b. the MASKED (padded-width-capacity) variant: ragged per-step
+    # n_active gates neurons in-kernel; inactive grads exactly zero
+    if tr_fix:
+        try:
+            na_tr = jnp.asarray(
+                [100, 500, 250, 1, 499, 8, 64, 300, 500, 7], jnp.int32
+            )
+            run_trm = make_pallas_resblock_epoch_grad(
+                s_tr, f_tr, interpret=interp, masked=True
+            )
+            got_lm, got_gm = jax.jit(
+                lambda p: run_trm(p, dt_tr, u0_tr, true_tr, n_active=na_tr)
+            )(p_tr)
+            jax.block_until_ready(got_lm)
+
+            def _step_trm(u, t, d, pm):
+                p, n_a = pm
+                w1 = p["weights1"][:, 0]
+                b_ = p["bias"][:, 0]
+                w2 = p["weights2"][0]
+                m = (jnp.arange(f_tr) < n_a).astype(u.dtype)
+                act = m * jnp.maximum(w1 * (u - b_), 0.0)
+                return u + jnp.dot(w2, act) * d
+
+            def _loss_trm(p):
+                def one(u0, tv):
+                    u = forward_march_per_step(
+                        _step_trm, jnp.atleast_1d(u0)[0], dt_tr, (p, na_tr)
+                    )
+                    return jnp.square(u[-1] - tv)
+
+                return jnp.mean(jax.vmap(one)(u0_tr, true_tr))
+
+            want_lm, want_gm = jax.jit(jax.value_and_grad(_loss_trm))(p_tr)
+            flat_wm = jnp.concatenate(
+                [jnp.ravel(x) for x in jax.tree_util.tree_leaves(want_gm)]
+                + [jnp.reshape(want_lm, (1,))]
+            )
+            flat_gm = jnp.concatenate(
+                [jnp.ravel(x) for x in jax.tree_util.tree_leaves(got_gm)]
+                + [jnp.reshape(got_lm, (1,))]
+            )
+            check("train_fused_masked_S10_cap500_B1024", flat_gm, flat_wm,
+                  5e-4, 1e-6)
+        except Exception as e:  # noqa: BLE001
+            fail("train_fused_masked_S10_cap500_B1024", e)
 
     # 17. fused DG-in-time slab ensemble kernel vs the XLA batched pipeline.
     # This group runs LAST: the imports + shared fixtures used by every
