@@ -194,17 +194,55 @@ def main(argv=None):
     use_mixed = args.method == "new_loss"
     use_shared = args.method == "recurrent"
     use_fused = False
-    if args.dp and (use_mixed or use_shared):
+    if args.dp and use_shared:
         raise SystemExit(
-            "--dp is only supported with the per-step fused engine "
-            "(methods variable_params/detect/width)"
+            "--dp is only supported with the fused engines "
+            "(methods variable_params/new_loss/detect/width)"
         )
+
+    def _dp_mesh_or_none():
+        if not args.dp:
+            return None
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if args.n_train % (128 * len(devs)):
+            raise SystemExit(
+                f"--dp: n-train={args.n_train} must give each of "
+                f"the {len(devs)} devices a multiple of 128 members"
+            )
+        return Mesh(np.array(devs), ("data",))
+
     if use_mixed:
         t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
         traj_train = rk4_truth(
             ode.f, u0_train, (0.0, args.t1), n_sub=256, save_times=t_nodes
         )
-        train_step = make_mixed_loss_train_step(net, tx)
+        use_fused = args.train_engine == "pallas" or (
+            args.train_engine == "auto"
+            and jax.default_backend() == "tpu"
+            and args.n_train % 128 == 0
+        )
+        if use_fused:
+            from adjoint_ode_adaptivity_tpu.train import (
+                make_mixed_loss_train_step_fused,
+            )
+
+            def _mk_step(s):
+                return make_mixed_loss_train_step_fused(
+                    tx, s, args.width,
+                    interpret=jax.default_backend() != "tpu",
+                    mesh=_dp_mesh_or_none(),
+                )
+
+            train_step = _mk_step(n_steps)
+        elif args.dp:
+            raise SystemExit(
+                "--dp requires the fused engine "
+                "(--train-engine pallas/auto-eligible)"
+            )
+        else:
+            train_step = make_mixed_loss_train_step(net, tx)
     elif use_shared:
         # Main_FD_with_net: ONE parameter set shared across all steps,
         # shuffled mini-batches of the IC ensemble
@@ -227,17 +265,7 @@ def main(argv=None):
                 make_per_step_train_step_fused,
             )
 
-            dp_mesh = None
-            if args.dp:
-                from jax.sharding import Mesh
-
-                devs = jax.devices()
-                if args.n_train % (128 * len(devs)):
-                    raise SystemExit(
-                        f"--dp: n-train={args.n_train} must give each of "
-                        f"the {len(devs)} devices a multiple of 128 members"
-                    )
-                dp_mesh = Mesh(np.array(devs), ("data",))
+            dp_mesh = _dp_mesh_or_none()
 
             def _mk_step(s):
                 interp = jax.default_backend() != "tpu"

@@ -92,18 +92,35 @@ def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int) -> dict:
     }
 
 
-def _epoch_kernel(n_steps, c, b_total, masked, *refs):
+def _epoch_kernel(n_steps, c, b_total, masked, mixed, *refs):
     """One member-block program: forward march (trajectory to scratch),
-    terminal loss contribution, reverse sweep accumulating packed grads.
+    loss contribution, reverse sweep accumulating packed grads.
     ``masked`` (static): a per-step active-neuron count rides as an extra
     SMEM operand and gates each neuron exactly like ResBlockSimpleMasked
-    (inactive slots contribute nothing AND receive exactly-zero grads)."""
-    if masked:
-        (dt_ref, p_ref, u0_ref, true_ref, w_ref, na_ref,
-         loss_ref, gp_ref, traj) = refs
+    (inactive slots contribute nothing AND receive exactly-zero grads).
+    ``mixed`` (static): the trajectory ("new") loss of Main_new_loss.py:
+    145-168 — Σ_n dtₙ(e²ₙ+e²ₙ₊₁)/2 + ramp_w·e²_S. Targets are the FULL
+    (S+1, 1, B) trajectory; the trapezoid term is accumulated per node
+    during the reverse sweep (the trajectory is already in VMEM scratch),
+    and each node injects its direct cotangent 2·cₙ·eₙ (node weight
+    cₙ = (dtₙ₋₁+dtₙ)/2, edges halved) into the running dL/du before the
+    next backward step — the hand-derived reverse of the trapezoid sum.
+    The ramp weight rides as a traced SMEM scalar so the per-10-iteration
+    ramp (mixed_ramp_weight) never retraces."""
+    refs = list(refs)
+    dt_ref = refs.pop(0)
+    p_ref = refs.pop(0)
+    u0_ref = refs.pop(0)
+    if mixed:
+        tt_ref = refs.pop(0)  # (S+1, 1, LANES) trajectory targets
+        true_ref = None
     else:
-        dt_ref, p_ref, u0_ref, true_ref, w_ref, loss_ref, gp_ref, traj = refs
-        na_ref = None
+        true_ref = refs.pop(0)
+        tt_ref = None
+    w_ref = refs.pop(0)
+    na_ref = refs.pop(0) if masked else None
+    wt_ref = refs.pop(0) if mixed else None
+    loss_ref, gp_ref, traj = refs
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -144,9 +161,16 @@ def _epoch_kernel(n_steps, c, b_total, masked, *refs):
     u_fin = jax.lax.fori_loop(0, n_steps, fwd_step, u)
 
     w = w_ref[:]
-    e = (u_fin - true_ref[:]) * w
-    loss_ref[:] += e * e / b_total  # (1, LANES) partial, summed in XLA
-    g = 2.0 * e / b_total  # dL/du_N (weight is 0/1 so e carries it)
+    if mixed:
+        # terminal node: trapezoid weight dt_{S-1}/2 plus the ramp weight
+        c_term = dt_ref[n_steps - 1] * 0.5 + wt_ref[0]
+        e = (u_fin - tt_ref[n_steps]) * w
+        loss_ref[:] += c_term * e * e / b_total
+        g = 2.0 * c_term * e / b_total
+    else:
+        e = (u_fin - true_ref[:]) * w
+        loss_ref[:] += e * e / b_total  # (1, LANES) partial, summed in XLA
+        g = 2.0 * e / b_total  # dL/du_N (weight is 0/1 so e carries it)
 
     def bwd_step(i, g):
         n = n_steps - 1 - i
@@ -181,7 +205,20 @@ def _epoch_kernel(n_steps, c, b_total, masked, *refs):
         du8 = jax.lax.fori_loop(
             0, c, chunk, jnp.zeros((8, g.shape[1]), g.dtype)
         )
-        return g + jnp.sum(du8, axis=0, keepdims=True)
+        g_n = g + jnp.sum(du8, axis=0, keepdims=True)
+        if mixed:
+            # direct trajectory-loss contribution at node n:
+            # c_n = (dt_{n-1} + dt_n)/2, with dt_{-1} = 0 at the left edge
+            c_n = 0.5 * (
+                jnp.where(n > 0, dt_ref[jnp.maximum(n - 1, 0)], 0.0)
+                + dt_ref[n]
+            )
+            e_n = (traj[n] - tt_ref[n]) * w
+            loss_ref[:] += c_n * e_n * e_n / b_total
+            # the node-0 inject lands on the returned (unused) g — u0 is
+            # data, nothing upstream consumes it
+            g_n = g_n + 2.0 * c_n * e_n / b_total
+        return g_n
 
     jax.lax.fori_loop(0, n_steps, bwd_step, g)
 
@@ -192,11 +229,12 @@ def make_pallas_resblock_epoch_grad(
     interpret: bool = False,
     max_lanes: int = 8192,
     masked: bool = False,
+    mixed: bool = False,
 ):
     """Returns ``run(params, dt, u0s, trues, weights=None,
-    n_active=None) -> (loss, grads)`` — value_and_grad of the
-    terminal-MSE epoch loss for a per-step ResBlockSimple net, as ONE
-    kernel launch.
+    n_active=None, ramp_weight=None) -> (loss, grads)`` — value_and_grad
+    of the epoch loss for a per-step ResBlockSimple net, as ONE kernel
+    launch.
 
     ``params``: the stacked flax pytree ({'bias': (S, F, 1), 'weights1':
     (S, F, 1), 'weights2': (S, 1, F)}). ``u0s``/``trues``: (B,) member
@@ -208,12 +246,19 @@ def make_pallas_resblock_epoch_grad(
     step's neurons in-kernel — inactive slots contribute nothing and
     receive exactly-zero gradients, so width surgery
     (surgery.grow_width_padded) composes without retracing the kernel.
+    ``mixed=True`` is the trajectory ("new") + ramped-terminal loss of
+    Main_new_loss.py:145-168: ``trues`` becomes the FULL (S+1, B)
+    trajectory targets and ``ramp_weight`` (traced scalar, from
+    losses.mixed_ramp_weight) weights the terminal node on top of its
+    trapezoid weight — semantics pinned to jax.grad of
+    train/loop.make_mixed_loss_train_step's batch loss.
     Gradients match ``jax.grad`` of the XLA loss (relu'(0) = 0
     convention included) at f32 roundoff — tests/test_pallas_train.py.
     """
     c = -(-features // 8)
 
-    def run(params, dt, u0s, trues, weights=None, n_active=None):
+    def run(params, dt, u0s, trues, weights=None, n_active=None,
+            ramp_weight=None):
         (b,) = u0s.shape
         if b % 128:
             raise ValueError(f"B={b} must be a multiple of 128")
@@ -228,32 +273,55 @@ def make_pallas_resblock_epoch_grad(
             b_live = 1.0  # divide by Σw after the kernel
         if masked and n_active is None:
             raise ValueError("masked=True requires n_active (S,)")
+        if mixed and ramp_weight is None:
+            raise ValueError("mixed=True requires ramp_weight (scalar)")
         packed = pack_params(params, n_steps, features)
         dt = jnp.asarray(dt, jnp.float32)
         kern = functools.partial(
             _epoch_kernel, n_steps, c,
-            b_live if b_live_arr is None else 1.0, masked,
+            b_live if b_live_arr is None else 1.0, masked, mixed,
         )
         member_spec = pl.BlockSpec((1, lanes), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
+        if mixed:
+            if trues.shape != (n_steps + 1, b):
+                raise ValueError(
+                    f"mixed=True targets must be the full (S+1, B) "
+                    f"trajectory, got {trues.shape}"
+                )
+            target_spec = pl.BlockSpec(
+                (n_steps + 1, 1, lanes), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+            target = jnp.reshape(
+                trues.astype(jnp.float32), (n_steps + 1, 1, b)
+            )
+        else:
+            target_spec = member_spec
+            target = jnp.reshape(trues.astype(jnp.float32), (1, b))
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, n_steps * c, 8, 1), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             member_spec,
-            member_spec,
+            target_spec,
             member_spec,
         ]
         operands = [
             dt,
             packed,
             jnp.reshape(u0s.astype(jnp.float32), (1, b)),
-            jnp.reshape(trues.astype(jnp.float32), (1, b)),
+            target,
             jnp.reshape(weights.astype(jnp.float32), (1, b)),
         ]
         if masked:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             operands.append(jnp.asarray(n_active, jnp.float32))
+        if mixed:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(
+                jnp.reshape(jnp.asarray(ramp_weight, jnp.float32), (1,))
+            )
         loss_rows, gp = pl.pallas_call(
             kern,
             grid=(n_blocks,),

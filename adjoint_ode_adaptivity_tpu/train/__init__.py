@@ -11,6 +11,7 @@ from adjoint_ode_adaptivity_tpu.train.loop import (
     evaluate,
     evaluate_masked,
     make_mixed_loss_train_step,
+    make_mixed_loss_train_step_fused,
     make_per_step_masked_train_step,
     make_per_step_train_step,
     make_per_step_masked_train_step_fused,
@@ -36,6 +37,7 @@ __all__ = [
     "make_per_step_masked_train_step_fused",
     "make_per_step_masked_train_step",
     "make_mixed_loss_train_step",
+    "make_mixed_loss_train_step_fused",
     "evaluate",
     "evaluate_masked",
     "rk4_truth",

@@ -41,6 +41,7 @@ __all__ = [
     "make_per_step_masked_train_step",
     "make_per_step_masked_train_step_fused",
     "make_mixed_loss_train_step",
+    "make_mixed_loss_train_step_fused",
     "evaluate",
     "evaluate_masked",
 ]
@@ -309,6 +310,71 @@ def make_mixed_loss_train_step(net, tx: optax.GradientTransformation):
             return jnp.mean(new_l) + w * jnp.mean(old_l)
 
         loss, grads = jax.value_and_grad(batch_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_mixed_loss_train_step_fused(
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    features: int,
+    interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+):
+    """:func:`make_mixed_loss_train_step` (trajectory trapezoid + ramped
+    terminal loss, Main_new_loss.py:153-168) with the epoch's
+    value_and_grad fused into ONE Pallas launch — the fused kernel
+    already stores the full trajectory in VMEM scratch for its reverse
+    sweep, so the trapezoid nodes read it for free instead of
+    re-materializing (S+1) × (F, B) intermediates through HBM like the
+    XLA path. Same ``(state, dt, u0_batch, true_traj_batch, it) →
+    (state, loss)`` contract as the XLA step (``true_traj_batch`` is
+    (B, S+1); the ramp weight ``10**((it+1)//10 − 4)`` is a traced SMEM
+    scalar so the per-10-iteration ramp never retraces) and the same
+    gradients at f32 roundoff (tests/test_pallas_train.py). B must be a
+    multiple of 128 per shard; ``mesh`` dp-shards the members as in
+    :func:`make_per_step_train_step_fused`."""
+    from adjoint_ode_adaptivity_tpu.ops.pallas.train_fused import (
+        make_pallas_resblock_epoch_grad,
+    )
+
+    grad_fn = make_pallas_resblock_epoch_grad(
+        n_steps, features, interpret=interpret, mixed=True
+    )
+
+    if mesh is None:
+        def value_and_grad(params, dt, u0b, traj_b, w):
+            return grad_fn(params, dt, u0b, traj_b.T, ramp_weight=w)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d = mesh.shape[mesh_axis]
+
+        def local(params, dt, u0l, trajl, w):
+            loss, grads = grad_fn(params, dt, u0l, trajl.T, ramp_weight=w)
+            loss = jax.lax.psum(loss, mesh_axis) / d
+            grads = jax.lax.psum(grads, mesh_axis)
+            return loss, jax.tree_util.tree_map(lambda x: x / d, grads)
+
+        def value_and_grad(params, dt, u0b, traj_b, w):
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(mesh_axis), P(mesh_axis), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, dt, u0b, traj_b, w)
+
+    @jax.jit
+    def train_step(state: TrainState, dt, u0_batch, true_traj_batch, it):
+        w = mixed_ramp_weight(it)
+        loss, grads = value_and_grad(
+            state.params, dt, u0_batch, true_traj_batch, w
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

@@ -409,6 +409,28 @@ class TestNewLossMethod:
 
         assert float(mixed_ramp_weight(0)) > 0
 
+    def test_new_loss_fused_engine_matches_xla(self, tmp_path, monkeypatch,
+                                               capsys):
+        """--method new_loss --train-engine pallas (the mixed-loss fused
+        epoch kernel, interpret mode on CPU) reproduces the XLA engine's
+        refined grid, including the rebuild after a depth insertion and
+        the per-node trajectory-target refresh."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        outs = {}
+        for eng in ("xla", "pallas"):
+            _, t = main([
+                "--method", "new_loss", "--epochs", "3", "--maxit", "1",
+                "--n-train", "128", "--n-test", "4", "--width", "4",
+                "--quiet", "--seed", "2", "--train-engine", eng,
+            ])
+            outs[eng] = (np.asarray(t), capsys.readouterr().out)
+        np.testing.assert_allclose(
+            outs["pallas"][0], outs["xla"][0], atol=1e-6
+        )
+        assert "outer it 1" in outs["pallas"][1]
+
     def test_ramp_schedule_values(self):
         # 10**((it+1)//10 - 4), Main_new_loss.py:163-165
         from adjoint_ode_adaptivity_tpu.train import mixed_ramp_weight

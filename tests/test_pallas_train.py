@@ -208,6 +208,118 @@ class TestFusedCompositions:
         )
 
 
+class TestFusedMixed:
+    """mixed=True: the trajectory ("new") + ramped-terminal loss of
+    Main_new_loss.py:145-168, pinned to jax.grad of the XLA mixed loss."""
+
+    def _traj_targets(self, u0s, dt):
+        # smooth per-node targets with the same (B, S+1) orientation as
+        # rk4_truth(..., save_times=nodes)
+        nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
+        return jnp.sin(u0s[:, None] + nodes[None, :]) + 0.3
+
+    def _xla_mixed_value_and_grad(self, net, params, dt, u0s, traj_b, w):
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march_per_step
+        from adjoint_ode_adaptivity_tpu.train.losses import (
+            terminal_mse,
+            trajectory_trapezoid,
+        )
+
+        def step(u, t, d, p):
+            return net.apply({"params": p}, u, t, d)
+
+        def batch_loss(p):
+            def one(u0, true_traj):
+                u = forward_march_per_step(step, jnp.atleast_1d(u0), dt, p)
+                return (
+                    trajectory_trapezoid(u, true_traj, dt)
+                    + w * terminal_mse(u, true_traj[..., -1])
+                )
+
+            return jnp.mean(jax.vmap(one)(u0s, traj_b))
+
+        return jax.value_and_grad(batch_loss)(params)
+
+    def test_matches_xla_mixed_value_and_grad(self):
+        net, params, dt, u0s, _ = _setup(seed=31)
+        traj_b = self._traj_targets(u0s, dt)
+        for w in (0.0, 0.37):  # w=0 isolates the pure trapezoid reverse
+            want_loss, want_grads = self._xla_mixed_value_and_grad(
+                net, params, dt, u0s, traj_b, w
+            )
+            run = make_pallas_resblock_epoch_grad(
+                S, F, interpret=True, mixed=True
+            )
+            loss, grads = run(params, dt, u0s, traj_b.T, ramp_weight=w)
+            np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
+            for k in ("bias", "weights1", "weights2"):
+                np.testing.assert_allclose(
+                    grads[k], want_grads[k], rtol=2e-5, atol=1e-7,
+                    err_msg=f"{k} w={w}",
+                )
+
+    def test_mixed_requires_full_trajectory_and_ramp(self):
+        _, params, dt, u0s, trues = _setup()
+        run = make_pallas_resblock_epoch_grad(S, F, interpret=True,
+                                              mixed=True)
+        with pytest.raises(ValueError, match="ramp_weight"):
+            run(params, dt, u0s, jnp.zeros((S + 1, B)))
+        with pytest.raises(ValueError, match="full"):
+            run(params, dt, u0s, trues, ramp_weight=0.1)
+
+    def test_mixed_train_step_matches_xla(self):
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_mixed_loss_train_step,
+            make_mixed_loss_train_step_fused,
+        )
+
+        net, params, dt, u0s, _ = _setup(seed=33)
+        traj_b = self._traj_targets(u0s, dt)
+        tx = optax.adam(1e-3)
+        st_x = create_train_state(params, tx)
+        st_p = create_train_state(params, tx)
+        step_x = make_mixed_loss_train_step(net, tx)
+        step_p = make_mixed_loss_train_step_fused(tx, S, F, interpret=True)
+        # it=9→10 crosses a ramp decade (10**((it+1)//10 − 4) jumps 10×)
+        for it in (9, 10, 11):
+            st_x, loss_x = step_x(st_x, dt, u0s, traj_b, jnp.asarray(it))
+            st_p, loss_p = step_p(st_p, dt, u0s, traj_b, jnp.asarray(it))
+            np.testing.assert_allclose(loss_p, loss_x, rtol=2e-6)
+        for lx, lp in zip(
+            jax.tree_util.tree_leaves(st_x.params),
+            jax.tree_util.tree_leaves(st_p.params),
+        ):
+            np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-6)
+
+    def test_mixed_dp_mesh_matches_unsharded(self):
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_mixed_loss_train_step_fused,
+        )
+
+        net, params, dt, u0s, _ = _setup(seed=35)
+        u0b = jnp.tile(u0s, 4)  # B=1024 -> 128 members/device
+        traj_b = self._traj_targets(u0b, dt)
+        tx = optax.adam(1e-3)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        step_1 = make_mixed_loss_train_step_fused(tx, S, F, interpret=True)
+        step_d = make_mixed_loss_train_step_fused(
+            tx, S, F, interpret=True, mesh=mesh
+        )
+        st_1 = create_train_state(params, tx)
+        st_d = create_train_state(params, tx)
+        for it in (0, 1):
+            st_1, loss_1 = step_1(st_1, dt, u0b, traj_b, jnp.asarray(it))
+            st_d, loss_d = step_d(st_d, dt, u0b, traj_b, jnp.asarray(it))
+            np.testing.assert_allclose(loss_d, loss_1, rtol=1e-6)
+        for l1, ld in zip(
+            jax.tree_util.tree_leaves(st_1.params),
+            jax.tree_util.tree_leaves(st_d.params),
+        ):
+            np.testing.assert_allclose(ld, l1, rtol=1e-4, atol=1e-7)
+
+
 class TestFusedMasked:
     def _masked_setup(self, seed=21, cap=24, width=9):
         from adjoint_ode_adaptivity_tpu.models.blocks import (

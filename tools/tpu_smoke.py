@@ -531,6 +531,48 @@ def main():
         except Exception as e:  # noqa: BLE001
             fail("train_fused_masked_S10_cap500_B1024", e)
 
+    # 19c. the MIXED (trajectory trapezoid + ramped terminal) variant:
+    # the trapezoid nodes read the VMEM trajectory scratch and inject
+    # their cotangents during the reverse sweep (Main_new_loss.py:145-168)
+    if tr_fix:
+        try:
+            nodes_tr = jnp.pad(jnp.cumsum(dt_tr), (1, 0))
+            traj_tr = jnp.sin(u0_tr[:, None] + nodes_tr[None, :]) + 0.3
+            ramp_tr = 0.01
+            run_trx = make_pallas_resblock_epoch_grad(
+                s_tr, f_tr, interpret=interp, mixed=True
+            )
+            got_lx, got_gx = jax.jit(
+                lambda p: run_trx(p, dt_tr, u0_tr, traj_tr.T,
+                                  ramp_weight=ramp_tr)
+            )(p_tr)
+            jax.block_until_ready(got_lx)
+
+            def _loss_trx(p):
+                def one(u0, tv_traj):
+                    u = forward_march_per_step(
+                        _step_tr, jnp.atleast_1d(u0), dt_tr, p
+                    )
+                    e2 = jnp.square(jnp.squeeze(u) - tv_traj)
+                    trap = jnp.dot((e2[:-1] + e2[1:]) / 2.0, dt_tr)
+                    return trap + ramp_tr * e2[-1]
+
+                return jnp.mean(jax.vmap(one)(u0_tr, traj_tr))
+
+            want_lx, want_gx = jax.jit(jax.value_and_grad(_loss_trx))(p_tr)
+            flat_wx = jnp.concatenate(
+                [jnp.ravel(x) for x in jax.tree_util.tree_leaves(want_gx)]
+                + [jnp.reshape(want_lx, (1,))]
+            )
+            flat_gx = jnp.concatenate(
+                [jnp.ravel(x) for x in jax.tree_util.tree_leaves(got_gx)]
+                + [jnp.reshape(got_lx, (1,))]
+            )
+            check("train_fused_mixed_S10_F500_B1024", flat_gx, flat_wx,
+                  5e-4, 1e-6)
+        except Exception as e:  # noqa: BLE001
+            fail("train_fused_mixed_S10_F500_B1024", e)
+
     # 17. fused DG-in-time slab ensemble kernel vs the XLA batched pipeline.
     # This group runs LAST: the imports + shared fixtures used by every
     # 17* section sit in their OWN try, and a setup failure marks all
