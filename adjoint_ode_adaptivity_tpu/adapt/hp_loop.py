@@ -334,10 +334,6 @@ def run_adaptive_dg_hp(
                 raise ValueError(
                     "engine='pallas' requires an ensemble (B,) y0"
                 )
-            if adjoint_mode != "solve":
-                raise ValueError(
-                    "engine='pallas' supports adjoint_mode='solve' only"
-                )
             b_ens = int(y0_arr.shape[0])
             n_shard = 1 if mesh is None else mesh.shape[mesh_axis]
             if b_ens % (8 * n_shard):
@@ -359,6 +355,7 @@ def run_adaptive_dg_hp(
                 fine_offset=fine_offset, g_u=g_u,
                 newton_iters=newton_iters or 8,
                 interpret=jax.default_backend() != "tpu",
+                adjoint_mode=adjoint_mode, rad=radau,
             )
             if mesh is not None:
                 from adjoint_ode_adaptivity_tpu.parallel.ensemble import (
@@ -854,10 +851,6 @@ def run_adaptive_dg_hp_per_member(
             if adjoint_mode == "reconstruct" else None
         )
         if engine == "pallas":
-            if adjoint_mode != "solve":
-                raise ValueError(
-                    "engine='pallas' supports adjoint_mode='solve' only"
-                )
             from adjoint_ode_adaptivity_tpu.ops.pallas import (
                 ensure_scoped_vmem,
             )
@@ -871,6 +864,7 @@ def run_adaptive_dg_hp_per_member(
                 fine_offset=fine_offset, g_u=g_u,
                 newton_iters=newton_iters or 8,
                 interpret=jax.default_backend() != "tpu",
+                adjoint_mode=adjoint_mode, rad=radau,
             )
             if mesh is not None:
                 from adjoint_ode_adaptivity_tpu.parallel.ensemble import (

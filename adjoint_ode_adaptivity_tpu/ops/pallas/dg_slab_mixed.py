@@ -96,8 +96,9 @@ def _blend_vec(masks, table, rows, lo):
     return out
 
 
-def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
-                  newton_iters, times_ref, ns_ref, y0_ref,
+def _mixed_kernel(mops, interp, rad, adjoint_mode, f, f_u, g_u, k_el,
+                  fine_offset, n_max_user, newton_iters,
+                  times_ref, ns_ref, y0_ref,
                   uc_out, uf_out, v_out, err_out, uend_ref):
     np_m = mops.np_max
     n_stack = mops.n_max
@@ -119,6 +120,11 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
         a_adj[n, 0, 0] -= 1.0
     to_nodes = np.asarray(interp.to_nodes, np.float64)  # (L−1, np_m, np_m)
     to_quad = np.asarray(interp.to_quad, np.float64)  # (L−1, Q, np_m)
+    r_pad = np.asarray(mops.r_pad, np.float64)
+    # Radau-reconstruction tables (adjoint_mode="reconstruct" only):
+    # indexed by the PRIMAL order − 1, like to_nodes/to_quad
+    eval_rad = None if rad is None else np.asarray(rad.eval_rad, np.float64)
+    to_hi = None if rad is None else np.asarray(rad.to_hi, np.float64)
 
     zeros_like = lambda t: t - t  # noqa: E731 - cheap tile zero
 
@@ -257,13 +263,10 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
         # the PRIMAL order: lo = 0 = primal order 1)
         to_q_eff = _blend(mm, to_quad, q, np_m, 0)
         to_n_eff = _blend(mm, to_nodes, np_m, np_m, 0)
-        # adjoint-order (ns+1) tables: lo = 1 in stack units
-        a_eff = _blend(mm, a_adj, np_m, np_m, 1)
+        # adjoint-order (ns+1) tables for the residual: lo = 1 in stack
+        # units (both adjoint modes weight the SAME order-(ns+1) residual)
         phi_eff = _blend(mm, phi, q, np_m, 1)
-        m_eff = _blend(mm, mass, np_m, np_m, 1)
         s_t_eff = _blend(mm, s_t, np_m, np_m, 1)
-        r_eff = _blend_vec(mm, np.asarray(mops.r_pad, np.float64), np_m, 1)
-        live_a = live_masks(ns_k, 1)
         # e_end at index ns_k+1: e_end[i] = mm[i−2] (i = n+1 for order n)
         e_end = [
             mm[i - 2] if 2 <= i - 0 and 0 <= i - 2 < n_max_user
@@ -297,16 +300,8 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
             )
             for i in range(np_m)
         ]
-        # node times at the adjoint order (r_pad pads with +1 → t_right;
-        # blended r_eff[i] may be None only if every order's entry is 0)
-        t_n = [
-            tl + (1.0 + (r_eff[i] if r_eff[i] is not None
-                         else zeros_like(h))) * h * 0.5
-            for i in range(np_m)
-        ]
-        # system matrix: a_adj_eff + m_w (weighted mass at ns+1); Φᵀ·w and
-        # f′·Φ tiles hoisted out of the (i, j) entry loops (same factoring
-        # and multiply association as the forward Newton Jacobian)
+        # Φᵀ·w tiles at the ADJOINT order — shared by the solve-mode
+        # system and (both modes) the residual's m̃ quadrature term
         phiw_a = [
             [
                 None if phi_eff[qq][i] is None
@@ -315,45 +310,115 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
             ]
             for qq in range(q)
         ]
-        dphi_a = [
-            [
-                None if phi_eff[qq][j] is None
-                else dfq[qq] * phi_eff[qq][j]
-                for j in range(np_m)
+
+        def backward_solve(lo_off, u_nodes, e_sel):
+            """One blended backward DG solve at stack offset ``lo_off``
+            (1 = order ns+1, the direct adjoint; 0 = order ns, the
+            low-order solve feeding the Radau lift). System matrix
+            a_adj_eff + m_w, rhs −(h/2)·M·g_u(u_nodes) − e_sel·v_in —
+            the tile form of adjoint/dg_mixed.py's
+            dg_adjoint_march_mixed / dg_adjoint_solve_low_mixed. Φᵀ·w
+            and f′·Φ tiles hoisted out of the (i, j) entry loops (same
+            factoring and multiply association as the forward Newton
+            Jacobian)."""
+            phi_o = (phi_eff if lo_off == 1
+                     else _blend(mm, phi, q, np_m, 0))
+            a_o = _blend(mm, a_adj, np_m, np_m, lo_off)
+            m_o = _blend(mm, mass, np_m, np_m, lo_off)
+            r_o = _blend_vec(mm, r_pad, np_m, lo_off)
+            live_o = live_masks(ns_k, lo_off)
+            # node times (r_pad pads with +1 → t_right; blended r_o[i]
+            # may be None only if every order's entry is 0)
+            t_n = [
+                tl + (1.0 + (r_o[i] if r_o[i] is not None
+                             else zeros_like(h))) * h * 0.5
+                for i in range(np_m)
             ]
-            for qq in range(q)
-        ]
-        a_mat = []
-        for i in range(np_m):
-            arow = []
-            for j in range(np_m):
-                acc = (
-                    a_eff[i][j]
-                    if a_eff[i][j] is not None
-                    else zeros_like(h)
-                )
-                terms = [
-                    phiw_a[qq][i] * dphi_a[qq][j]
-                    for qq in range(q)
-                    if phiw_a[qq][i] is not None
-                    and dphi_a[qq][j] is not None
+            phiw = phiw_a if lo_off == 1 else [
+                [
+                    None if phi_o[qq][i] is None
+                    else phi_o[qq][i] * float(wq[qq])
+                    for i in range(np_m)
                 ]
-                if terms:
-                    acc = acc + (h / 2.0) * sum(terms)
-                arow.append(acc)
-            a_mat.append(arow)
-        gu = [live_a[j] * g_u(u_h[j], t_n[j]) for j in range(np_m)]
-        rhs = []
-        for i in range(np_m):
-            acc = (-h / 2.0) * sum(
-                m_eff[i][j] * gu[j]
-                for j in range(np_m)
-                if m_eff[i][j] is not None
-            )
-            if e_end[i] is not None:
-                acc = acc - e_end[i] * v_in
-            rhs.append(acc)
-        v = ge_solve_rows(a_mat, rhs)
+                for qq in range(q)
+            ]
+            dphi = [
+                [
+                    None if phi_o[qq][j] is None
+                    else dfq[qq] * phi_o[qq][j]
+                    for j in range(np_m)
+                ]
+                for qq in range(q)
+            ]
+            a_mat = []
+            for i in range(np_m):
+                arow = []
+                for j in range(np_m):
+                    acc = (
+                        a_o[i][j]
+                        if a_o[i][j] is not None
+                        else zeros_like(h)
+                    )
+                    terms = [
+                        phiw[qq][i] * dphi[qq][j]
+                        for qq in range(q)
+                        if phiw[qq][i] is not None
+                        and dphi[qq][j] is not None
+                    ]
+                    if terms:
+                        acc = acc + (h / 2.0) * sum(terms)
+                    arow.append(acc)
+                a_mat.append(arow)
+            gu = [live_o[j] * g_u(u_nodes[j], t_n[j]) for j in range(np_m)]
+            rhs = []
+            for i in range(np_m):
+                acc = (-h / 2.0) * sum(
+                    m_o[i][j] * gu[j]
+                    for j in range(np_m)
+                    if m_o[i][j] is not None
+                )
+                if e_sel[i] is not None:
+                    acc = acc - e_sel[i] * v_in
+                rhs.append(acc)
+            return ge_solve_rows(a_mat, rhs)
+
+        if adjoint_mode == "solve":
+            v = backward_solve(1, u_h, e_end)
+            carry = v[0]
+        else:
+            # low-order solve AT the primal orders, inflow chained on the
+            # LOW solution's left endpoint (dg_adjoint_solve_low_mixed);
+            # e_end at index ns_k: one_hot rows i = n (order n) → mm[i−1]
+            e_end_lo = [
+                mm[i - 1] if 0 <= i - 1 < n_max_user else None
+                for i in range(np_m)
+            ]
+            v_lo = backward_solve(0, u_el, e_end_lo)
+            carry = v_lo[0]
+            # Radau lift to order ns+1 (dg_adjoint_reconstruct_mixed /
+            # adj_rec.m:34-47): evaluate at the Radau points, append the
+            # known right-endpoint inflow, refit at order ns+1
+            er_eff = _blend(mm, eval_rad, np_m, np_m, 0)
+            th_eff = _blend(mm, to_hi, np_m, np_m, 0)
+            vals = []
+            for j in range(np_m):
+                terms = [
+                    er_eff[j][k] * v_lo[k]
+                    for k in range(np_m)
+                    if er_eff[j][k] is not None
+                ]
+                acc = sum(terms) if terms else zeros_like(h)
+                if e_end[j] is not None:
+                    acc = acc + e_end[j] * v_in
+                vals.append(acc)
+            v = []
+            for i in range(np_m):
+                terms = [
+                    th_eff[i][j] * vals[j]
+                    for j in range(np_m)
+                    if th_eff[i][j] is not None
+                ]
+                v.append(sum(terms) if terms else zeros_like(h))
 
         # AWR: res = S_aᵀ u_h − e_end (e_end·u_h) + m̃ + e_0 u_prev
         uh_end = sum(
@@ -378,7 +443,7 @@ def _mixed_kernel(mops, interp, f, f_u, g_u, k_el, fine_offset, n_max_user,
         for i in range(np_m):
             v_out[ke, i] = v[i]
         err_out[ke] = err
-        return v[0]
+        return carry
 
     zero = zeros_like(y0_ref[:])
     lax.fori_loop(0, k_el, adj_element, zero)
@@ -397,9 +462,22 @@ def make_pallas_dg_estimate_hp_per_member(
     newton_iters: int = 8,
     interpret: bool = False,
     block_members: int | None = 16_384,
+    adjoint_mode: str = "solve",
+    rad=None,
 ):
     """Build ``run(times, ns, y0s) -> (u_c, u_f, v, err)`` — the fused
     per-member hp estimate.
+
+    ``adjoint_mode``: 'solve' (default) solves the adjoint directly at
+    ``ns + 1`` (adj_march semantics); 'reconstruct' solves it AT the
+    primal orders and lifts through Radau collocation + the known
+    right-endpoint inflow (adj_rec.m:34-47 —
+    ``adjoint/dg_mixed.dg_adjoint_solve_low_mixed`` +
+    ``dg_adjoint_reconstruct_mixed``), which replaces the (ns+2)-row
+    backward solve with an (ns+1)-row solve plus two table contractions.
+    'reconstruct' requires ``rad`` (``dg_radau_interp_mixed(mops)``).
+    Both modes weight the SAME order-(ns+1) residual; the returned ``v``
+    is the order-(ns+1) adjoint (direct or reconstructed).
 
     ``times`` (B, K+1) per-member partitions, ``ns`` (B, K) per-member
     PRIMAL orders in ``1..n_max_user``, ``y0s`` (B,) with B a multiple of
@@ -429,12 +507,20 @@ def make_pallas_dg_estimate_hp_per_member(
         )
     if mops.np_max > 8:
         raise ValueError("in-kernel solves support np_max <= 8")
+    if adjoint_mode not in ("solve", "reconstruct"):
+        raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    if adjoint_mode == "reconstruct" and rad is None:
+        raise ValueError(
+            "adjoint_mode='reconstruct' requires rad "
+            "(adjoint.dg_mixed.dg_radau_interp_mixed(mops))"
+        )
     k_el = n_elements
     np_m = mops.np_max
 
     kern = functools.partial(
-        _mixed_kernel, mops, interp, f, f_u, g_u, k_el, fine_offset,
-        n_max_user, newton_iters,
+        _mixed_kernel, mops, interp,
+        rad if adjoint_mode == "reconstruct" else None, adjoint_mode,
+        f, f_u, g_u, k_el, fine_offset, n_max_user, newton_iters,
     )
 
     def run(times, ns, y0s):

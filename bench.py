@@ -724,6 +724,7 @@ def main():
     # choices make the quoted speedup conservative).
     hp_pm_fused_wall = hp_pm_host_wall = hp_pm_base_est = None
     hp_pm_pallas_wall = hp_pm_base_faithful_est = None
+    hp_pm_pallas_rec_wall = None
     hp_pm_pallas4k_wall = hp_pm_base4k_faithful_est = None
     hp4k_b = 4096
     hp_pm_iters = 0
@@ -803,6 +804,28 @@ def main():
             hp_pm_pallas_wall = min(_timeit(_hp_pallas_run) for _ in range(5))
         except Exception:  # noqa: BLE001 - keep bench alive on kernel regress
             hp_pm_pallas_wall = None
+
+        # RECONSTRUCT-adjoint engine (adj_rec.m path): solves the backward
+        # system at the PRIMAL order and lifts through Radau collocation —
+        # an (ns+1)-row solve instead of (ns+2), so it should beat solve
+        # mode (the reason the reference built adj_rec)
+        hp_pm_pallas_rec_wall = None
+        try:
+            h_hpr = run_adaptive_dg_hp_per_member(
+                f_sin, hp_y0, (0.0, 2.0), device_loop=True,
+                engine="pallas", adjoint_mode="reconstruct", **hp_kwargs
+            )
+
+            def _hp_rec_run():
+                bufs, n_done = h_hpr.run_fused(*h_hpr.fused_args)
+                return np.asarray(bufs[3])
+
+            _hp_rec_run()
+            hp_pm_pallas_rec_wall = min(
+                _timeit(_hp_rec_run) for _ in range(5)
+            )
+        except Exception:  # noqa: BLE001 - keep bench alive on regress
+            hp_pm_pallas_rec_wall = None
 
         # scale past B=512 (VERDICT r3 next-step #3): the same fused-kernel
         # study at B=4096 — per-study cost drops when the kernel was
@@ -1335,6 +1358,9 @@ def main():
                 "hp_adaptive_pm_pallas_vs_faithful_baseline": None
                 if hp_pm_pallas_wall is None or hp_pm_base_faithful_est is None
                 else hp_pm_base_faithful_est / hp_pm_pallas_wall,
+                "hp_adaptive_pm_pallas_reconstruct_wall_s": None
+                if hp_pm_pallas_rec_wall is None
+                else round(hp_pm_pallas_rec_wall, 4),
                 "hp_adaptive_pm_pallas4k_wall_s": None
                 if hp_pm_pallas4k_wall is None
                 else round(hp_pm_pallas4k_wall, 4),

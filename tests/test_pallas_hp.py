@@ -169,6 +169,93 @@ def test_effectivity_identity_through_kernel(mops, interp):
     )
 
 
+def test_kernel_reconstruct_matches_xla_pipeline(mops, interp):
+    # adjoint_mode="reconstruct": low-order solve at the primal orders +
+    # Radau lift + AWR, pinned to the XLA reconstruct pipeline
+    # (dg_adjoint_solve_low_mixed → dg_adjoint_reconstruct_mixed →
+    # dg_awr_from_adjoint_mixed)
+    from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+        dg_adjoint_reconstruct_mixed,
+        dg_adjoint_solve_low_mixed,
+        dg_awr_from_adjoint_mixed,
+        dg_radau_interp_mixed,
+    )
+
+    rad = dg_radau_interp_mixed(mops)
+    times, ns, y0 = _random_problem(seed=7)
+    run = make_pallas_dg_estimate_hp_per_member(
+        mops, interp, F_SIN, n_elements=K_EL, n_max_user=N_MAX_USER,
+        fine_offset=FO, newton_iters=NEWTON, interpret=True,
+        adjoint_mode="reconstruct", rad=rad,
+    )
+    u_c, u_f, v, err = run(times, ns, y0)
+
+    def member(t_m, n_m, y_m):
+        res_c = dg_march_mixed(
+            mops, F_SIN, t_m, n_m, y_m, newton_iters=NEWTON
+        )
+        v_low = dg_adjoint_solve_low_mixed(
+            mops, F_SIN, res_c.u, t_m, n_m, y_m
+        )
+        v_hi = dg_adjoint_reconstruct_mixed(mops, rad, v_low, n_m)
+        err_m = dg_awr_from_adjoint_mixed(
+            mops, interp, F_SIN, res_c.u, t_m, n_m, y_m, v_hi
+        )
+        return res_c.u, v_hi, err_m
+
+    u_r, v_r, err_r = jax.vmap(member)(times, ns, y0)
+    np.testing.assert_allclose(
+        np.asarray(u_c), np.asarray(u_r), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_r), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(err), np.asarray(err_r), atol=2e-5
+    )
+    # padding slabs contribute exactly zero error in BOTH paths
+    assert np.abs(np.asarray(err)[1::2, -1]).max() < 1e-7
+
+
+def test_reconstruct_requires_rad(mops, interp):
+    with pytest.raises(ValueError, match="rad"):
+        make_pallas_dg_estimate_hp_per_member(
+            mops, interp, F_SIN, n_elements=K_EL, n_max_user=N_MAX_USER,
+            fine_offset=FO, interpret=True, adjoint_mode="reconstruct",
+        )
+
+
+def test_per_member_loop_reconstruct_engine_parity():
+    # the reconstruct-adjoint hp study through the pallas engine pins the
+    # XLA engine's decisions (VERDICT r3 next-step #6: reconstruct used
+    # to fall back to XLA)
+    from adjoint_ode_adaptivity_tpu.adapt.hp_loop import (
+        run_adaptive_dg_hp_per_member,
+    )
+
+    y0s = np.linspace(0.6, 1.8, 8)
+    kw = dict(k0=3, n0=1, n_max=3, mode="hp", tol=0.0, maxit=4,
+              newton_iters=8, adjoint_mode="reconstruct")
+    hx = run_adaptive_dg_hp_per_member(F_SIN, y0s, (0.0, 2.0), **kw)
+    hp_ = run_adaptive_dg_hp_per_member(
+        F_SIN, y0s, (0.0, 2.0), engine="pallas", **kw
+    )
+    assert len(hx) == len(hp_)
+    for a, b in zip(hx, hp_):
+        np.testing.assert_array_equal(a.ns, b.ns)
+        np.testing.assert_array_equal(a.times, b.times)
+        np.testing.assert_allclose(a.est_total, b.est_total, atol=5e-5)
+    # device_loop composes (bit-identical history to the host pallas loop)
+    hd = run_adaptive_dg_hp_per_member(
+        F_SIN, y0s, (0.0, 2.0), engine="pallas", device_loop=True, **kw
+    )
+    assert len(hd) == len(hp_)
+    for a, b in zip(hp_, hd):
+        np.testing.assert_array_equal(a.times, b.times)
+        np.testing.assert_array_equal(a.ns, b.ns)
+        np.testing.assert_array_equal(a.est_total, b.est_total)
+
+
 def test_per_member_loop_engine_parity():
     # the adaptive loop's decisions (orders, partitions) are pinned EQUAL
     # across engines; estimates agree at f32 roundoff

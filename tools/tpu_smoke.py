@@ -816,8 +816,49 @@ def main():
 
         err_hx = jax.jit(jax.vmap(_hp_member))(t_hp, ns_hp, y_hp)
         check("dg_slab_hp_per_member_B1024_K16", err_hp, err_hx, 1e-4, 3e-6)
+        hp_fix = True
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_hp_per_member_B1024_K16", e)
+        hp_fix = False
+
+    try:
+        if not hp_fix:
+            raise RuntimeError("hp fixture setup failed (see 17g)")
+        # 17h. the RECONSTRUCT-adjoint variant of the same kernel: the
+        # low-order backward solve + Radau lift + AWR (adj_rec.m path)
+        # vs the XLA reconstruct pipeline
+        from adjoint_ode_adaptivity_tpu.adjoint.dg_mixed import (
+            dg_adjoint_reconstruct_mixed,
+            dg_adjoint_solve_low_mixed,
+            dg_awr_from_adjoint_mixed,
+            dg_radau_interp_mixed,
+        )
+
+        rad_s = dg_radau_interp_mixed(mops_s)
+        hp_run_rec = make_pallas_dg_estimate_hp_per_member(
+            mops_s, interp_s, f_sin, n_elements=k_hp, n_max_user=n_user,
+            fine_offset=fo, newton_iters=6, interpret=interp,
+            adjoint_mode="reconstruct", rad=rad_s,
+        )
+        _, _, _, err_hr = hp_run_rec(t_hp, ns_hp, y_hp)
+
+        def _hp_member_rec(t_m, n_m, y_m):
+            res_c = dg_march_mixed(
+                mops_s, f_sin, t_m, n_m, y_m, newton_iters=6
+            )
+            v_low = dg_adjoint_solve_low_mixed(
+                mops_s, f_sin, res_c.u, t_m, n_m, y_m
+            )
+            v_hi = dg_adjoint_reconstruct_mixed(mops_s, rad_s, v_low, n_m)
+            return dg_awr_from_adjoint_mixed(
+                mops_s, interp_s, f_sin, res_c.u, t_m, n_m, y_m, v_hi
+            )
+
+        err_hxr = jax.jit(jax.vmap(_hp_member_rec))(t_hp, ns_hp, y_hp)
+        check("dg_slab_hp_reconstruct_B1024_K16", err_hr, err_hxr,
+              1e-4, 3e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_hp_reconstruct_B1024_K16", e)
 
     return _finish(t_start, interp)
 
