@@ -78,6 +78,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--node", type=int, default=1, help="accepted for parity; unused")
     p.add_argument("--ode", default=None, help="override the method's default ODE")
+    p.add_argument("--hidden", default=None,
+                   help="--method recurrent: comma-separated Dense-chain "
+                        "hidden widths (reference config '100,500', "
+                        "Main_FD_with_net.py:52); default: one layer of "
+                        "--width")
     p.add_argument("--n-steps", type=int, default=2)
     p.add_argument("--t1", type=float, default=1.0)
     p.add_argument("--width", type=int, default=16)
@@ -175,6 +180,18 @@ def main(argv=None):
         )["params"]
         p1 = models.masked_params_from_simple(p_simple, capacity)
         n_active = jnp.full((n_steps,), args.width, jnp.int32)
+    elif args.method == "recurrent":
+        # Main_FD_with_net trains the Dense-chain ResNetBlock (szs =
+        # [100, 500], Main_FD_with_net.py:52-54) with ONE shared param
+        # set; --hidden picks the chain (default: one layer of --width)
+        capacity = args.width
+        hidden = (
+            tuple(int(s) for s in args.hidden.split(","))
+            if args.hidden else (args.width,)
+        )
+        net = models.ResNetBlock(hidden)
+        p1 = net.init(rng, jnp.ones(1), 0.0, 0.1)["params"]
+        n_active = None
     else:
         capacity = args.width
         net = models.ResBlockSimple(args.width)
@@ -249,8 +266,33 @@ def main(argv=None):
         from adjoint_ode_adaptivity_tpu.train import make_batches, make_shared_train_step
 
         state = create_train_state(p1, tx)
-        train_step = make_shared_train_step(net, tx, dt)
         batch_size = max(8, args.n_train // 16)
+        sizes = hidden
+        use_fused = args.train_engine == "pallas" or (
+            args.train_engine == "auto"
+            and jax.default_backend() == "tpu"
+            and batch_size % 8 == 0
+        )
+        if use_fused and batch_size % 8:
+            raise SystemExit(
+                f"--train-engine pallas (shared): the minibatch size "
+                f"{batch_size} must be a multiple of 8"
+            )
+
+        def _mk_shared_step(dt_now):
+            if use_fused:
+                from adjoint_ode_adaptivity_tpu.train import (
+                    make_shared_train_step_fused,
+                )
+
+                return make_shared_train_step_fused(
+                    tx, dt_now, sizes,
+                    interpret=jax.default_backend() != "tpu",
+                    block_members=max(8, batch_size),
+                )
+            return make_shared_train_step(net, tx, dt_now)
+
+        train_step = _mk_shared_step(dt)
     else:
         # per-step ResBlockSimple (plain or padded-capacity masked):
         # eligible for the fused kernel
@@ -357,11 +399,7 @@ def main(argv=None):
                 if use_masked:
                     n_active = restored["n_active"]
                 if use_shared:
-                    from adjoint_ode_adaptivity_tpu.train import (
-                        make_shared_train_step as _mk_shared,
-                    )
-
-                    train_step = _mk_shared(net, tx, dt)
+                    train_step = _mk_shared_step(dt)
                 elif use_fused:
                     train_step = _mk_step(n_steps)
                 print(f"resumed from checkpoint step {last} (outer it {it})")
@@ -438,9 +476,7 @@ def main(argv=None):
             dt = jnp.diff(t)
             if use_shared:
                 # shared params need no surgery; rebuild the step for new dt
-                from adjoint_ode_adaptivity_tpu.train import make_shared_train_step
-
-                train_step = make_shared_train_step(net, tx, dt)
+                train_step = _mk_shared_step(dt)
             else:
                 if use_fused:
                     # the fused kernel bakes n_steps; rebuild per insertion

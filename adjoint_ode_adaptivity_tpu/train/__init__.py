@@ -17,6 +17,7 @@ from adjoint_ode_adaptivity_tpu.train.loop import (
     make_per_step_masked_train_step_fused,
     make_per_step_train_step_fused,
     make_shared_train_step,
+    make_shared_train_step_fused,
 )
 from adjoint_ode_adaptivity_tpu.train.losses import (
     mixed_ramp_weight,
@@ -32,6 +33,7 @@ __all__ = [
     "make_padded_adaptive_trainer",
     "create_train_state",
     "make_shared_train_step",
+    "make_shared_train_step_fused",
     "make_per_step_train_step",
     "make_per_step_train_step_fused",
     "make_per_step_masked_train_step_fused",

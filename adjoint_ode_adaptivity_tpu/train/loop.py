@@ -111,6 +111,68 @@ def make_per_step_train_step(net, tx: optax.GradientTransformation):
     return train_step
 
 
+def make_shared_train_step_fused(
+    tx: optax.GradientTransformation,
+    dt: jnp.ndarray,
+    sizes,
+    interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
+    block_members: int = 2048,
+):
+    """:func:`make_shared_train_step` (shared-params ResNetBlock Dense
+    chain — the reference's largest training config,
+    Main_FD_with_net.py:52-57) with the epoch's value_and_grad fused
+    into ONE Pallas launch (ops.pallas.train_dense_fused): activations
+    stay VMEM-resident, hidden-layer matmuls ride the MXU, only the
+    (S+1, B) scalar trajectory is stored and the backward recomputes
+    the chain per step. Same ``(state, u0_batch, true_batch) → (state,
+    loss)`` contract and the same gradients as the XLA step at matmul
+    precision (tests/test_pallas_train.py). ``mesh`` dp-shards the
+    members as in :func:`make_per_step_train_step_fused`."""
+    from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+        make_pallas_dense_epoch_grad,
+    )
+
+    dt = jnp.asarray(dt, jnp.float32)
+    grad_fn = make_pallas_dense_epoch_grad(
+        dt.shape[0], sizes, interpret=interpret,
+        block_members=block_members,
+    )
+
+    if mesh is None:
+        def value_and_grad(params, u0b, trueb):
+            return grad_fn(params, dt, u0b, trueb)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d = mesh.shape[mesh_axis]
+
+        def local(params, u0l, truel):
+            loss, grads = grad_fn(params, dt, u0l, truel)
+            loss = jax.lax.psum(loss, mesh_axis) / d
+            grads = jax.lax.psum(grads, mesh_axis)
+            return loss, jax.tree_util.tree_map(lambda x: x / d, grads)
+
+        def value_and_grad(params, u0b, trueb):
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(mesh_axis), P(mesh_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, u0b, trueb)
+
+    @jax.jit
+    def train_step(state: TrainState, u0_batch, true_batch):
+        loss, grads = value_and_grad(state.params, u0_batch, true_batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
 def make_per_step_train_step_fused(
     tx: optax.GradientTransformation,
     n_steps: int,

@@ -1138,6 +1138,59 @@ def main():
             * s_rates[100]
         )
 
+    # ---- same epochs through the FUSED Dense-chain kernel
+    # (ops/pallas/train_dense_fused.py): activations VMEM-resident,
+    # hidden matmuls on the MXU, backward recomputes the chain from the
+    # stored scalar trajectory (4/3 of the XLA FLOPs for ~zero HBM
+    # activation traffic — the XLA step measures ~700 GB/s of sheet
+    # traffic at S=100 and sits at the bandwidth roofline).
+    train_shared_rate_pallas = train_shared_rate_pallas_s100 = None
+    train_shared_flops_pallas = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_shared_train_step_fused,
+        )
+
+        sp_rates = {}
+        for s_steps in (10, 100):
+            s_dt = jnp.full((s_steps,), 1.0 / s_steps, jnp.float32)
+            s_step_p = make_shared_train_step_fused(
+                s_tx, s_dt, (100, 500), block_members=2048
+            )
+
+            def mk_shared_p(k_epochs, s_step_p=s_step_p):
+                @jax.jit
+                def g(u0b):
+                    def body(st, _):
+                        st, loss = s_step_p(st, u0b, s_true)
+                        return st, loss
+
+                    st, losses = jax.lax.scan(
+                        body, s_state0, None, length=k_epochs
+                    )
+                    live = sum(
+                        jnp.sum(leaf)
+                        for leaf in jax.tree_util.tree_leaves(st.params)
+                    )
+                    return losses[-1] + 1e-20 * live
+                return g
+
+            try:
+                sp_el, _ = chained_slope(
+                    mk_shared_p, s_u0, k_hi=64 if s_steps == 10 else 16
+                )
+                sp_rates[s_steps] = 1.0 / sp_el
+            except Exception:  # noqa: BLE001
+                sp_rates[s_steps] = None
+        train_shared_rate_pallas = sp_rates[10]
+        train_shared_rate_pallas_s100 = sp_rates[100]
+        if sp_rates[100]:
+            # the fused kernel recomputes the chain in backward: 4x fwd
+            train_shared_flops_pallas = (
+                4 * 2 * s_batch * 100 * (100 + 50_000 + 500)
+                * sp_rates[100]
+            )
+
     # ---- vector-state (d=2) ensemble through the generic XLA paths: the
     # fused kernels are scalar-state by design (all reference nets are
     # scalar, models.py:38-65); this row quantifies the d>1 fallback so
@@ -1386,9 +1439,18 @@ def main():
                 "train_shared_epochs_per_sec_w100x500_b8192_s100":
                     train_shared_rate_s100,
                 "train_shared_matmul_flops_per_sec": train_shared_flops,
+                "train_shared_epochs_per_sec_w100x500_b8192_s10_pallas":
+                    train_shared_rate_pallas,
+                "train_shared_epochs_per_sec_w100x500_b8192_s100_pallas":
+                    train_shared_rate_pallas_s100,
+                "train_shared_matmul_flops_per_sec_pallas":
+                    train_shared_flops_pallas,
                 "train_shared_vs_reference_ceiling": None
                 if train_shared_rate_s100 is None
                 else train_shared_rate_s100 / 0.56,
+                "train_shared_pallas_vs_reference_ceiling": None
+                if train_shared_rate_pallas_s100 is None
+                else train_shared_rate_pallas_s100 / 0.56,
                 # vector-state (d=2) XLA fallback at ensemble scale
                 "vec2_ensemble_ics_per_sec": vec2_rate,
             }

@@ -172,6 +172,29 @@ class TestTrainDriver:
         )
         assert "outer it 1" in outs["pallas"][1]
 
+    def test_recurrent_fused_engine_matches_xla(self, tmp_path, monkeypatch,
+                                                capsys):
+        """--method recurrent --train-engine pallas (the fused shared-net
+        Dense-chain epoch kernel, interpret mode on CPU) reproduces the
+        XLA engine's refined grid, including the rebuild for the new dt
+        after a depth insertion."""
+        monkeypatch.chdir(tmp_path)
+        from adjoint_ode_adaptivity_tpu.drivers.train_resnet_ode import main
+
+        outs = {}
+        for eng in ("xla", "pallas"):
+            _, t = main([
+                "--method", "recurrent", "--epochs", "3", "--maxit", "1",
+                "--n-train", "128", "--n-test", "4", "--width", "4",
+                "--hidden", "3,5", "--quiet", "--seed", "2",
+                "--train-engine", eng,
+            ])
+            outs[eng] = (np.asarray(t), capsys.readouterr().out)
+        np.testing.assert_allclose(
+            outs["pallas"][0], outs["xla"][0], atol=1e-6
+        )
+        assert "outer it 1" in outs["pallas"][1]
+
     def test_width_method_fused_matches_xla(self, tmp_path, monkeypatch,
                                             capsys):
         """--method width (padded-capacity masked net) through the fused

@@ -41,6 +41,29 @@ class TestBlocks:
         out = net.apply({"params": params}, jnp.array([1.0]), 0.0, 0.1)
         assert out.shape == (1,)
 
+    def test_resnet_block_dense_chain_parity(self):
+        """Spec parity for the shared-net Dense strand
+        (Main_FD_with_net.py:52-57 trains ResNetBlock([100, 500])):
+        u_{n+1} = u_n + dt·Dense(relu(Dense(relu(Dense(u_n))))) — a
+        residual Euler step through the hidden-width chain, pinned to a
+        hand-rolled NumPy MLP. (The reference's list-sized module passes
+        the whole list to ONE flax Dense — python/models.py:98 — which
+        does not construct; the chain is the working interpretation the
+        depth/width studies assume.)"""
+        net = models.ResNetBlock((3, 5))
+        params = net.init(jrand.PRNGKey(2), jnp.ones(1), 0.0, 0.1)["params"]
+        u, dt = np.float64(0.7), 0.25
+        f = np.atleast_1d(u)
+        for i in range(3):
+            k = np.asarray(params[f"Dense_{i}"]["kernel"], np.float64)
+            b = np.asarray(params[f"Dense_{i}"]["bias"], np.float64)
+            f = f @ k + b
+            if i < 2:
+                f = np.maximum(f, 0.0)
+        want = u + f * dt
+        got = net.apply({"params": params}, jnp.array([u]), 0.0, dt)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
     def test_single_neuron_layers_trajectory(self):
         net = models.SingleNeuronLayers(layers=5)
         params = net.init(jrand.PRNGKey(0), jnp.ones(1))["params"]

@@ -208,6 +208,149 @@ class TestFusedCompositions:
         )
 
 
+class TestFusedDense:
+    """Fused SHARED-params Dense-chain epoch kernel
+    (ops/pallas/train_dense_fused.py) vs jax.grad of the XLA shared
+    step's loss — the Main_FD_with_net strand."""
+
+    def _setup(self, seed=41, sizes=(3, 5), s=S):
+        from adjoint_ode_adaptivity_tpu.models.blocks import ResNetBlock
+
+        net = ResNetBlock(sizes)
+        params = net.init(jax.random.PRNGKey(seed), jnp.ones(1), 0.0, 0.1)[
+            "params"
+        ]
+        dt = jnp.asarray(
+            np.random.default_rng(seed).uniform(0.05, 0.15, s), jnp.float32
+        )
+        u0s = jnp.asarray(
+            np.random.default_rng(seed + 2).uniform(-2, 2, B), jnp.float32
+        )
+        trues = jnp.sin(u0s) + 0.3
+        return net, params, dt, u0s, trues
+
+    def _xla_value_and_grad(self, net, params, dt, u0s, trues):
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march
+        from adjoint_ode_adaptivity_tpu.train.losses import terminal_mse
+
+        def batch_loss(p):
+            def one(u0, true):
+                u = forward_march(
+                    lambda u_, t, d: net.apply({"params": p}, u_, t, d),
+                    jnp.atleast_1d(u0), dt,
+                )
+                return terminal_mse(u, true)
+
+            return jnp.mean(jax.vmap(one)(u0s, trues))
+
+        return jax.value_and_grad(batch_loss)(params)
+
+    @pytest.mark.parametrize("sizes", [(3, 5), (4,), (3, 6, 5)])
+    def test_matches_xla_value_and_grad(self, sizes):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+            make_pallas_dense_epoch_grad,
+        )
+
+        net, params, dt, u0s, trues = self._setup(sizes=sizes)
+        want_loss, want_grads = self._xla_value_and_grad(
+            net, params, dt, u0s, trues
+        )
+        run = make_pallas_dense_epoch_grad(S, sizes, interpret=True)
+        loss, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
+        for i in range(len(sizes) + 1):
+            for leaf in ("kernel", "bias"):
+                np.testing.assert_allclose(
+                    grads[f"Dense_{i}"][leaf],
+                    want_grads[f"Dense_{i}"][leaf],
+                    rtol=2e-5, atol=1e-7, err_msg=f"Dense_{i}/{leaf}",
+                )
+
+    def test_zero_dt_steps_are_inert(self):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+            make_pallas_dense_epoch_grad,
+        )
+
+        net, params, dt, u0s, trues = self._setup(seed=43)
+        dt_pad = jnp.concatenate([dt, jnp.zeros((3,))])
+        run = make_pallas_dense_epoch_grad(S, (3, 5), interpret=True)
+        run_p = make_pallas_dense_epoch_grad(S + 3, (3, 5), interpret=True)
+        loss, grads = run(params, dt, u0s, trues)
+        loss_p, grads_p = run_p(params, dt_pad, u0s, trues)
+        np.testing.assert_allclose(loss_p, loss, rtol=1e-6)
+        for lx, lp in zip(
+            jax.tree_util.tree_leaves(grads),
+            jax.tree_util.tree_leaves(grads_p),
+        ):
+            np.testing.assert_allclose(lp, lx, rtol=1e-5, atol=1e-8)
+
+    def test_multi_block_grid_accumulation(self):
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+            make_pallas_dense_epoch_grad,
+        )
+
+        net, params, dt, u0s, trues = self._setup(seed=45)
+        _, want_grads = self._xla_value_and_grad(net, params, dt, u0s, trues)
+        run = make_pallas_dense_epoch_grad(
+            S, (3, 5), interpret=True, block_members=128
+        )
+        _, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(
+            grads["Dense_1"]["kernel"], want_grads["Dense_1"]["kernel"],
+            rtol=2e-5, atol=1e-7,
+        )
+
+    def test_shared_train_step_matches_xla(self):
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_shared_train_step,
+            make_shared_train_step_fused,
+        )
+
+        net, params, dt, u0s, trues = self._setup(seed=47)
+        tx = optax.adam(1e-3)
+        st_x = create_train_state(params, tx)
+        st_p = create_train_state(params, tx)
+        step_x = make_shared_train_step(net, tx, dt)
+        step_p = make_shared_train_step_fused(tx, dt, (3, 5), interpret=True)
+        for _ in range(3):
+            st_x, loss_x = step_x(st_x, u0s, trues)
+            st_p, loss_p = step_p(st_p, u0s, trues)
+            np.testing.assert_allclose(loss_p, loss_x, rtol=2e-6)
+        for lx, lp in zip(
+            jax.tree_util.tree_leaves(st_x.params),
+            jax.tree_util.tree_leaves(st_p.params),
+        ):
+            np.testing.assert_allclose(lp, lx, rtol=2e-4, atol=1e-6)
+
+    def test_dp_mesh_matches_unsharded(self):
+        from jax.sharding import Mesh
+
+        from adjoint_ode_adaptivity_tpu.train.loop import (
+            make_shared_train_step_fused,
+        )
+
+        net, params, dt, u0s, trues = self._setup(seed=49)
+        u0b = jnp.tile(u0s, 4)
+        trueb = jnp.tile(trues, 4)
+        tx = optax.adam(1e-3)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        step_1 = make_shared_train_step_fused(tx, dt, (3, 5), interpret=True)
+        step_d = make_shared_train_step_fused(
+            tx, dt, (3, 5), interpret=True, mesh=mesh
+        )
+        st_1 = create_train_state(params, tx)
+        st_d = create_train_state(params, tx)
+        for _ in range(2):
+            st_1, loss_1 = step_1(st_1, u0b, trueb)
+            st_d, loss_d = step_d(st_d, u0b, trueb)
+            np.testing.assert_allclose(loss_d, loss_1, rtol=1e-6)
+        for l1, ld in zip(
+            jax.tree_util.tree_leaves(st_1.params),
+            jax.tree_util.tree_leaves(st_d.params),
+        ):
+            np.testing.assert_allclose(ld, l1, rtol=1e-4, atol=1e-7)
+
+
 class TestFusedMixed:
     """mixed=True: the trajectory ("new") + ramped-terminal loss of
     Main_new_loss.py:145-168, pinned to jax.grad of the XLA mixed loss."""

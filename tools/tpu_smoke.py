@@ -573,6 +573,59 @@ def main():
         except Exception as e:  # noqa: BLE001
             fail("train_fused_mixed_S10_F500_B1024", e)
 
+    # 19d. the SHARED-params Dense-chain fused epoch kernel at the
+    # reference's largest config (ResNetBlock([100, 500]),
+    # Main_FD_with_net.py:52): MXU dot_general chains (fwd, a_{l-1}ᵀdz,
+    # dz Wᵀ) + backward activation recompute vs jax.grad of the XLA loss
+    try:
+        from adjoint_ode_adaptivity_tpu.march.fd import forward_march
+        from adjoint_ode_adaptivity_tpu.models.blocks import ResNetBlock
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+            make_pallas_dense_epoch_grad,
+        )
+
+        ds_sizes, ds_s, ds_b = (100, 500), 10, 2048
+        ds_net = ResNetBlock(ds_sizes)
+        ds_p = ds_net.init(jax.random.PRNGKey(11), jnp.ones(1), 0.0, 0.1)[
+            "params"
+        ]
+        ds_dt = jnp.full((ds_s,), 0.1, jnp.float32)
+        ds_u0 = jnp.asarray(
+            np.random.default_rng(17).uniform(0.5, 2.0, ds_b), jnp.float32
+        )
+        ds_true = jnp.sin(ds_u0) + 0.3
+
+        def _ds_loss(p):
+            def one(u0, tv):
+                u = forward_march(
+                    lambda u_, t, d: ds_net.apply({"params": p}, u_, t, d),
+                    jnp.atleast_1d(u0), ds_dt,
+                )
+                return jnp.squeeze(jnp.square(jnp.squeeze(u[-1]) - tv))
+
+            return jnp.mean(jax.vmap(one)(ds_u0, ds_true))
+
+        want_dl, want_dg = jax.jit(jax.value_and_grad(_ds_loss))(ds_p)
+        ds_run = make_pallas_dense_epoch_grad(ds_s, ds_sizes,
+                                              interpret=interp)
+        got_dl, got_dg = jax.jit(
+            lambda p: ds_run(p, ds_dt, ds_u0, ds_true)
+        )(ds_p)
+        jax.block_until_ready(got_dl)
+        flat_dw = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(want_dg)]
+            + [jnp.reshape(want_dl, (1,))]
+        )
+        flat_dg = jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(got_dg)]
+            + [jnp.reshape(got_dl, (1,))]
+        )
+        # MXU (bf16-accumulate) matmuls vs the XLA path's: looser rtol
+        check("train_dense_fused_100x500_B2048", flat_dg, flat_dw,
+              5e-3, 1e-5)
+    except Exception as e:  # noqa: BLE001
+        fail("train_dense_fused_100x500_B2048", e)
+
     # 17. fused DG-in-time slab ensemble kernel vs the XLA batched pipeline.
     # This group runs LAST: the imports + shared fixtures used by every
     # 17* section sit in their OWN try, and a setup failure marks all
