@@ -21,15 +21,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
+def pytest_collection_modifyitems(session, config, items):
+    # The XLA CPU compiler deterministically segfaults compiling large
+    # nested-scan / interpret-pallas programs once ~240 executables have
+    # accumulated in ONE process (the same tests pass in any partial
+    # suite). The documented full-suite entry is ``python
+    # tools/run_tests.py``, which batches modules into fresh pytest
+    # processes so no process ever gets near the limit. This flag is the
+    # safety net for people who run the monolithic ``pytest tests/``
+    # anyway: only then does the module-boundary cache clear below engage
+    # (partial runs keep full cross-module cache reuse).
+    session._xla_cache_guard = len(items) > 200
+
+
 @pytest.fixture(scope="module", autouse=True)
-def _fresh_xla_compiler_state():
-    """The XLA CPU compiler deterministically segfaults compiling large
-    nested-scan / interpret-pallas programs once ~240 executables have
-    accumulated in-process (the same tests pass in any partial suite).
-    Dropping jax's executable+tracing caches at each module boundary keeps
-    the compiler state small; the lost cross-module cache reuse costs a
-    couple of minutes of recompiles over the full ~260-test suite."""
-    jax.clear_caches()
+def _fresh_xla_compiler_state(request):
+    if getattr(request.session, "_xla_cache_guard", False):
+        jax.clear_caches()
     yield
 
 
