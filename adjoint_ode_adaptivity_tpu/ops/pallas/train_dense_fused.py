@@ -146,6 +146,24 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
         for r in g_refs:
             r[:] = jnp.zeros_like(r)
 
+    # The scalar state trajectory packs 128 STEPS PER LANE: a naive
+    # (S+1, Bc, 1) scratch would pad its lane dim 1 → 128 and cost 128×
+    # the memory (53 MB at S=100/Bc=1024 — over the scoped-VMEM limit).
+    # Step n lives at traj[n // 128][:, n % 128]; writes are one-hot
+    # multiply-adds, reads one-hot lane reductions — both trivial next
+    # to the layer matmuls.
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for c in range(traj.shape[0]):
+        traj[c] = jnp.zeros_like(traj[c])
+
+    def traj_write(n, u):
+        oh = (lane_iota == n % 128).astype(u.dtype)
+        traj[n // 128] += u * oh
+
+    def traj_read(n):
+        oh = (lane_iota == n % 128).astype(jnp.float32)
+        return jnp.sum(traj[n // 128] * oh, axis=1, keepdims=True)
+
     w = [p_refs[2 * i][:] for i in range(n_layers + 1)]
     b = [p_refs[2 * i + 1][:] for i in range(n_layers + 1)]
 
@@ -161,12 +179,12 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
         return f, acts
 
     u = u0_ref[:]  # (Bc, 1)
-    traj[0] = u
+    traj_write(0, u)
 
     def fwd_step(n, u):
         f, _ = mlp(u)
         u_next = u + dt_ref[n] * f
-        traj[n + 1] = u_next
+        traj_write(n + 1, u_next)
         return u_next
 
     u_fin = lax.fori_loop(0, n_steps, fwd_step, u)
@@ -180,7 +198,7 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
     def bwd_step(i, carry):
         g, acc = carry
         n = n_steps - 1 - i
-        u_n = traj[n]
+        u_n = traj_read(n)
         _, acts = mlp(u_n)  # recompute the activation chain
         df = dt_ref[n] * g  # (Bc, 1)
         acc = list(acc)
@@ -276,7 +294,11 @@ def make_pallas_dense_epoch_grad(
                                 memory_space=pltpu.VMEM)
                    for s in grad_shapes]
             ),
-            scratch_shapes=[pltpu.VMEM((n_steps + 1, bc, 1), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (-(-(n_steps + 1) // 128), bc, 128), jnp.float32
+                )
+            ],
             interpret=interpret,
         )(dt, *packed, col(u0s), col(trues))
         loss = jnp.sum(outs[0])

@@ -1155,7 +1155,7 @@ def main():
         for s_steps in (10, 100):
             s_dt = jnp.full((s_steps,), 1.0 / s_steps, jnp.float32)
             s_step_p = make_shared_train_step_fused(
-                s_tx, s_dt, (100, 500), block_members=2048
+                s_tx, s_dt, (100, 500), block_members=4096
             )
 
             def mk_shared_p(k_epochs, s_step_p=s_step_p):
