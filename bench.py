@@ -1479,6 +1479,8 @@ def main():
         "hp_adaptive_pm_pallas_vs_faithful_baseline",
         "train_epochs_per_sec_w500_b8192_pallas",
         "train_shared_epochs_per_sec_w100x500_b8192_s100",
+        "train_shared_epochs_per_sec_w100x500_b8192_s100_pallas",
+        "train_shared_matmul_flops_per_sec_pallas",
         "effectivity_rel_error_f64",
         "ensemble_dof_steps_per_sec", "dg_slab_solves_per_sec",
         "k1m_tiled_dof_steps_per_sec",
