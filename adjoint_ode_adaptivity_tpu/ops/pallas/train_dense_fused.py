@@ -121,15 +121,19 @@ def unpack_dense_grads(flat: Sequence[jnp.ndarray], sizes: Sequence[int]):
     return out
 
 
-def _dot(a, b, contract):
-    """2D f32 MXU contraction: contract = (lhs_dim, rhs_dim)."""
+def _dot(a, b, contract, mxu_dtype=jnp.float32):
+    """2D MXU contraction with f32 accumulate: contract = (lhs_dim,
+    rhs_dim). ``mxu_dtype=bfloat16`` feeds the MXU its native input
+    format (one systolic pass instead of the f32 multi-pass) — the
+    opt-in fast mode; accumulation stays f32 either way."""
     return lax.dot_general(
-        a, b, (((contract[0],), (contract[1],)), ((), ())),
+        a.astype(mxu_dtype), b.astype(mxu_dtype),
+        (((contract[0],), (contract[1],)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _epoch_kernel(n_steps, n_layers, b_total, *refs):
+def _epoch_kernel(n_steps, n_layers, mxu_dtype, b_total, *refs):
     """One member-block program: S-step forward march (scalar trajectory
     to VMEM scratch), terminal MSE, backward sweep with per-step
     activation recompute, grads accumulated in loop carries."""
@@ -166,6 +170,8 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
 
     w = [p_refs[2 * i][:] for i in range(n_layers + 1)]
     b = [p_refs[2 * i + 1][:] for i in range(n_layers + 1)]
+    # hidden-chain weights pre-cast once for the MXU (no-op in f32 mode)
+    wmx = [w[i].astype(mxu_dtype) for i in range(n_layers + 1)]
 
     def mlp(u):
         """u (Bc, 1) → (f (Bc, 1), activations a_1..a_L)."""
@@ -173,7 +179,9 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
         a = jnp.maximum(u * w[0] + b[0], 0.0)  # (Bc, P1) outer product
         acts.append(a)
         for i in range(1, n_layers):
-            a = jnp.maximum(_dot(a, w[i], (1, 0)) + b[i], 0.0)
+            a = jnp.maximum(
+                _dot(a, wmx[i], (1, 0), mxu_dtype) + b[i], 0.0
+            )
             acts.append(a)
         f = jnp.sum(a * w[n_layers], axis=1, keepdims=True) + b[n_layers]
         return f, acts
@@ -209,9 +217,9 @@ def _epoch_kernel(n_steps, n_layers, b_total, *refs):
         da = df * w[n_layers]  # (Bc, P_L) broadcast outer product
         for l in range(n_layers - 1, 0, -1):
             dz = da * (acts[l] > 0.0)  # relu mask == 1[z > 0]
-            acc[2 * l] += _dot(acts[l - 1], dz, (0, 0))  # a_{l-1}ᵀ dz
+            acc[2 * l] += _dot(acts[l - 1], dz, (0, 0), mxu_dtype)
             acc[2 * l + 1] += jnp.sum(dz, axis=0, keepdims=True)
-            da = _dot(dz, w[l], (1, 1))  # dz W_lᵀ → (Bc, P_{l-1})
+            da = _dot(dz, wmx[l], (1, 1), mxu_dtype)  # dz W_lᵀ
         dz1 = da * (acts[0] > 0.0)
         acc[0] += jnp.sum(u_n * dz1, axis=0, keepdims=True)
         acc[1] += jnp.sum(dz1, axis=0, keepdims=True)
@@ -228,6 +236,7 @@ def make_pallas_dense_epoch_grad(
     sizes: Sequence[int],
     interpret: bool = False,
     block_members: int = 2048,
+    mxu_dtype=jnp.float32,
 ):
     """Returns ``run(params, dt, u0s, trues) -> (loss, grads)`` —
     value_and_grad of the terminal-MSE epoch loss for a SHARED-params
@@ -238,14 +247,30 @@ def make_pallas_dense_epoch_grad(
     exactly-zero gradient contributions). ``u0s``/``trues``: (B,) with
     B a multiple of 8 (and of ``block_members`` if larger). Gradients
     match ``jax.grad`` of the XLA loss (relu'(0) = 0 convention
-    included) at matmul precision — tests/test_pallas_train.py."""
+    included) at matmul precision — tests/test_pallas_train.py.
+
+    ``mxu_dtype=jnp.bfloat16`` is the opt-in MIXED-PRECISION mode: the
+    hidden-chain matmul INPUTS are cast to bf16; accumulation,
+    parameters, the scalar state march, elementwise ops, and the
+    gradient buffers all stay f32 (the standard bf16-matmul /
+    f32-master-weights recipe). MEASURED RESULT on the v5e (documented
+    negative, like ops/pallas/dg_mxu.py): at the bench config
+    (100,500)/B=8192 it is a wash at S=100 (255.7 vs 257.8 epochs/s)
+    and +11% at S=10 (2732 vs 2459) — Mosaic's default-precision f32
+    ``dot_general`` already feeds the MXU bf16-rounded operands on this
+    chip (tools/microroof.py measures ~190 TF/s for "f32" matmul ≈ the
+    197 bf16 spec), so the explicit cast only halves operand VMEM
+    traffic. The knob matters on hardware where f32 default is a
+    multi-pass; numerics contract either way: grads match XLA at bf16
+    matmul tolerance (~1e-2 relative) instead of the f32-mode interpret
+    tolerance (tests/test_pallas_train.py::test_bf16_mxu_mode...)."""
     sizes = tuple(int(s) for s in sizes)
     n_layers = len(sizes)
     if n_layers < 1:
         raise ValueError("need at least one hidden width")
     pads = [_pad128(s) for s in sizes]
 
-    kern = functools.partial(_epoch_kernel, n_steps, n_layers)
+    kern = functools.partial(_epoch_kernel, n_steps, n_layers, mxu_dtype)
 
     def run(params, dt, u0s, trues):
         (bm,) = u0s.shape

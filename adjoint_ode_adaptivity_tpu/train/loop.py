@@ -119,6 +119,7 @@ def make_shared_train_step_fused(
     mesh=None,
     mesh_axis: str = "data",
     block_members: int = 2048,
+    mxu_dtype=jnp.float32,
 ):
     """:func:`make_shared_train_step` (shared-params ResNetBlock Dense
     chain — the reference's largest training config,
@@ -129,7 +130,10 @@ def make_shared_train_step_fused(
     the chain per step. Same ``(state, u0_batch, true_batch) → (state,
     loss)`` contract and the same gradients as the XLA step at matmul
     precision (tests/test_pallas_train.py). ``mesh`` dp-shards the
-    members as in :func:`make_per_step_train_step_fused`."""
+    members as in :func:`make_per_step_train_step_fused`.
+    ``mxu_dtype=jnp.bfloat16`` selects the opt-in mixed-precision mode
+    (bf16 matmul inputs, f32 everything else — see
+    ops.pallas.train_dense_fused)."""
     from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
         make_pallas_dense_epoch_grad,
     )
@@ -137,7 +141,7 @@ def make_shared_train_step_fused(
     dt = jnp.asarray(dt, jnp.float32)
     grad_fn = make_pallas_dense_epoch_grad(
         dt.shape[0], sizes, interpret=interpret,
-        block_members=block_members,
+        block_members=block_members, mxu_dtype=mxu_dtype,
     )
 
     if mesh is None:

@@ -284,6 +284,35 @@ class TestFusedDense:
         ):
             np.testing.assert_allclose(lp, lx, rtol=1e-5, atol=1e-8)
 
+    def test_bf16_mxu_mode_matches_xla_loosely(self):
+        """mxu_dtype=bfloat16 rounds only the hidden-chain matmul INPUTS
+        (accumulation/params/march/grad buffers stay f32), so values and
+        grads track jax.grad of the f32 XLA loss at bf16 matmul
+        tolerance — the opt-in fast mode's numerics contract."""
+        from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
+            make_pallas_dense_epoch_grad,
+        )
+
+        sizes = (3, 6, 5)  # two hidden matmul layers actually hit bf16
+        net, params, dt, u0s, trues = self._setup(seed=49, sizes=sizes)
+        want_loss, want_grads = self._xla_value_and_grad(
+            net, params, dt, u0s, trues
+        )
+        run = make_pallas_dense_epoch_grad(
+            S, sizes, interpret=True, mxu_dtype=jnp.bfloat16
+        )
+        loss, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(loss, want_loss, rtol=3e-2)
+        for i in range(len(sizes) + 1):
+            for leaf in ("kernel", "bias"):
+                want = want_grads[f"Dense_{i}"][leaf]
+                scale = float(jnp.max(jnp.abs(want)))
+                np.testing.assert_allclose(
+                    grads[f"Dense_{i}"][leaf], want,
+                    rtol=5e-2, atol=5e-2 * scale,
+                    err_msg=f"Dense_{i}/{leaf}",
+                )
+
     def test_multi_block_grid_accumulation(self):
         from adjoint_ode_adaptivity_tpu.ops.pallas.train_dense_fused import (
             make_pallas_dense_epoch_grad,
