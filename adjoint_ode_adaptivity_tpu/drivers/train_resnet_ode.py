@@ -402,6 +402,16 @@ def main(argv=None):
                     train_step = _mk_shared_step(dt)
                 elif use_fused:
                     train_step = _mk_step(n_steps)
+                if use_mixed:
+                    # the restored partition may have refined past the
+                    # fresh-start one — the trajectory targets must be
+                    # sampled at the RESTORED time nodes or the first
+                    # epoch fails the (S+1, B) shape contract
+                    t_nodes = jnp.pad(jnp.cumsum(dt), (1, 0))
+                    traj_train = rk4_truth(
+                        ode.f, u0_train, (0.0, args.t1), n_sub=256,
+                        save_times=t_nodes,
+                    )
                 print(f"resumed from checkpoint step {last} (outer it {it})")
             except Exception as e:
                 print(f"resume failed ({type(e).__name__}: {e}); starting fresh")

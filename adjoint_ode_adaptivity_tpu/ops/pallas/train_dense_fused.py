@@ -146,7 +146,6 @@ def _epoch_kernel(n_steps, n_layers, mxu_dtype, b_total, *refs):
 
     @pl.when(first)
     def _init():
-        loss_ref[:] = jnp.zeros_like(loss_ref)
         for r in g_refs:
             r[:] = jnp.zeros_like(r)
 
@@ -198,7 +197,10 @@ def _epoch_kernel(n_steps, n_layers, mxu_dtype, b_total, *refs):
     u_fin = lax.fori_loop(0, n_steps, fwd_step, u)
 
     e = u_fin - true_ref[:]
-    loss_ref[:] += e * e / b_total  # (Bc, 1) partials, summed in XLA
+    # plain assignment: each grid program owns its own (Bc, 1) loss
+    # block (col_spec maps block i to program i), unlike the SHARED
+    # grad blocks above which need the program-0 init + accumulate
+    loss_ref[:] = e * e / b_total  # (Bc, 1) partials, summed in XLA
     g0 = 2.0 * e / b_total
 
     gz = [jnp.zeros_like(x[:]) for x in g_refs]

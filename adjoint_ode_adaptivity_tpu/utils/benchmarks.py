@@ -272,6 +272,7 @@ def numpy_dg_hp_faithful_baseline(
         # ---- backward adjoint sweep at m = Ns+1 (adj_march.m:65-120),
         # fem_setup rebuilt per element at 2·m quadrature points
         v_inflow = 0.0
+        errs = np.empty(k)
         for ke in range(k - 1, -1, -1):
             n = int(ns_vec[ke])
             m = n + 1
@@ -298,15 +299,17 @@ def numpy_dg_hp_faithful_baseline(
             s2 = np.linalg.solve(v_a @ v_a.T, dr_a)
             a2 = -s2.T
             a2[-1, -1] += 1.0  # A = -S' - B, B(end)=-1
-            res = -(a2 @ uh_k) - m_tilde
+            res = -(a2 @ uh_k) + m_tilde
             res[0] += float(y0) if ke == 0 else u_all[ke - 1][-1]
-            _err = v_el @ res
+            errs[ke] = v_el @ res
             v_inflow = v_el[0]
             slabs += 1
     elapsed = time.perf_counter() - t0
     result = DGBaselineResult(slabs / elapsed, slabs)
     if return_outputs:
-        return result, u_all  # last member's forward solution, for parity
+        # last member's forward solution + per-element AWR contributions,
+        # pinned against numpy_dg_pipeline_baseline in tests/test_infra.py
+        return result, u_all, errs
     return result
 
 

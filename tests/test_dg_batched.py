@@ -216,6 +216,29 @@ class TestNumpyBaselineParity:
         np.testing.assert_allclose(u_np, np.asarray(r.u), atol=1e-12)
         np.testing.assert_allclose(err_np, np.asarray(a.err), atol=1e-13)
 
+    def test_faithful_baseline_matches_jax_pipeline(self):
+        """The fem_setup-per-element FAITHFUL baseline (the hp strand's
+        pinned denominator) must compute the same forward solution AND
+        the same per-element AWR error contributions as the real
+        solvers — its cost model is only honest if its math is."""
+        from adjoint_ode_adaptivity_tpu.utils.benchmarks import (
+            numpy_dg_hp_faithful_baseline,
+        )
+
+        k = len(TIMES) - 1
+        result, u_np, err_np = numpy_dg_hp_faithful_baseline(
+            np.ones(k, int), TIMES, np.array([0.7]), return_outputs=True
+        )
+        assert result.slabs_measured == 2 * k
+        ops = dg_time_operators(1)
+        ops_a = dg_time_operators(2)
+        r = dg_march(ops, F_SIN, TIMES, 0.7)
+        a = dg_adjoint_march(ops_a, F_SIN, r.u, TIMES, 0.7)
+        np.testing.assert_allclose(
+            np.stack(u_np), np.asarray(r.u), atol=1e-12
+        )
+        np.testing.assert_allclose(err_np, np.asarray(a.err), atol=1e-12)
+
 
 class TestEnsembleAdaptiveLoop:
     def test_matches_single_member_padded_loop(self):

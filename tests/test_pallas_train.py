@@ -319,11 +319,18 @@ class TestFusedDense:
         )
 
         net, params, dt, u0s, trues = self._setup(seed=45)
-        _, want_grads = self._xla_value_and_grad(net, params, dt, u0s, trues)
+        want_loss, want_grads = self._xla_value_and_grad(
+            net, params, dt, u0s, trues
+        )
         run = make_pallas_dense_epoch_grad(
             S, (3, 5), interpret=True, block_members=128
         )
-        _, grads = run(params, dt, u0s, trues)
+        loss, grads = run(params, dt, u0s, trues)
+        # the loss blocks are per-program (own col_spec block each) while
+        # the grad blocks are shared — BOTH must survive n_blocks > 1
+        # (regression: the loss was once zero-initialized only for
+        # program 0 and came back NaN for every later block)
+        np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
         np.testing.assert_allclose(
             grads["Dense_1"]["kernel"], want_grads["Dense_1"]["kernel"],
             rtol=2e-5, atol=1e-7,
