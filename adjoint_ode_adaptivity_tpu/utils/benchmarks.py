@@ -308,7 +308,7 @@ def numpy_dg_hp_faithful_baseline(
     result = DGBaselineResult(slabs / elapsed, slabs)
     if return_outputs:
         # last member's forward solution + per-element AWR contributions,
-        # pinned against numpy_dg_pipeline_baseline in tests/test_infra.py
+        # pinned to the real solvers in tests/test_dg_batched.py
         return result, u_all, errs
     return result
 

@@ -169,6 +169,29 @@ def main():
             slope = t[1]
         return slope, t[1]
 
+    def mk_epoch_timer(state0, call):
+        """Factory for every train-strand timing closure: scans
+        ``call(state, u0b, epoch_idx) -> (state, loss)`` for k epochs
+        inside ONE jit and keeps the final params live — XLA would DCE
+        the whole epoch chain if only the last loss were consumed; the
+        1e-20 guard keeps every update on the critical path at no
+        measurable cost. Returned ``make(k)`` plugs into
+        ``chained_slope``."""
+        def make(k_epochs):
+            @jax.jit
+            def g(u0b):
+                st, losses = jax.lax.scan(
+                    lambda st, i: call(st, u0b, i),
+                    state0, jnp.arange(k_epochs)
+                )
+                live = sum(
+                    jnp.sum(leaf)
+                    for leaf in jax.tree_util.tree_leaves(st.params)
+                )
+                return losses[-1] + 1e-20 * live
+            return g
+        return make
+
     def _timeit(fn):
         t0 = time.perf_counter()
         fn()
@@ -887,23 +910,9 @@ def main():
         )
         t_true = jnp.asarray(t_ode.exact_fwd(1.0, t_u0), jnp.float32)
 
-        def mk_train(k_epochs):
-            @jax.jit
-            def g(u0b):
-                def body(st, _):
-                    st, loss = t_step(st, t_dt, u0b, t_true)
-                    return st, loss
-
-                st, losses = jax.lax.scan(
-                    body, t_state0, None, length=k_epochs
-                )
-                live = sum(
-                    jnp.sum(leaf)
-                    for leaf in jax.tree_util.tree_leaves(st.params)
-                )
-                return losses[-1] + 1e-20 * live
-            return g
-
+        mk_train = mk_epoch_timer(
+            t_state0, lambda st, u0b, i: t_step(st, t_dt, u0b, t_true)
+        )
         t_elapsed, _ = chained_slope(mk_train, t_u0, k_hi=128)
         train_rate = 1.0 / t_elapsed
 
@@ -920,23 +929,9 @@ def main():
 
         t_step_f = make_per_step_train_step_fused(t_tx, t_steps, 500)
 
-        def mk_train_fused(k_epochs):
-            @jax.jit
-            def g(u0b):
-                def body(st, _):
-                    st, loss = t_step_f(st, t_dt, u0b, t_true)
-                    return st, loss
-
-                st, losses = jax.lax.scan(
-                    body, t_state0, None, length=k_epochs
-                )
-                live = sum(
-                    jnp.sum(leaf)
-                    for leaf in jax.tree_util.tree_leaves(st.params)
-                )
-                return losses[-1] + 1e-20 * live
-            return g
-
+        mk_train_fused = mk_epoch_timer(
+            t_state0, lambda st, u0b, i: t_step_f(st, t_dt, u0b, t_true)
+        )
         try:
             tf_elapsed, _ = chained_slope(mk_train_fused, t_u0, k_hi=128)
             train_rate_pallas = 1.0 / tf_elapsed
@@ -968,23 +963,10 @@ def main():
                 t_tx, t_steps, 500
             )
 
-            def mk_train_masked(k_epochs):
-                @jax.jit
-                def g(u0b):
-                    def body(st, _):
-                        st, loss = t_step_m(st, t_dt, t_nact, u0b, t_true)
-                        return st, loss
-
-                    st, losses = jax.lax.scan(
-                        body, tm_state0, None, length=k_epochs
-                    )
-                    live = sum(
-                        jnp.sum(leaf)
-                        for leaf in jax.tree_util.tree_leaves(st.params)
-                    )
-                    return losses[-1] + 1e-20 * live
-                return g
-
+            mk_train_masked = mk_epoch_timer(
+                tm_state0,
+                lambda st, u0b, i: t_step_m(st, t_dt, t_nact, u0b, t_true),
+            )
             tm_elapsed, _ = chained_slope(mk_train_masked, t_u0, k_hi=128)
             train_rate_pallas_masked = 1.0 / tm_elapsed
         except Exception:  # noqa: BLE001
@@ -1003,23 +985,10 @@ def main():
                 t_tx, t_steps, 500, mesh=dp_mesh
             )
 
-            def mk_train_dp(k_epochs):
-                @jax.jit
-                def g(u0b):
-                    def body(st, _):
-                        st, loss = t_step_dp(st, t_dt, u0b, t_true)
-                        return st, loss
-
-                    st, losses = jax.lax.scan(
-                        body, t_state0, None, length=k_epochs
-                    )
-                    live = sum(
-                        jnp.sum(leaf)
-                        for leaf in jax.tree_util.tree_leaves(st.params)
-                    )
-                    return losses[-1] + 1e-20 * live
-                return g
-
+            mk_train_dp = mk_epoch_timer(
+                t_state0,
+                lambda st, u0b, i: t_step_dp(st, t_dt, u0b, t_true),
+            )
             td_elapsed, _ = chained_slope(mk_train_dp, t_u0, k_hi=128)
             train_rate_pallas_dp = 1.0 / td_elapsed
         except Exception:  # noqa: BLE001
@@ -1048,23 +1017,11 @@ def main():
         }
         mx_rates = {}
         for eng, mx_step in mx_steps.items():
-            def mk_train_mixed(k_epochs, mx_step=mx_step):
-                @jax.jit
-                def g(u0b):
-                    def body(st, i):
-                        st, loss = mx_step(st, t_dt, u0b, t_traj, i)
-                        return st, loss
-
-                    st, losses = jax.lax.scan(
-                        body, t_state0, jnp.arange(k_epochs)
-                    )
-                    live = sum(
-                        jnp.sum(leaf)
-                        for leaf in jax.tree_util.tree_leaves(st.params)
-                    )
-                    return losses[-1] + 1e-20 * live
-                return g
-
+            mk_train_mixed = mk_epoch_timer(
+                t_state0,
+                lambda st, u0b, i, mx_step=mx_step:
+                    mx_step(st, t_dt, u0b, t_traj, i),
+            )
             try:
                 mx_el, _ = chained_slope(
                     mk_train_mixed, t_u0, k_hi=32 if eng == "xla" else 128
@@ -1108,23 +1065,10 @@ def main():
             s_dt = jnp.full((s_steps,), 1.0 / s_steps, jnp.float32)
             s_step = make_shared_train_step(s_net, s_tx, s_dt)
 
-            def mk_shared(k_epochs, s_step=s_step):
-                @jax.jit
-                def g(u0b):
-                    def body(st, _):
-                        st, loss = s_step(st, u0b, s_true)
-                        return st, loss
-
-                    st, losses = jax.lax.scan(
-                        body, s_state0, None, length=k_epochs
-                    )
-                    live = sum(
-                        jnp.sum(leaf)
-                        for leaf in jax.tree_util.tree_leaves(st.params)
-                    )
-                    return losses[-1] + 1e-20 * live
-                return g
-
+            mk_shared = mk_epoch_timer(
+                s_state0,
+                lambda st, u0b, i, s_step=s_step: s_step(st, u0b, s_true),
+            )
             s_el, _ = chained_slope(
                 mk_shared, s_u0, k_hi=64 if s_steps == 10 else 16
             )
@@ -1158,23 +1102,11 @@ def main():
                 s_tx, s_dt, (100, 500), block_members=4096
             )
 
-            def mk_shared_p(k_epochs, s_step_p=s_step_p):
-                @jax.jit
-                def g(u0b):
-                    def body(st, _):
-                        st, loss = s_step_p(st, u0b, s_true)
-                        return st, loss
-
-                    st, losses = jax.lax.scan(
-                        body, s_state0, None, length=k_epochs
-                    )
-                    live = sum(
-                        jnp.sum(leaf)
-                        for leaf in jax.tree_util.tree_leaves(st.params)
-                    )
-                    return losses[-1] + 1e-20 * live
-                return g
-
+            mk_shared_p = mk_epoch_timer(
+                s_state0,
+                lambda st, u0b, i, s_step_p=s_step_p:
+                    s_step_p(st, u0b, s_true),
+            )
             try:
                 sp_el, _ = chained_slope(
                     mk_shared_p, s_u0, k_hi=64 if s_steps == 10 else 16
