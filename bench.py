@@ -192,6 +192,38 @@ def main():
             return g
         return make
 
+    def study_device_slope(run_fused, t0, extra=(), pick=None, k_hi=8,
+                           reps=5):
+        """Device-time slope for a fused adaptive STUDY (one while_loop
+        dispatch). A single-study wall-clock here is dominated by the
+        harness's ~25 ms RPC dispatch/fetch floor (a 31 ms wall is
+        mostly tunnel), which made the r3/r4 study ratios wobble ±15%
+        run-to-run. This scans k data-dependent study replays inside
+        ONE jit — replay i+1's initial partition carries a
+        1e-20·(replay-i scalar) term, numerically a no-op (≪ one ulp of
+        any node coordinate, and a uniform shift leaves every slab
+        width bit-identical anyway) but a real dataflow edge, so XLA
+        must run the replays serially — and takes the (k_hi−1) slope,
+        same methodology as every other bench row. ``pick(out)``
+        reduces a study's outputs to one float scalar (keeps the
+        history buffers live; only the scalar is ever fetched).
+        Returns ``(device_s_per_study, dispatch_inclusive_wall_s)``."""
+        def make(k):
+            @jax.jit
+            def g(t_in):
+                def body(carry, _):
+                    t, acc = carry
+                    s = pick(run_fused(t, *extra)).astype(jnp.float32)
+                    t = t_in + (1e-20 * s).astype(t_in.dtype)
+                    return (t, acc + s), None
+                (_, acc), _ = jax.lax.scan(
+                    body, (t_in, jnp.zeros((), jnp.float32)), None,
+                    length=k,
+                )
+                return acc
+            return g
+        return chained_slope(make, t0, k_hi=k_hi, reps=reps)
+
     def _timeit(fn):
         t0 = time.perf_counter()
         fn()
@@ -601,12 +633,10 @@ def main():
         jnp.float32,
     )
 
-    def _ens_fused_run():
-        t_f, buf, n_done = h_ens_f.run_fused(ens_t0)
-        return np.asarray(buf)
-
-    _ens_fused_run()  # warm
-    dg_adaptive_fused_wall = min(_timeit(_ens_fused_run) for _ in range(5))
+    dg_adaptive_fused_dev, dg_adaptive_fused_wall = study_device_slope(
+        h_ens_f.run_fused, ens_t0,
+        pick=lambda o: jnp.sum(o[1]) + o[2].astype(jnp.float32),
+    )
 
     # PER-MEMBER adaptive loop, fused on device (device_loop=True): every
     # member refines its own partition (the reference's one-job-per-IC
@@ -643,13 +673,13 @@ def main():
             t, r = t_new, r_new
         return d
 
-    def _pm_fused_run():
-        _, _, buf, n_done = h_pm_fused.run_fused(pm_times0, pm_ref0)
-        return np.asarray(buf)
-
-    _pm_host_run(); _pm_fused_run()  # warm
+    _pm_host_run()  # warm
     pm_host_s = min(_timeit(_pm_host_run) for _ in range(3))
-    pm_fused_s = min(_timeit(_pm_fused_run) for _ in range(5))
+    pm_fused_dev, pm_fused_s = study_device_slope(
+        h_pm_fused.run_fused, pm_times0, extra=(pm_ref0,),
+        pick=lambda o: jnp.sum(o[2]) + o[3].astype(jnp.float32),
+        k_hi=64,
+    )
     # baseline: the farm runs each member's adaptive study on the host
     # pipeline — slab count = live coarse+fine slabs actually marched
     pm_slabs = sum(2 * int(h.n_active.sum()) for h in h_pm_host)
@@ -690,7 +720,7 @@ def main():
     # launch with per-member step widths as traced VMEM operands) and
     # device_loop=True (the 41-iteration study is one lax.while_loop
     # dispatch). Steady-state via the returned run_fused.
-    fd_pm_wall = None
+    fd_pm_wall = fd_pm_dev = None
     if on_tpu:
         from adjoint_ode_adaptivity_tpu import odes as _odes
         from adjoint_ode_adaptivity_tpu.adapt.fd_loop import (
@@ -717,19 +747,15 @@ def main():
         fd_na0 = jnp.full((fd_b,), 2, jnp.int32)
         fd_r0 = jnp.ones((fd_b,), bool)
 
-        def _fd_pm_run():
-            out = h_fdpm.run_fused(fd_t0, fd_na0, fd_r0)
-            return np.asarray(out[3])
-
-        # best-of-5: the whole-study while_loop wall-clock wobbles ~1.8x
-        # across bench runs under host contention (BASELINE.md quotes the
-        # range); more repetitions tighten the reported best
-        _fd_pm_run()
-        fd_pm_wall = np.inf
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _fd_pm_run()
-            fd_pm_wall = min(fd_pm_wall, time.perf_counter() - t0)
+        # slope-timed; the study's device time is SUB-MILLISECOND (the
+        # r3 "0.38-0.68 s" wall was the ~50 MB diag-buffer fetch over
+        # the tunnel), so k_hi must be large enough that ±1-2 ms of
+        # dispatch noise divides down below 10% of the per-replay time
+        fd_pm_dev, fd_pm_wall = study_device_slope(
+            h_fdpm.run_fused, fd_t0, extra=(fd_na0, fd_r0),
+            pick=lambda o: jnp.sum(o[3]) + o[5].astype(jnp.float32),
+            k_hi=64, reps=5,
+        )
 
     # ---- PER-MEMBER hp-ADAPTIVE DG-in-time (the mixed per-element-order
     # strand: dg_march.m:1's latent Ns-vector capability driven as a real
@@ -746,9 +772,10 @@ def main():
     # 30*Ns-point fem_setup rebuild per element in the reference: both
     # choices make the quoted speedup conservative).
     hp_pm_fused_wall = hp_pm_host_wall = hp_pm_base_est = None
-    hp_pm_pallas_wall = hp_pm_base_faithful_est = None
-    hp_pm_pallas_rec_wall = None
-    hp_pm_pallas4k_wall = hp_pm_base4k_faithful_est = None
+    hp_pm_fused_dev = None
+    hp_pm_pallas_wall = hp_pm_pallas_dev = hp_pm_base_faithful_est = None
+    hp_pm_pallas_rec_wall = hp_pm_pallas_rec_dev = None
+    hp_pm_pallas4k_wall = hp_pm_pallas4k_dev = hp_pm_base4k_faithful_est = None
     hp4k_b = 4096
     hp_pm_iters = 0
     hp_pm_b = 512
@@ -769,12 +796,16 @@ def main():
         )
         hp_pm_iters = len(h_hp)
 
-        def _hp_fused_run():
-            bufs, n_done = h_hp.run_fused(*h_hp.fused_args)
-            return np.asarray(bufs[3])  # per-member Σerr buffer (the fetch)
+        hp_t0, hp_ns0 = h_hp.fused_args
 
-        _hp_fused_run()  # warm (compiled already; seeds any cache load)
-        hp_pm_fused_wall = min(_timeit(_hp_fused_run) for _ in range(5))
+        def hp_pick(o):
+            # o = (bufs, n_done); bufs[3] = per-iteration est buffer
+            return jnp.sum(o[0][3]) + o[1].astype(jnp.float32)
+
+        hp_pm_fused_dev, hp_pm_fused_wall = study_device_slope(
+            h_hp.run_fused, hp_t0, extra=(hp_ns0,), pick=hp_pick,
+            k_hi=2, reps=3,
+        )
 
         def _hp_host_run():
             return run_adaptive_dg_hp_per_member(
@@ -819,41 +850,36 @@ def main():
                 engine="pallas", **hp_kwargs
             )
 
-            def _hp_pallas_run():
-                bufs, n_done = h_hpp.run_fused(*h_hpp.fused_args)
-                return np.asarray(bufs[3])
-
-            _hp_pallas_run()
-            hp_pm_pallas_wall = min(_timeit(_hp_pallas_run) for _ in range(5))
+            hp_pm_pallas_dev, hp_pm_pallas_wall = study_device_slope(
+                h_hpp.run_fused, h_hpp.fused_args[0],
+                extra=(h_hpp.fused_args[1],), pick=hp_pick,
+            )
         except Exception:  # noqa: BLE001 - keep bench alive on kernel regress
-            hp_pm_pallas_wall = None
+            hp_pm_pallas_dev = hp_pm_pallas_wall = None
 
         # RECONSTRUCT-adjoint engine (adj_rec.m path): solves the backward
         # system at the PRIMAL order and lifts through Radau collocation —
         # an (ns+1)-row solve instead of (ns+2), so it should beat solve
         # mode (the reason the reference built adj_rec)
-        hp_pm_pallas_rec_wall = None
+        hp_pm_pallas_rec_wall = hp_pm_pallas_rec_dev = None
         try:
             h_hpr = run_adaptive_dg_hp_per_member(
                 f_sin, hp_y0, (0.0, 2.0), device_loop=True,
                 engine="pallas", adjoint_mode="reconstruct", **hp_kwargs
             )
 
-            def _hp_rec_run():
-                bufs, n_done = h_hpr.run_fused(*h_hpr.fused_args)
-                return np.asarray(bufs[3])
-
-            _hp_rec_run()
-            hp_pm_pallas_rec_wall = min(
-                _timeit(_hp_rec_run) for _ in range(5)
+            hp_pm_pallas_rec_dev, hp_pm_pallas_rec_wall = study_device_slope(
+                h_hpr.run_fused, h_hpr.fused_args[0],
+                extra=(h_hpr.fused_args[1],), pick=hp_pick,
             )
         except Exception:  # noqa: BLE001 - keep bench alive on regress
-            hp_pm_pallas_rec_wall = None
+            hp_pm_pallas_rec_dev = hp_pm_pallas_rec_wall = None
 
         # scale past B=512 (VERDICT r3 next-step #3): the same fused-kernel
         # study at B=4096 — per-study cost drops when the kernel was
         # under-occupied at B=512
-        hp_pm_pallas4k_wall = hp_pm_base4k_faithful_est = None
+        hp_pm_pallas4k_wall = hp_pm_pallas4k_dev = None
+        hp_pm_base4k_faithful_est = None
         try:
             hp4k_b = 4096
             hp4k_y0 = np.random.default_rng(6).uniform(
@@ -864,15 +890,13 @@ def main():
                 engine="pallas", **hp_kwargs
             )
 
-            def _hp4k_run():
-                bufs, n_done = h_hp4k.run_fused(*h_hp4k.fused_args)
-                return np.asarray(bufs[3])
-
-            _hp4k_run()
-            hp_pm_pallas4k_wall = min(_timeit(_hp4k_run) for _ in range(5))
+            hp_pm_pallas4k_dev, hp_pm_pallas4k_wall = study_device_slope(
+                h_hp4k.run_fused, h_hp4k.fused_args[0],
+                extra=(h_hp4k.fused_args[1],), pick=hp_pick, k_hi=4,
+            )
             hp_pm_base4k_faithful_est = _hp_faithful_cost(h_hp4k)
         except Exception:  # noqa: BLE001 - keep bench alive on regress
-            hp_pm_pallas4k_wall = None
+            hp_pm_pallas4k_dev = hp_pm_pallas4k_wall = None
 
     # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
     # at width 500 — the reference's LARGEST trained width
@@ -1291,10 +1315,11 @@ def main():
                 "dg_adaptive_iterations": len(dg_hist),
                 "dg_adaptive_pm_host_wall_s": round(pm_host_s, 4),
                 "dg_adaptive_pm_fused_wall_s": round(pm_fused_s, 4),
+                "dg_adaptive_pm_fused_device_s": round(pm_fused_dev, 4),
                 "dg_adaptive_pm_fused_speedup": round(
                     pm_host_s / pm_fused_s, 2
                 ),
-                "dg_adaptive_pm_vs_baseline": pm_baseline_est / pm_fused_s,
+                "dg_adaptive_pm_vs_baseline": pm_baseline_est / pm_fused_dev,
                 "dg_adaptive_pm_engine": pm_engine,
                 "dg_slab_100k_solves_per_sec": dg100k_rate,
                 "dg_slab_100k_batch": dg100k_b,
@@ -1302,26 +1327,32 @@ def main():
                 "train_epochs_per_sec_w500_b8192_pallas": train_rate_pallas,
                 "fd_adaptive_pm_fused_wall_s": None
                 if fd_pm_wall is None else round(fd_pm_wall, 4),
+                "fd_adaptive_pm_fused_device_s": None
+                if fd_pm_dev is None else round(fd_pm_dev, 4),
                 "fd_adaptive_pm_per_study_ms": None
-                if fd_pm_wall is None else round(fd_pm_wall / fd_b * 1e3, 4),
+                if fd_pm_dev is None else round(fd_pm_dev / fd_b * 1e3, 4),
                 "hp_adaptive_pm_fused_wall_s": None
                 if hp_pm_fused_wall is None else round(hp_pm_fused_wall, 4),
+                "hp_adaptive_pm_fused_device_s": None
+                if hp_pm_fused_dev is None else round(hp_pm_fused_dev, 4),
                 "hp_adaptive_pm_host_wall_s": None
                 if hp_pm_host_wall is None else round(hp_pm_host_wall, 4),
                 "hp_adaptive_pm_fused_speedup": None
                 if hp_pm_fused_wall is None
                 else round(hp_pm_host_wall / hp_pm_fused_wall, 2),
                 "hp_adaptive_pm_vs_baseline": None
-                if hp_pm_fused_wall is None
-                else hp_pm_base_est / hp_pm_fused_wall,
+                if hp_pm_fused_dev is None
+                else hp_pm_base_est / hp_pm_fused_dev,
                 "hp_adaptive_pm_pallas_wall_s": None
                 if hp_pm_pallas_wall is None else round(hp_pm_pallas_wall, 4),
+                "hp_adaptive_pm_pallas_device_s": None
+                if hp_pm_pallas_dev is None else round(hp_pm_pallas_dev, 4),
                 "hp_adaptive_pm_pallas_vs_xla": None
-                if hp_pm_pallas_wall is None or hp_pm_fused_wall is None
-                else round(hp_pm_fused_wall / hp_pm_pallas_wall, 2),
+                if hp_pm_pallas_dev is None or hp_pm_fused_dev is None
+                else round(hp_pm_fused_dev / hp_pm_pallas_dev, 2),
                 "hp_adaptive_pm_pallas_vs_baseline": None
-                if hp_pm_pallas_wall is None
-                else hp_pm_base_est / hp_pm_pallas_wall,
+                if hp_pm_pallas_dev is None
+                else hp_pm_base_est / hp_pm_pallas_dev,
                 "hp_adaptive_pm_ensemble": hp_pm_b,
                 "hp_adaptive_pm_iterations": hp_pm_iters,
                 "k100k_resident_dof_steps_per_sec": k100k_rate,
@@ -1334,25 +1365,34 @@ def main():
                 "dg_baseline_slab_solves_per_sec_live": dg_base_rate_live,
                 # fused-dispatch ensemble-mean adaptive loop
                 "dg_adaptive_fused_wall_s": round(dg_adaptive_fused_wall, 4),
+                "dg_adaptive_fused_device_s": round(
+                    dg_adaptive_fused_dev, 4
+                ),
                 "dg_adaptive_fused_vs_baseline": dg_adaptive_baseline_est
-                / dg_adaptive_fused_wall,
+                / dg_adaptive_fused_dev,
                 # hp strand vs the fem_setup-faithful order-matched baseline
                 "hp_adaptive_pm_base_faithful_est_s": None
                 if hp_pm_base_faithful_est is None
                 else round(hp_pm_base_faithful_est, 4),
                 "hp_adaptive_pm_pallas_vs_faithful_baseline": None
-                if hp_pm_pallas_wall is None or hp_pm_base_faithful_est is None
-                else hp_pm_base_faithful_est / hp_pm_pallas_wall,
+                if hp_pm_pallas_dev is None or hp_pm_base_faithful_est is None
+                else hp_pm_base_faithful_est / hp_pm_pallas_dev,
                 "hp_adaptive_pm_pallas_reconstruct_wall_s": None
                 if hp_pm_pallas_rec_wall is None
                 else round(hp_pm_pallas_rec_wall, 4),
+                "hp_adaptive_pm_pallas_reconstruct_device_s": None
+                if hp_pm_pallas_rec_dev is None
+                else round(hp_pm_pallas_rec_dev, 4),
                 "hp_adaptive_pm_pallas4k_wall_s": None
                 if hp_pm_pallas4k_wall is None
                 else round(hp_pm_pallas4k_wall, 4),
+                "hp_adaptive_pm_pallas4k_device_s": None
+                if hp_pm_pallas4k_dev is None
+                else round(hp_pm_pallas4k_dev, 4),
                 "hp_adaptive_pm_pallas4k_vs_faithful_baseline": None
-                if hp_pm_pallas4k_wall is None
+                if hp_pm_pallas4k_dev is None
                 or hp_pm_base4k_faithful_est is None
-                else hp_pm_base4k_faithful_est / hp_pm_pallas4k_wall,
+                else hp_pm_base4k_faithful_est / hp_pm_pallas4k_dev,
                 "hp_adaptive_pm_4k_ensemble": hp4k_b,
                 # masked-capacity and dp-sharded fused train steps
                 "train_epochs_per_sec_w500_b8192_pallas_masked":
