@@ -20,6 +20,24 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA:CPU compilation cache. The suite is compile-bound on this
+# 1-core host (the interpret-mode Pallas hp-loop parity tests spend 70-180 s
+# each in the CPU compiler); caching the executables across processes cuts a
+# warm full-suite run by an order of magnitude and composes with the
+# process-isolated runner (tools/run_tests.py) — every fresh pytest process
+# reloads instead of recompiling. Keys hash the optimized HLO + compile
+# options, so any code change recompiles. Separate dir from the TPU cache so
+# either can be wiped independently. Opt out with JAX_TEST_COMPILATION_CACHE=
+# (empty). Note: loading an XLA:CPU AOT result logs a harmless E-line about
+# the +prefer-no-scatter/+prefer-no-gather pseudo-features missing from the
+# host feature list — XLA tuning hints, not ISA features; pytest captures it.
+_cache_dir = os.environ.get(
+    "JAX_TEST_COMPILATION_CACHE",
+    os.path.expanduser("~/.cache/jax_comp_cache_cpu"),
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
 
 def pytest_collection_modifyitems(session, config, items):
     # The XLA CPU compiler deterministically segfaults compiling large
