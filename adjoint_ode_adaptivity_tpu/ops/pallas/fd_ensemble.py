@@ -42,7 +42,11 @@ from adjoint_ode_adaptivity_tpu.ops.pallas._vmem import (
     STORED_VMEM_STACK_FACTOR,
 )
 
-__all__ = ["make_pallas_fd_ensemble", "make_pallas_fd_estimate_per_member"]
+__all__ = [
+    "make_pallas_fd_ensemble",
+    "make_pallas_fd_ensemble_vec",
+    "make_pallas_fd_estimate_per_member",
+]
 
 
 def _is_scalar(x) -> bool:
@@ -162,6 +166,159 @@ def make_pallas_fd_ensemble(
             ],
             out_specs=pl.BlockSpec(
                 (n_steps, 8, lane_block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(u0t)
+        return err.reshape(n_steps, n)
+
+    return run
+
+
+def _zero_entry(x) -> bool:
+    """True for a structurally-zero Jacobian entry (Python literal 0):
+    skipped entirely so sparse Jacobians (e.g. companion forms) cost only
+    their nonzero terms."""
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _vec_kernel(f_comps, jac_comps, d, n_steps, rf, dts, u0_ref, err_out):
+    # u0_ref: (d, 8, L) — component c rides as its own lane carpet
+    # u0_ref[c] (LEADING dims of >2D refs index freely). Same pipeline as
+    # the scalar _kernel with every value promoted to a d-tuple of tiles:
+    # the adjoint update applies (I + dt·J)ᵀ, the indicator contracts
+    # r·v over components.
+    tc = [0.0]
+    for dt_n in dts:
+        tc.append(tc[-1] + dt_n)
+    us = tuple(u0_ref[c] for c in range(d))
+    traj = [us]
+    for n in range(n_steps):
+        fs = f_comps(us, tc[n])
+        us = tuple(us[i] + fs[i] * dts[n] for i in range(d))
+        traj.append(us)
+
+    def u_fine(j):
+        i, q = divmod(j, rf)
+        if q == 0:
+            return traj[i]
+        w = q / rf
+        return tuple(
+            traj[i][c] + w * (traj[i + 1][c] - traj[i][c]) for c in range(d)
+        )
+
+    def t_fine(j):
+        i, q = divmod(j, rf)
+        return tc[i] + (q / rf) * dts[i]
+
+    def dt_fine(j):
+        return dts[j // rf] / rf
+
+    n_fine = n_steps * rf
+    v = tuple(jnp.zeros_like(us[0]) for _ in range(d))
+    blocks = [None] * n_steps
+    for j in range(n_fine, 0, -1):
+        u_j = u_fine(j)
+        u_jm1 = u_fine(j - 1)
+        if j < n_fine:
+            # v_j = k_j + (I + dt_f·J(u_j))ᵀ v_{j+1},  k_j = 2 u_j dt_f
+            # (J = ∫|u|² dt on the fine grid, left rule)
+            dtf = dt_fine(j)
+            jac = jac_comps(u_j, t_fine(j))
+            v_new = []
+            for i in range(d):
+                acc = 2.0 * u_j[i] * dtf + v[i]
+                for m in range(d):
+                    if not _zero_entry(jac[m][i]):
+                        acc = acc + dtf * jac[m][i] * v[m]
+                v_new.append(acc)
+            v = tuple(v_new)
+        dtf_m = dt_fine(j - 1)
+        fs_m = f_comps(u_jm1, t_fine(j - 1))
+        err = None
+        for i in range(d):
+            r_i = u_j[i] - (u_jm1[i] + fs_m[i] * dtf_m)
+            term = r_i * v[i]
+            err = term if err is None else err + term
+        i_blk = (j - 1) // rf
+        blocks[i_blk] = err if blocks[i_blk] is None else blocks[i_blk] + err
+
+    for i in range(n_steps):
+        err_out[i] = jnp.abs(blocks[i])
+
+
+def make_pallas_fd_ensemble_vec(
+    f_comps: Callable,
+    jac_comps: Callable,
+    d: int,
+    n_steps: int,
+    ref_factor: int,
+    dt,
+    interpret: bool = False,
+):
+    """Vector-state (d>1) variant of :func:`make_pallas_fd_ensemble`:
+    ``run(u0s) -> err_steps`` with ``u0s`` of shape ``(n_ics, d)``, the
+    per-IC block indicator ``(n_steps, n_ics)`` in one launch. Each state
+    component rides as its own (8, lane) carpet, so everything stays
+    elementwise over ICs; the adjoint applies the transposed d×d Jacobian
+    as d² unrolled multiply-adds and the indicator contracts r·v over
+    components — the same pipeline the scalar kernel fuses
+    (fwd Euler march → interp → k=2u·dt_f → reverse (I+dtJ)ᵀ scan →
+    residual → block indicator, reference Main_variable_params.py:234,
+    330-341 semantics for vector states).
+
+    ``f_comps(us, t) -> tuple_d`` and ``jac_comps(us, t) -> d×d nested
+    tuple`` (entry [m][i] = ∂f_m/∂u_i) take a d-tuple of tiles; entries
+    may be Python scalars — literal-zero entries are skipped at trace
+    time, so companion-form systems (e.g. the harmonic oscillator) cost
+    only their nonzero Jacobian terms. ``n_ics`` must be a multiple of
+    20480, as for the scalar kernel."""
+
+    lane_block = 2560
+    dts = (
+        (float(dt),) * n_steps
+        if _is_scalar(dt)
+        else tuple(float(x) for x in dt)
+    )
+    if len(dts) != n_steps:
+        raise ValueError(f"dt vector length {len(dts)} != n_steps={n_steps}")
+    if d < 2:
+        raise ValueError("use make_pallas_fd_ensemble for scalar states")
+
+    def run(u0s):
+        n, d_in = u0s.shape
+        if d_in != d:
+            raise ValueError(f"u0s last axis {d_in} != d={d}")
+        if n % (8 * lane_block):
+            raise ValueError(
+                f"n_ics={n} must be a multiple of {8 * lane_block} (pad)"
+            )
+        width = n // 8
+        n_blocks = width // lane_block
+        # live set ≈ traj (n_steps+1)·d + blocks n_steps + ~8·d temporaries
+        approx_bytes = (
+            ((n_steps + 1) * d + n_steps + 8 * d) * 8 * lane_block * 4
+        )
+        if approx_bytes > 12 * 2**20:
+            raise ValueError(
+                f"n_steps={n_steps}, d={d} would need "
+                f"~{approx_bytes/2**20:.0f} MB of scoped VMEM (limit "
+                "~16 MB); split the march into windows"
+            )
+        u0t = u0s.T.reshape(d, 8, width)
+        kern = functools.partial(
+            _vec_kernel, f_comps, jac_comps, d, n_steps, ref_factor, dts
+        )
+        err = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            out_shape=jax.ShapeDtypeStruct((n_steps, 8, width), u0s.dtype),
+            in_specs=[
+                pl.BlockSpec((d, 8, lane_block), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (n_steps, 8, lane_block), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
             ),
             interpret=interpret,
         )(u0t)

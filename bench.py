@@ -776,6 +776,7 @@ def main():
     hp_pm_pallas_wall = hp_pm_pallas_dev = hp_pm_base_faithful_est = None
     hp_pm_pallas_rec_wall = hp_pm_pallas_rec_dev = None
     hp_pm_pallas4k_wall = hp_pm_pallas4k_dev = hp_pm_base4k_faithful_est = None
+    hp_pm_pallas4k_rec_wall = hp_pm_pallas4k_rec_dev = None
     hp4k_b = 4096
     hp_pm_iters = 0
     hp_pm_b = 512
@@ -841,18 +842,29 @@ def main():
 
         hp_pm_base_faithful_est = _hp_faithful_cost(h_hp)
 
+        def _hp_pallas_study_slope(y0, k_hi=8, **mode_kwargs):
+            """Fused-kernel hp study → (history, device_s, wall_s).
+
+            k_hi=8 matches study_device_slope's default (the B=512 study
+            is ~4 ms device under a ~27 ms dispatch floor — a k_hi=2
+            slope gets swallowed by tunnel jitter and trips the
+            conservative wall-clock fallback)."""
+            h = run_adaptive_dg_hp_per_member(
+                f_sin, y0, (0.0, 2.0), device_loop=True, engine="pallas",
+                **mode_kwargs, **hp_kwargs
+            )
+            dev, wall = study_device_slope(
+                h.run_fused, h.fused_args[0], extra=(h.fused_args[1],),
+                pick=hp_pick, k_hi=k_hi,
+            )
+            return h, dev, wall
+
         # the FUSED-KERNEL engine: the whole mixed-order member pipeline
         # (coarse/fine/adjoint/AWR) is ONE pallas launch per iteration
         # (ops/pallas/dg_slab_mixed.py) inside the same device while_loop
         try:
-            h_hpp = run_adaptive_dg_hp_per_member(
-                f_sin, hp_y0, (0.0, 2.0), device_loop=True,
-                engine="pallas", **hp_kwargs
-            )
-
-            hp_pm_pallas_dev, hp_pm_pallas_wall = study_device_slope(
-                h_hpp.run_fused, h_hpp.fused_args[0],
-                extra=(h_hpp.fused_args[1],), pick=hp_pick,
+            _, hp_pm_pallas_dev, hp_pm_pallas_wall = _hp_pallas_study_slope(
+                hp_y0
             )
         except Exception:  # noqa: BLE001 - keep bench alive on kernel regress
             hp_pm_pallas_dev = hp_pm_pallas_wall = None
@@ -863,14 +875,8 @@ def main():
         # mode (the reason the reference built adj_rec)
         hp_pm_pallas_rec_wall = hp_pm_pallas_rec_dev = None
         try:
-            h_hpr = run_adaptive_dg_hp_per_member(
-                f_sin, hp_y0, (0.0, 2.0), device_loop=True,
-                engine="pallas", adjoint_mode="reconstruct", **hp_kwargs
-            )
-
-            hp_pm_pallas_rec_dev, hp_pm_pallas_rec_wall = study_device_slope(
-                h_hpr.run_fused, h_hpr.fused_args[0],
-                extra=(h_hpr.fused_args[1],), pick=hp_pick,
+            _, hp_pm_pallas_rec_dev, hp_pm_pallas_rec_wall = (
+                _hp_pallas_study_slope(hp_y0, adjoint_mode="reconstruct")
             )
         except Exception:  # noqa: BLE001 - keep bench alive on regress
             hp_pm_pallas_rec_dev = hp_pm_pallas_rec_wall = None
@@ -885,18 +891,26 @@ def main():
             hp4k_y0 = np.random.default_rng(6).uniform(
                 0.5, 2.0, hp4k_b
             ).astype(np.float32)
-            h_hp4k = run_adaptive_dg_hp_per_member(
-                f_sin, hp4k_y0, (0.0, 2.0), device_loop=True,
-                engine="pallas", **hp_kwargs
-            )
-
-            hp_pm_pallas4k_dev, hp_pm_pallas4k_wall = study_device_slope(
-                h_hp4k.run_fused, h_hp4k.fused_args[0],
-                extra=(h_hp4k.fused_args[1],), pick=hp_pick, k_hi=4,
+            h_hp4k, hp_pm_pallas4k_dev, hp_pm_pallas4k_wall = (
+                _hp_pallas_study_slope(hp4k_y0, k_hi=4)
             )
             hp_pm_base4k_faithful_est = _hp_faithful_cost(h_hp4k)
         except Exception:  # noqa: BLE001 - keep bench alive on regress
             hp_pm_pallas4k_dev = hp_pm_pallas4k_wall = None
+
+        # reconstruct mode at the same B=4096 scale: with the per-iteration
+        # indicator/partition/format overhead amortized over 8x the members
+        # the (ns+1)- vs (ns+2)-row Newton saving should become visible
+        # (at B=512 the two modes tie — BASELINE.md round-4 table)
+        hp_pm_pallas4k_rec_wall = hp_pm_pallas4k_rec_dev = None
+        try:
+            _, hp_pm_pallas4k_rec_dev, hp_pm_pallas4k_rec_wall = (
+                _hp_pallas_study_slope(
+                    hp4k_y0, k_hi=4, adjoint_mode="reconstruct"
+                )
+            )
+        except Exception:  # noqa: BLE001 - keep bench alive on regress
+            hp_pm_pallas4k_rec_dev = hp_pm_pallas4k_rec_wall = None
 
     # ---- NN-training throughput (the L4 axis): per-step ResBlockSimple
     # at width 500 — the reference's LARGEST trained width
@@ -1207,6 +1221,36 @@ def main():
         except Exception:  # noqa: BLE001
             vec2_rate = None
 
+    # fused d=2 kernel on the same problem (round 4: the vector-state
+    # pipeline joins the fast path — components as separate lane carpets,
+    # transposed 2x2 Jacobian applied in-kernel)
+    vec2_rate_pallas = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble_vec,
+        )
+
+        run_vec_pl = make_pallas_fd_ensemble_vec(
+            lambda us, t: (us[1], -4.0 * us[0]),
+            lambda us, t: ((0.0, 1.0), (-4.0, 0.0)),
+            2, v_steps, v_rf, dt=2.0 / v_steps,
+        )
+
+        def mk_vec_pl(k_calls):
+            @jax.jit
+            def g(u0s):
+                for _ in range(k_calls):
+                    err = jnp.mean(run_vec_pl(u0s), axis=1)
+                    u0s = u0s + 1e-7 * err[0]
+                return u0s
+            return g
+
+        try:
+            vec_pl_best, _ = chained_slope(mk_vec_pl, v_u0s, k_hi=16)
+            vec2_rate_pallas = v_n_ics / vec_pl_best
+        except Exception:  # noqa: BLE001
+            vec2_rate_pallas = None
+
     # ---- K-envelope rows (BASELINE.md): the resident blocked-single
     # pipeline at K=10^5 (fits the 48 MB scoped-VMEM limit) and the
     # element-tiled HBM-streamed pipeline at K=10^6 — 100x beyond any
@@ -1394,6 +1438,12 @@ def main():
                 or hp_pm_base4k_faithful_est is None
                 else hp_pm_base4k_faithful_est / hp_pm_pallas4k_dev,
                 "hp_adaptive_pm_4k_ensemble": hp4k_b,
+                "hp_adaptive_pm_pallas4k_reconstruct_wall_s": None
+                if hp_pm_pallas4k_rec_wall is None
+                else round(hp_pm_pallas4k_rec_wall, 4),
+                "hp_adaptive_pm_pallas4k_reconstruct_device_s": None
+                if hp_pm_pallas4k_rec_dev is None
+                else round(hp_pm_pallas4k_rec_dev, 4),
                 # masked-capacity and dp-sharded fused train steps
                 "train_epochs_per_sec_w500_b8192_pallas_masked":
                     train_rate_pallas_masked,
@@ -1425,6 +1475,7 @@ def main():
                 else train_shared_rate_pallas_s100 / 0.56,
                 # vector-state (d=2) XLA fallback at ensemble scale
                 "vec2_ensemble_ics_per_sec": vec2_rate,
+                "vec2_ensemble_ics_per_sec_pallas": vec2_rate_pallas,
             }
     )
 

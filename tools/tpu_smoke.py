@@ -340,6 +340,57 @@ def main():
         except Exception as e:  # noqa: BLE001
             fail("fd_ensemble_nonuniform_dt", e)
 
+    # 15c. vector-state (d=2) fused ensemble: harmonic oscillator through
+    # the same fwd+adj+indicator pipeline with the transposed 2x2 Jacobian
+    # applied in-kernel, vs the generic XLA vmap composition
+    try:
+        from adjoint_ode_adaptivity_tpu import odes as _odes
+        from adjoint_ode_adaptivity_tpu.adjoint import (
+            adjoint_march,
+            coarse_indicator,
+            interp_to_fine,
+            refine_all,
+            residual,
+        )
+        from adjoint_ode_adaptivity_tpu.march import (
+            euler_step,
+            forward_march,
+        )
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
+            make_pallas_fd_ensemble_vec,
+        )
+
+        v_steps, v_rf = 16, 4
+        v_dt = jnp.full((v_steps,), 2.0 / v_steps, jnp.float32)
+        v_dtf = refine_all(v_dt, v_rf)
+        v_step = euler_step(_odes.get_ode("harmonic_oscillator").f)
+
+        def _vec_val(u_f):
+            return jnp.sum((u_f[:-1] ** 2).sum(-1) * v_dtf)
+
+        def _vec_one(u0):
+            u = forward_march(v_step, u0, v_dt)
+            u_f = interp_to_fine(u, v_dt, v_dtf)
+            k = jax.grad(_vec_val)(u_f)
+            v = adjoint_march(v_step, u_f, v_dtf, k)
+            res = residual(v_step, u_f, v_dtf)
+            return coarse_indicator((res * v).sum(-1), v_rf, "block")
+
+        v_u0s = jnp.asarray(
+            np.random.default_rng(21).uniform(-1, 1, (102_400, 2)),
+            jnp.float32,
+        )
+        want_vec = jax.vmap(_vec_one)(v_u0s).T
+        run_vec = make_pallas_fd_ensemble_vec(
+            lambda us, t: (us[1], -4.0 * us[0]),
+            lambda us, t: ((0.0, 1.0), (-4.0, 0.0)),
+            2, v_steps, v_rf, dt=2.0 / v_steps, interpret=interp,
+        )
+        check("fd_ensemble_vec2_102400", run_vec(v_u0s), want_vec,
+              2e-4, 1e-6)
+    except Exception as e:  # noqa: BLE001
+        fail("fd_ensemble_vec2_102400", e)
+
     # 16. element-tiled (HBM-streamed) pipeline — the K-beyond-VMEM path
     try:
         from adjoint_ode_adaptivity_tpu.ops.pallas.dg_tiled import (
