@@ -10,6 +10,7 @@ from adjoint_ode_adaptivity_tpu.ops.pallas.burgers import (
 
 from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
     make_pallas_fd_ensemble,
+    make_pallas_fd_ensemble_vec,
     make_pallas_fd_estimate_per_member,
 )
 from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
@@ -51,6 +52,7 @@ __all__ = [
     "make_pallas_fwd_adj_estimate_grid_mxu",
     "make_pallas_dg_estimate_ensemble",
     "make_pallas_fd_ensemble",
+    "make_pallas_fd_ensemble_vec",
     "make_pallas_fd_estimate_per_member",
     "make_pallas_burgers_march",
     "make_pallas_burgers_march_single_blocked",
