@@ -103,6 +103,16 @@ def main():
         rows.append(("FD ensemble fwd+adj+err (102k ICs)",
                      fd * (16 + 3 * 64) * 8, VPU, "VPU", None))
 
+    # ---- vector-state (d=2) fused ensemble, harmonic oscillator at
+    # n_steps=16/rf=4: ~5 FLOP/coarse step (companion-form f + 2-comp
+    # Euler update) + ~32 FLOP/fine node in the reverse sweep (two 2-comp
+    # interps, transposed-Jacobian adjoint update with the 2 nonzero
+    # entries, 2-comp residual, r·v contraction) ≈ 2130 FLOP/IC
+    fv = b.get("vec2_ensemble_ics_per_sec_pallas")
+    if fv:
+        rows.append(("FD ensemble d=2 fused (102k ICs)",
+                     fv * (16 * 5 + 64 * 32), VPU, "VPU", None))
+
     print("| Kernel family | achieved TFLOP/s | ceiling | % of ceiling "
           "| HBM GB/s (of 652 measured / 819 spec) |")
     print("|---|---|---|---|---|")
