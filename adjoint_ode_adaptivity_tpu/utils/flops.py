@@ -1,0 +1,197 @@
+"""Analytic FLOP/op models for the benched kernel families — single source.
+
+ADVICE r4: ``bench.py`` and ``tools/roofline.py`` each hardcoded the bench
+problem shapes and per-node FLOP estimates separately, so a config change
+in one silently misreported TFLOP/s in the other, and the d=1 / d=2 FD
+ensemble rows were counted with *different* accounting. This module is the
+one place both sides import:
+
+- ``BENCH_CFG`` — the canonical shapes of every roofline-accounted bench
+  row. ``bench.py`` builds its problems from these constants; the roofline
+  FLOP models read the same dict, so they cannot drift apart.
+- per-family ``*_flops()`` models returning ``(flops, transcendentals)``
+  per unit of the family's rate key. FLOPs follow the FMA=2 convention the
+  measured VPU ceiling uses (tools/microroof.py times pure FMA streams).
+  Transcendental evaluations (sin/cos) are counted SEPARATELY: one sin is
+  one "FLOP" in the naive count but occupies many VPU issue slots
+  (measured by microroof's ``vpu_sin_ns`` / ``vpu_cos_ns`` rows), so
+  kernels dominated by them look artificially far from the FMA roofline.
+  ``tools/roofline.py`` reports both the naive %-of-ceiling and the
+  transcendental-adjusted one.
+
+Chip ceilings (measured on this v5e by tools/microroof.py) live here too,
+so every consumer divides by the same numbers.
+"""
+from __future__ import annotations
+
+__all__ = [
+    "BENCH_CFG",
+    "VPU_F32_TFLOPS",
+    "MXU_F32_TFLOPS",
+    "HBM_GBPS",
+    "SIN_FMA_EQUIV",
+    "fd_ensemble_flops_per_ic",
+    "fd_ensemble_vec_flops_per_ic",
+    "advec_pipeline_flops_per_element_step",
+    "dg_slab_flops_per_solve",
+    "train_fused_flops_per_epoch",
+    "train_dense_matmul_flops_per_epoch",
+]
+
+# ---------------------------------------------------------------------------
+# measured chip ceilings (tools/microroof.py on the TPU v5e this repo
+# benches on; re-run microroof and update here if the chip changes)
+VPU_F32_TFLOPS = 4.27   # resident FMA streams (FMA = 2 FLOP)
+MXU_F32_TFLOPS = 190.0  # default-precision 4096^3 matmul
+HBM_GBPS = 652.0        # practical 1 GiB read+write stream
+
+# Measured cost of one transcendental evaluation in units of one FMA's
+# issue time on the same resident tiles (microroof `sin_fma_equiv` row:
+# time(sin chain)/time(fma chain) per op). A sin that costs S FMA slots
+# contributes S*2 FLOP-equivalents of VPU issue capacity.
+# PROVISIONAL until tools/microroof.py's transcendental sweep runs on the
+# hardware — roofline consumers must treat adjusted rows as estimates
+# while this note stands.
+SIN_FMA_EQUIV = 10.0
+
+# ---------------------------------------------------------------------------
+# canonical bench-row shapes (bench.py builds its problems from these)
+BENCH_CFG = {
+    # FD ensemble refinement signal (Main_variable_params.py:234,330-341):
+    # u' = sin(u), J = ∫u² dt, 102,400 ICs
+    "fd_ensemble": dict(n_ics=102_400, n_steps=16, ref_factor=4),
+    # d=2 sibling: harmonic oscillator u'' = -4u in companion form
+    # (linear RHS — no transcendentals; 2 structurally-nonzero Jacobian
+    # entries)
+    "fd_ensemble_vec2": dict(n_ics=102_400, n_steps=16, ref_factor=4, d=2),
+    # resident advection fwd+adj+estimate pipeline (headline row)
+    "advec_pipeline": dict(k_elems=10_000, n_order=2, batch=8),
+    # DG-in-time slab ensemble (Np=2, 5 fixed Newton iterations, Q=8)
+    "dg_slab": dict(np_=2, newton_iters=5, n_quad=8),
+    # fused per-step training epoch (ResBlockSimple)
+    "train_fused": dict(width=500, n_steps=10, batch=8192),
+    # shared-net Dense training (ResNetBlock [100, 500])
+    "train_dense": dict(f1=100, f2=500, n_steps=100, batch=8192),
+}
+
+
+# ---------------------------------------------------------------------------
+# FD ensemble (ops/pallas/fd_ensemble.py): fused coarse march + on-the-fly
+# interp + reverse adjoint + residual + block indicator, scalar state.
+def fd_ensemble_flops_per_ic(n_steps: int | None = None,
+                             ref_factor: int | None = None):
+    """(flops, transcendentals) per IC for the d=1 fused kernel.
+
+    Static count of the unrolled kernel body (fd_ensemble._kernel), with
+    trace-time CSE assumed for repeated subexpressions (the coarse-node
+    sin evals are shared between march and residual; u_fine(j) is shared
+    between consecutive reverse iterations):
+
+    - coarse march, n_steps iterations: sin(u) [1 trans] then
+      u += f·dt [1 FMA = 2 FLOP]
+    - reverse sweep over n_fine = n_steps·rf fine intervals:
+      · u_fine interp at the rf−1 interior nodes per coarse step:
+        traj[i] + w·(traj[i+1]−traj[i]) = 1 sub + 1 FMA = 3 FLOP
+        (coarse nodes are free — they alias traj[i]); each interp is
+        computed once thanks to CSE across iterations
+      · adjoint update at n_fine−1 nodes: cos(u_j) [1 trans] +
+        v = 2·u_j·dtf + (1 + f_u·dtf)·v  → 2 mul + 2 FMA = 6 FLOP
+      · residual at n_fine nodes: sin(u_{j−1}) [1 trans, CSE'd with the
+        march at coarse nodes → n_fine − n_steps NEW sins + the n_steps
+        coarse ones already counted] + r = u_j − (u_{j−1} + f·dtf)
+        [1 FMA + 1 sub = 3 FLOP] + err = r·v [1] + block acc [1]
+    - final |·| per coarse step: n_steps ops
+    """
+    cfg = BENCH_CFG["fd_ensemble"]
+    n_steps = cfg["n_steps"] if n_steps is None else n_steps
+    rf = cfg["ref_factor"] if ref_factor is None else ref_factor
+    n_fine = n_steps * rf
+    flops = (
+        2 * n_steps                      # march FMA
+        + 3 * (rf - 1) * n_steps         # interior interps
+        + 6 * (n_fine - 1)               # adjoint updates
+        + 5 * n_fine                     # residual + err + acc
+        + n_steps                        # |blocks|
+    )
+    # sin at every fine node 0..n_fine−1 (n_steps of them shared with the
+    # march) + cos at nodes 1..n_fine−1
+    trans = n_fine + (n_fine - 1)
+    return flops, trans
+
+
+def fd_ensemble_vec_flops_per_ic(n_steps: int | None = None,
+                                 ref_factor: int | None = None,
+                                 d: int = 2, jac_nnz: int = 2,
+                                 rhs_flops: int = 1):
+    """(flops, transcendentals) per IC for the d-component fused kernel at
+    a LINEAR RHS with ``jac_nnz`` structurally-nonzero Jacobian entries and
+    ``rhs_flops`` FLOPs per f() eval (harmonic oscillator: one mul).
+
+    Same static-count discipline as the scalar model (fd_ensemble
+    ._vec_kernel): march d FMAs + rhs per step; reverse per fine node:
+    d interps (3 FLOP each, interior nodes only), adjoint
+    d·(1 mul + 1 FMA) + jac_nnz·(1 mul + 1 FMA), residual
+    rhs + d·(1 FMA + 1 sub) + d mul + (d−1) add, block acc 1."""
+    cfg = BENCH_CFG["fd_ensemble_vec2"]
+    n_steps = cfg["n_steps"] if n_steps is None else n_steps
+    rf = cfg["ref_factor"] if ref_factor is None else ref_factor
+    n_fine = n_steps * rf
+    march = n_steps * (rhs_flops + 2 * d)
+    interp = 3 * d * (rf - 1) * n_steps
+    adj = (n_fine - 1) * (3 * d + 3 * jac_nnz)
+    resid = n_fine * (rhs_flops + 3 * d + d + (d - 1) + 1)
+    flops = march + interp + adj + resid + n_steps  # + |blocks|
+    return flops, 0
+
+
+# ---------------------------------------------------------------------------
+# advection fwd+adj+estimate pipeline (ops/pallas/dg_rhs.py, stored
+# trajectory): 5 LSRK step-equivalents per time step (forward 5 stages +
+# transpose 5 stages, minus the stored recompute), each stage per element:
+# Np·(Np Dr FMAs + 1 lift FMA) + 2·Np LSRK-carry FMAs + ~2 jump ops.
+def advec_pipeline_flops_per_element_step(n_order: int | None = None):
+    """FLOPs per (element, time step) for the stored-trajectory pipeline;
+    multiply by B·K·n_steps. 5 step-equivalents × 5 stages = 25
+    stage-evaluations per time step."""
+    np_ = (BENCH_CFG["advec_pipeline"]["n_order"] if n_order is None
+           else n_order) + 1
+    per_stage = 2 * (np_ * np_ + 3 * np_) + 2
+    return 25 * per_stage, 0
+
+
+# ---------------------------------------------------------------------------
+# DG-in-time slab ensemble (ops/pallas/dg_slab.py): per counted
+# slab-solve (bench counts 2·B·K coarse+fine solves per launch, adjoint +
+# AWR riding along): 5 Newton × (residual 2·Np² + quadrature interp
+# 2·Q·Np·3 + Jacobian 2·Q·Np² + Cramer ~14), adjoint ≈ one extra
+# Newton-like solve + AWR ≈ 250. Newton residual/Jacobian evaluate
+# sin/cos at the Q quadrature points per iteration (u' = sin u).
+def dg_slab_flops_per_solve():
+    cfg = BENCH_CFG["dg_slab"]
+    np_, it, q = cfg["np_"], cfg["newton_iters"], cfg["n_quad"]
+    per_newton = 2 * np_ * np_ + 2 * q * np_ * 3 + 2 * q * np_ * np_ + 14
+    flops = it * per_newton + 250
+    trans = it * 2 * q + q  # sin+cos per Newton iter + adjoint's cos
+    return flops, trans
+
+
+# ---------------------------------------------------------------------------
+# fused per-step training epoch (ops/pallas/train_fused.py,
+# ResBlockSimple width F): fwd 3 FMA + relu ≈ 7 FLOP per
+# (neuron, member, step); reverse ≈ 2× fwd.
+def train_fused_flops_per_epoch():
+    cfg = BENCH_CFG["train_fused"]
+    return 21 * cfg["width"] * cfg["batch"] * cfg["n_steps"], 0
+
+
+# ---------------------------------------------------------------------------
+# shared-net Dense training (ops/pallas/train_dense_fused.py,
+# ResNetBlock [f1, f2]): matmul MACs per epoch-forward =
+# B·S·(1·f1 + f1·f2 + f2·1); value_and_grad ≈ 3× fwd (XLA) / 4× fwd
+# (the fused kernel recomputes activations in the backward).
+def train_dense_matmul_flops_per_epoch(backward_factor: float):
+    cfg = BENCH_CFG["train_dense"]
+    base = 2 * cfg["batch"] * cfg["n_steps"] * (
+        cfg["f1"] + cfg["f1"] * cfg["f2"] + cfg["f2"]
+    )
+    return backward_factor * base, 0

@@ -98,9 +98,12 @@ def main():
     from adjoint_ode_adaptivity_tpu.utils.benchmarks import (
         numpy_advec_fwd_adj_baseline,
     )
+    from adjoint_ode_adaptivity_tpu.utils.flops import BENCH_CFG
 
-    n_order = 2
-    k_elems = 10_000
+    # canonical row shapes shared with tools/roofline.py (ADVICE r4: one
+    # source so the FLOP accounting cannot drift from the benched config)
+    n_order = BENCH_CFG["advec_pipeline"]["n_order"]
+    k_elems = BENCH_CFG["advec_pipeline"]["k_elems"]
     a = 2 * np.pi
     disc = startup_1d(n_order, 0.0, 2 * np.pi, k_elems)
     dtype = jnp.float32
@@ -462,7 +465,11 @@ def main():
     # single call sits below this environment's ~27 ms host↔device RPC
     # floor, so the honest measurement chains K data-dependent calls inside
     # one jit and takes the slope (K=1 vs K=64).
-    n_ics, ens_steps, ref_factor = 102_400, 16, 4
+    n_ics, ens_steps, ref_factor = (
+        BENCH_CFG["fd_ensemble"]["n_ics"],
+        BENCH_CFG["fd_ensemble"]["n_steps"],
+        BENCH_CFG["fd_ensemble"]["ref_factor"],
+    )
     ens_dt = 2.0 / ens_steps
     if on_tpu:
         from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
@@ -1183,7 +1190,8 @@ def main():
 
         v_ode = _odes2.get_ode("harmonic_oscillator")
         v_step = euler_step(v_ode.f)
-        v_steps, v_rf = 16, 4
+        v_steps = BENCH_CFG["fd_ensemble_vec2"]["n_steps"]
+        v_rf = BENCH_CFG["fd_ensemble_vec2"]["ref_factor"]
         v_dt = jnp.full((v_steps,), 2.0 / v_steps, jnp.float32)
         v_dtf = refine_all(v_dt, v_rf)
 
@@ -1200,7 +1208,7 @@ def main():
             res = residual(v_step, u_fine, v_dtf)
             return coarse_indicator((res * v).sum(-1), v_rf, "block")
 
-        v_n_ics = 102_400
+        v_n_ics = BENCH_CFG["fd_ensemble_vec2"]["n_ics"]
         v_u0s = jnp.asarray(
             np.random.default_rng(21).uniform(-1, 1, (v_n_ics, 2)),
             jnp.float32,
@@ -1241,12 +1249,18 @@ def main():
             def g(u0s):
                 for _ in range(k_calls):
                     err = jnp.mean(run_vec_pl(u0s), axis=1)
-                    u0s = u0s + 1e-7 * err[0]
+                    # every step row stays live (not just [0]) and feeds
+                    # the next call — XLA cannot shortcut the chain
+                    u0s = u0s + 1e-7 * jnp.sum(err)
                 return u0s
             return g
 
         try:
-            vec_pl_best, _ = chained_slope(mk_vec_pl, v_u0s, k_hi=16)
+            # the kernel is a few hundred µs/call: k_hi=16 left the slope
+            # inside the tunnel's ms-level dispatch jitter and BENCH_r04
+            # captured a physically impossible 2.0e10 ICs/s (≈10× the VPU
+            # roofline) — chain 128 calls so the signal is tens of ms
+            vec_pl_best, _ = chained_slope(mk_vec_pl, v_u0s, k_hi=128)
             vec2_rate_pallas = v_n_ics / vec_pl_best
         except Exception:  # noqa: BLE001
             vec2_rate_pallas = None
@@ -1353,7 +1367,11 @@ def main():
                 "dg_adaptive_baseline_wallclock_est_s": round(
                     dg_adaptive_baseline_est, 4
                 ),
-                "dg_adaptive_vs_baseline": dg_adaptive_baseline_est
+                # DEPRECATED name dg_adaptive_vs_baseline: this is the
+                # HOST-LOOPED study wall (per-iteration dispatch+fetch),
+                # kept for cross-round comparability — the production
+                # number is dg_adaptive_fused_vs_baseline (device_loop)
+                "dg_adaptive_hostloop_vs_baseline": dg_adaptive_baseline_est
                 / dg_adaptive_wallclock,
                 "dg_adaptive_ensemble": dg_ab,
                 "dg_adaptive_iterations": len(dg_hist),

@@ -113,6 +113,123 @@ def main():
         dt_mm = chained(mk_mm, a, k_lo=8, k_hi=64)
         out[name] = 2 * n**3 / dt_mm / 1e12
 
+    # ---- transcendental throughput (sin/cos/exp) at saturation, with the
+    # SAME multi-stream structure as the FMA-ceiling kernel (a dependent
+    # chain would measure latency, and an affine identity chain gets
+    # strength-reduced by Mosaic — a first attempt measured an impossible
+    # 0.25 ns/iter on it). S independent streams of `op(a) + c` over an
+    # (8, L) tile, R rounds: element-ops/s = S·R·8·L / t. The constant the
+    # FD-ensemble roofline adjustment uses is
+    #   op_fma_equiv = fma_rate / op_rate
+    # (how many peak-rate FMA issues one transcendental displaces),
+    # exported to adjoint_ode_adaptivity_tpu/utils/flops.py::SIN_FMA_EQUIV.
+    R_t = 2048
+    fma_elem_rate = best_vpu * 1e12 / 2  # element-FMAs/s at the ceiling
+
+    def _stream_kernel(op, S):
+        def kern(x_ref, o_ref):
+            x = x_ref[:]
+            accs = [x * (1.0 + 0.01 * i) for i in range(S)]
+            c = x * 1e-9
+
+            def body(_, accs):
+                # contraction: args stay in [0.06, 0.4] for every op
+                # tested (exp would diverge under a weaker damping), i.e.
+                # the fast small-range path the kernels also live in;
+                # + c keeps each chain data-dependent
+                return tuple(op(a) * 0.1 + 0.2 + c for a in accs)
+
+            accs = jax.lax.fori_loop(0, R_t, body, tuple(accs))
+            o_ref[:] = sum(accs)
+        return kern
+
+    def mk_stream(op, S):
+        def mk(k):
+            f = pl.pallas_call(
+                _stream_kernel(op, S),
+                out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+
+            @jax.jit
+            def g(x):
+                for _ in range(k):
+                    x = f(x) * 1e-3 + 0.5
+                return x
+
+            return g
+        return mk
+
+    x_t = jnp.asarray(np.random.default_rng(2).uniform(0.2, 0.8, (8, L)),
+                      jnp.float32)
+    for name, op in (("sin", jnp.sin), ("cos", jnp.cos), ("exp", jnp.exp),
+                     ("sincos", lambda v: jnp.sin(v) + jnp.cos(v))):
+        best_rate = 0.0
+        for S in (2, 4):
+            t_op = chained(mk_stream(op, S), x_t, k_lo=4, k_hi=16)
+            best_rate = max(best_rate, S * R_t * 8 * L / t_op)
+        out[f"{name}_giga_per_sec"] = best_rate / 1e9
+        out[f"{name}_fma_equiv"] = fma_elem_rate / best_rate
+
+    # ---- shape-matched MXU ceiling for the Dense-fused training kernel
+    # (VERDICT r4 #5): the kernel's hidden chain is, per 128-row member
+    # tile, (B,128)@(128,512) → relu → (B,512)@(512,128), S sequential
+    # steps. Time EXACTLY that chain (dependent steps, weights resident)
+    # in one Pallas kernel at the kernel's tile sizes; the measured
+    # TFLOP/s is the ceiling the 45%-of-MXU row should be judged against.
+    for B_tile in (128, 256):
+        # long enough that the chained slope is tens of ms (the first
+        # attempt at S_c=64 sat inside dispatch jitter and went negative)
+        S_c = 1024
+        w1 = jnp.asarray(
+            np.random.default_rng(3).standard_normal((128, 512)) * 0.03,
+            jnp.float32)
+        w2 = jnp.asarray(
+            np.random.default_rng(4).standard_normal((512, 128)) * 0.03,
+            jnp.float32)
+
+        def dense_chain_kernel(x_ref, w1_ref, w2_ref, o_ref):
+            x = x_ref[:]
+            w1_ = w1_ref[:]
+            w2_ = w2_ref[:]
+
+            def body(_, v):
+                h = jax.lax.dot_general(
+                    v, w1_, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                h = jnp.maximum(h, 0.0)
+                r = jax.lax.dot_general(
+                    h, w2_, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return v * 0.999 + r * 1e-3
+
+            o_ref[:] = jax.lax.fori_loop(0, S_c, body, x)
+
+        xb = jnp.asarray(
+            np.random.default_rng(5).standard_normal((B_tile, 128)),
+            jnp.float32)
+
+        def mk_dense(k, B_tile=B_tile):
+            f = pl.pallas_call(
+                dense_chain_kernel,
+                out_shape=jax.ShapeDtypeStruct((B_tile, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+
+            @jax.jit
+            def g(x):
+                for _ in range(k):
+                    x = f(x, w1, w2) * 1e-3 + 0.5
+                return x
+
+            return g
+
+        dt_d = chained(mk_dense, xb, k_lo=4, k_hi=16)
+        flops = 2 * S_c * B_tile * (128 * 512 + 512 * 128)
+        out[f"dense_chain_b{B_tile}_tflops"] = flops / dt_d / 1e12
+
     # ---- HBM stream: y = x + 1 over 1 GiB (read 1 GiB + write 1 GiB)
     nbytes = 1 << 30
     xs = jnp.zeros((nbytes // 4,), jnp.float32)

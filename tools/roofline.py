@@ -2,126 +2,137 @@
 """Consolidated MFU/roofline table (BASELINE.md) from BENCH_local.json.
 
 Anchors every hot kernel family against the CHIP, not a wobbling host:
-achieved FLOP/s vs the v5e ceilings measured by tools/microroof.py
-(VPU f32 4.27 TFLOP/s, MXU default-precision ~190 TFLOP/s ≈ the 197
-bf16 spec, HBM stream 652 GB/s practical of the 819 spec), plus the HBM
-traffic of the streaming kernels. FLOP counts are ANALYTIC — the
-formula for each family is right here in the source so the accounting
-is auditable; they count the executed algorithm (e.g. the stored-
-trajectory pipeline's 5 LSRK step-equivalents per time step, the fused
-trainer's backward recompute), not a nominal minimum.
+achieved FLOP/s vs the v5e ceilings measured by tools/microroof.py, plus
+the HBM traffic of the streaming kernels.
+
+The FLOP models and bench-row shapes come from ONE shared module
+(adjoint_ode_adaptivity_tpu/utils/flops.py) that bench.py also builds its
+problems from — the accounting cannot silently drift from the benched
+configuration (ADVICE r4). Kernels dominated by transcendentals (the FD
+ensemble's sin/cos RHS, the DG slab's quadrature sin/cos) get a second,
+issue-adjusted column: one sin occupies SIN_FMA_EQUIV FMA slots on this
+VPU (measured by microroof), so the naive FMA-FLOP percentage understates
+how close such a kernel sits to what the hardware can issue.
 
 Usage: python tools/roofline.py [BENCH_local.json]
+Exit code 1 if any row exceeds 115% of its naive ceiling — a physically
+impossible rate means the timing methodology broke (e.g. a slope shorter
+than the RPC jitter), not that the kernel got faster.
 """
 from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-VPU = 4.27e12  # measured: tools/microroof.py FMA-stream sweep
-MXU = 1.90e14  # measured: 4096^3 dot at default (single-pass bf16) precision
-HBM = 652e9  # measured: barriered 1 GiB read+write stream
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from adjoint_ode_adaptivity_tpu.utils import flops as fm
 
-def fmt(x, unit="T"):
-    if x is None:
-        return "—"
-    return f"{x / 1e12:.2f}" if unit == "T" else f"{x / 1e9:.0f}"
+VPU = fm.VPU_F32_TFLOPS * 1e12
+MXU = fm.MXU_F32_TFLOPS * 1e12
+HBM = fm.HBM_GBPS * 1e9
 
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
     b = json.load(open(path))
-    rows = []
+    rows = []  # (name, flops/s, trans/s, peak, unit, gbps)
 
-    # ---- advection fwd+adjoint pipeline (resident, batched B=8, Np=3,
-    # K=1e4, 2048 steps). Work: 5 LSRK step-equivalents per time step
-    # (stored-trajectory reverse), 5 stages each; per element-stage:
-    # Np·(Np Dr FMAs + 1 lift FMA) + 2·Np LSRK-carry FMAs + ~2 jump ops
-    # = 2·(Np² + 3·Np) + 2 FLOP = 38 at Np=3.
+    # ---- advection fwd+adjoint pipeline (resident, batched). Rate source:
+    # elapsed_s for n_steps steps of the B×K grid.
     el = b.get("elapsed_s")
     if el:
-        flops = 8 * 10_000 * b["n_steps"] * 25 * 38 / el
+        cfg = fm.BENCH_CFG["advec_pipeline"]
+        per_el_step, _ = fm.advec_pipeline_flops_per_element_step()
+        f = cfg["batch"] * cfg["k_elems"] * b["n_steps"] * per_el_step / el
         rows.append(("advec fwd+adj pipeline (K=10⁴, B=8, resident)",
-                     flops, VPU, "VPU", None))
+                     f, 0.0, VPU, "VPU", None))
 
     # same kernel family, K=10⁶ element-tiled HBM-streamed (64 steps):
-    # identical FLOP/element; traffic = the stored trajectory written
-    # then read back (2 × steps·Np·K·4 B) + per-segment state traffic.
+    # identical FLOP/element; traffic = the stored trajectory written then
+    # read back (2 × steps·Np·K·4 B) + per-segment state traffic.
     k1m = b.get("k1m_tiled_dof_steps_per_sec")
     if k1m:
-        # rate counts dof·(2·steps); elapsed = dof·2·steps / rate
-        el1m = 3 * 1_000_000 * 2 * 64 / k1m
-        flops = 1_000_000 * 64 * 25 * 38 / el1m
+        per_el_step, _ = fm.advec_pipeline_flops_per_element_step()
+        el1m = 3 * 1_000_000 * 2 * 64 / k1m  # rate counts dof·(2·steps)
+        f = 1_000_000 * 64 * per_el_step / el1m
         gbps = 2 * 64 * 3 * 1_000_000 * 4 / el1m
         rows.append(("advec pipeline (K=10⁶, HBM-streamed)",
-                     flops, VPU, "VPU", gbps))
+                     f, 0.0, VPU, "VPU", gbps))
 
-    # ---- DG-in-time slab ensemble (Np=2, 5 Newton its, f32).
-    # slab-solves/s counts coarse+fine+adjoint per (member, element) as
-    # 1 "solve" triple... the bench counts 2·B·K slabs per launch
-    # (coarse+fine) with the adjoint+AWR riding along. Per coarse/fine
-    # slab: 5 Newton × (residual 2·Np² + quad 2·Q·Np·3 + Jacobian
-    # 2·Q·Np² + Cramer ~14) with Q=8 ⇒ ~5×(8+96+64+14)=910; adjoint
-    # ≈ one extra Newton-like solve + AWR ≈ 250. ~1060 FLOP per counted
-    # slab-solve.
+    # ---- DG-in-time slab ensemble
     dg = b.get("dg_slab_solves_per_sec")
     if dg:
+        fl, tr = fm.dg_slab_flops_per_solve()
         rows.append(("DG slab ensemble (B=16k, K=16)",
-                     dg * 1060, VPU, "VPU", None))
+                     dg * fl, dg * tr, VPU, "VPU", None))
 
-    # ---- fused per-step training epoch (ResBlockSimple F=500, S=10,
-    # B=8192): fwd 3 FMA + relu per (neuron, member, step) ≈ 7 FLOP;
-    # reverse ≈ 2× fwd ⇒ 21 FLOP per neuron-member-step.
-    tr = b.get("train_epochs_per_sec_w500_b8192_pallas")
-    if tr:
+    # ---- fused per-step training epoch
+    tr_r = b.get("train_epochs_per_sec_w500_b8192_pallas")
+    if tr_r:
+        fl, _ = fm.train_fused_flops_per_epoch()
         rows.append(("fused train epoch (F=500, S=10, B=8192)",
-                     tr * 21 * 500 * 8192 * 10, VPU, "VPU", None))
+                     tr_r * fl, 0.0, VPU, "VPU", None))
 
-    # ---- shared-net Dense training (ResNetBlock (100,500), S=100,
-    # B=8192): matmul MACs = B·S·(1·100 + 100·500 + 500·1);
-    # value_and_grad ≈ 3× fwd (XLA) / 4× fwd (fused kernel recomputes).
-    base = 2 * 8192 * 100 * (100 + 50_000 + 500)
+    # ---- shared-net Dense training
+    cfg_d = fm.BENCH_CFG["train_dense"]
     xs = b.get("train_shared_epochs_per_sec_w100x500_b8192_s100")
     if xs:
-        # XLA materializes both activation sheets per step through HBM
-        # in fwd AND reverse (+ optimizer/param traffic, not counted)
-        gbps = xs * 100 * 4 * (8192 * 100 + 8192 * 500) * 4
+        fl, _ = fm.train_dense_matmul_flops_per_epoch(3.0)
+        # XLA materializes both activation sheets per step through HBM in
+        # fwd AND reverse (+ optimizer/param traffic, not counted)
+        gbps = xs * cfg_d["n_steps"] * 4 * (
+            cfg_d["batch"] * (cfg_d["f1"] + cfg_d["f2"])) * 4
         rows.append(("shared Dense train, XLA (S=100)",
-                     xs * 3 * base, MXU, "MXU", gbps))
+                     xs * fl, 0.0, MXU, "MXU", gbps))
     ps = b.get("train_shared_epochs_per_sec_w100x500_b8192_s100_pallas")
     if ps:
-        gbps = ps * 100 * 2 * 8192 * 4  # scalar trajectory only
+        fl, _ = fm.train_dense_matmul_flops_per_epoch(4.0)
+        gbps = ps * cfg_d["n_steps"] * 2 * cfg_d["batch"] * 4  # scalar traj
         rows.append(("shared Dense train, fused (S=100)",
-                     ps * 4 * base, MXU, "MXU", gbps))
+                     ps * fl, 0.0, MXU, "MXU", gbps))
 
-    # ---- FD ensemble estimate (102,400 ICs, 16 coarse + 64 fine steps,
-    # fwd+adjoint+residual ≈ 3 passes over the fine grid, ~8 FLOP per
-    # node pass for the scalar RHS chain)
+    # ---- FD ensemble estimate, d=1 (sin-RHS: transcendental-heavy)
     fd = b.get("ensemble_ics_per_sec")
     if fd:
-        rows.append(("FD ensemble fwd+adj+err (102k ICs)",
-                     fd * (16 + 3 * 64) * 8, VPU, "VPU", None))
+        fl, tr = fm.fd_ensemble_flops_per_ic()
+        rows.append(("FD ensemble fwd+adj+err (102k ICs, sin RHS)",
+                     fd * fl, fd * tr, VPU, "VPU", None))
 
-    # ---- vector-state (d=2) fused ensemble, harmonic oscillator at
-    # n_steps=16/rf=4: ~5 FLOP/coarse step (companion-form f + 2-comp
-    # Euler update) + ~32 FLOP/fine node in the reverse sweep (two 2-comp
-    # interps, transposed-Jacobian adjoint update with the 2 nonzero
-    # entries, 2-comp residual, r·v contraction) ≈ 2130 FLOP/IC
+    # ---- FD ensemble, d=2 fused (linear RHS — no transcendentals)
     fv = b.get("vec2_ensemble_ics_per_sec_pallas")
     if fv:
+        fl, tr = fm.fd_ensemble_vec_flops_per_ic()
         rows.append(("FD ensemble d=2 fused (102k ICs)",
-                     fv * (16 * 5 + 64 * 32), VPU, "VPU", None))
+                     fv * fl, fv * tr, VPU, "VPU", None))
 
     print("| Kernel family | achieved TFLOP/s | ceiling | % of ceiling "
-          "| HBM GB/s (of 652 measured / 819 spec) |")
-    print("|---|---|---|---|---|")
-    for name, flops, peak, unit, gbps in rows:
-        pct = 100 * flops / peak
-        hbm = "—" if gbps is None else f"{gbps / 1e9:.0f} ({100 * gbps / HBM:.0f}%)"
-        print(f"| {name} | {flops / 1e12:.2f} | {unit} "
-              f"{peak / 1e12:.0f} TF/s | {pct:.0f}% | {hbm} |")
+          "| issue-adjusted % | HBM GB/s (of "
+          f"{fm.HBM_GBPS:.0f} measured / 819 spec) |")
+    print("|---|---|---|---|---|---|")
+    bad = []
+    for name, f, t, peak, unit, gbps in rows:
+        pct = 100 * f / peak
+        # transcendental-adjusted: each trans op occupies SIN_FMA_EQUIV
+        # FMA slots = 2·SIN_FMA_EQUIV FLOP-equivalents of issue capacity
+        adj = "—"
+        if t:
+            adj_f = f + t * fm.SIN_FMA_EQUIV * 2
+            adj = f"{100 * adj_f / peak:.0f}%"
+        hbm = ("—" if gbps is None
+               else f"{gbps / 1e9:.0f} ({100 * gbps / HBM:.0f}%)")
+        print(f"| {name} | {f / 1e12:.2f} | {unit} "
+              f"{peak / 1e12:.0f} TF/s | {pct:.0f}% | {adj} | {hbm} |")
+        if pct > 115:
+            bad.append((name, pct))
+    if bad:
+        for name, pct in bad:
+            print(f"IMPLAUSIBLE: {name} at {pct:.0f}% of ceiling — "
+                  "timing artifact, re-measure", file=sys.stderr)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

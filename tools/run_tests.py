@@ -13,6 +13,7 @@ suite.
 
 Usage:
     python tools/run_tests.py                  # whole suite, batches of 4
+    python tools/run_tests.py --quick          # ~5-min critical-path gate
     python tools/run_tests.py --batch-size 6
     python tools/run_tests.py --fail-fast      # stop at first bad batch
     python tools/run_tests.py -- -k pallas -q  # extra pytest args
@@ -39,6 +40,21 @@ HEAVY = {
     "test_parallel.py",
 }
 
+# --quick: a curated critical-path subset — one module per subsystem
+# (L0 operators, FD march+adjoint, DG-in-time Newton slabs, one Pallas
+# interpret module, the training loop, one adaptive loop) — for in-round
+# iteration; the full batched suite stays the round-end gate. Chosen to
+# finish in ~5 min on the 1-core host (pytest fixed cost is ~30-60 s per
+# process, so the subset runs as ONE process).
+QUICK = [
+    "test_ops.py",          # L0 spectral primitives vs closed forms
+    "test_fd_adjoint.py",   # L1/L2 FD march + discrete adjoint + estimate
+    "test_dg_time.py",      # DG-in-time Newton slab + IFT adjoint
+    "test_pallas_dg_slab.py",  # one interpret-mode Pallas family
+    "test_models_train.py",    # models + train step parity
+    "test_revolve_vjp.py",  # checkpointed custom_vjp path
+]
+
 
 def plan_batches(files: list[Path], batch_size: int) -> list[list[Path]]:
     heavy = [f for f in files if f.name in HEAVY]
@@ -62,10 +78,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="stop at the first failing batch")
     ap.add_argument("--list", action="store_true",
                     help="print the batch plan and exit")
+    ap.add_argument("--quick", action="store_true",
+                    help="critical-path subset (~5 min) as one process")
     ns = ap.parse_args(args)
 
-    files = sorted((REPO / "tests").glob("test_*.py"))
-    batches = plan_batches(files, ns.batch_size)
+    if ns.quick:
+        files = [REPO / "tests" / n for n in QUICK]
+        missing = [f.name for f in files if not f.exists()]
+        if missing:
+            print(f"quick-gate modules missing: {missing}", file=sys.stderr)
+            return 2
+        batches = [files]  # one process: far below the ~240-executable limit
+    else:
+        files = sorted((REPO / "tests").glob("test_*.py"))
+        batches = plan_batches(files, ns.batch_size)
     if ns.list:
         for i, b in enumerate(batches):
             print(f"batch {i}: {' '.join(f.name for f in b)}")
