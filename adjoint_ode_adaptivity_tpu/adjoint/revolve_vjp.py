@@ -39,6 +39,7 @@ __all__ = [
     "execute_revolve",
     "checkpointed_march",
     "checkpointed_advec_march",
+    "revolve_advec_estimate",
 ]
 
 
@@ -158,6 +159,99 @@ def checkpointed_march(
         "schedule_len": len(schedule),
     }
     return march
+
+
+def revolve_advec_estimate(
+    disc,
+    a: float,
+    dt: float,
+    n_steps: int,
+    unit_steps: int,
+    snaps: int | None = None,
+    segment: int = 8,
+    interpret: bool = False,
+):
+    """Beyond-HBM fwd+adjoint+estimate for the DG advection march: the
+    revolve schedule over UNITS of ``unit_steps`` steps, each unit driven
+    by the fused Pallas blocked-single kernels.
+
+    The stored-trajectory pipeline
+    (ops/pallas/dg_rhs.make_pallas_fwd_adj_estimate_grid_single_blocked)
+    streams every coarse state to HBM — Np·K·4·n_steps bytes, which at
+    K=10⁵ caps n_steps near 1.3e4 on a 16 GB chip. This composition keeps
+    only ``snaps`` checkpointed STATES (Np·K·4 each) plus ONE unit's
+    trajectory: advances are the forward-only kernel
+    (make_pallas_advec_march_single_blocked), each reverse runs the stored
+    pipeline on one unit with a TRACED start time and chains λ through the
+    unit boundary. λ composition is exact (sequential transposes); η is
+    the same per-step sum accumulated unit-wise (f32 association at unit
+    boundaries only). Memory: snaps·state + unit_steps·state versus
+    n_steps·state stored — e.g. n_steps=16384, unit=128, snaps=16 → 0.9%
+    of the stored footprint.
+
+    Returns ``run(u0, t0, lam_end) -> (u_final, lam0, eta)`` (same
+    contract as the monolithic pipeline, tested equal in interpret mode)
+    with ``run.revolve_stats`` carrying the planner's structural counts:
+    ``forward_units`` (units advanced, incl. recomputation — the measured
+    recompute factor is forward_units/n_units) and ``max_slots``
+    (≤ snaps, the memory bound).
+    """
+    from adjoint_ode_adaptivity_tpu.ops.pallas.dg_rhs import (
+        make_pallas_advec_march_single_blocked,
+        make_pallas_fwd_adj_estimate_grid_single_blocked,
+    )
+
+    if n_steps % unit_steps:
+        raise ValueError(f"n_steps={n_steps} not a multiple of {unit_steps}")
+    if unit_steps % segment:
+        raise ValueError(f"unit_steps={unit_steps} not a multiple of {segment}")
+    n_units = n_steps // unit_steps
+    if snaps is None:
+        snaps = optimal_snaps(n_units)
+    schedule = plan_schedule(n_units, snaps)
+    from adjoint_ode_adaptivity_tpu.adjoint.checkpointing import (
+        simulate_schedule,
+    )
+
+    plan_stats = simulate_schedule(n_units, snaps, schedule)
+    march = make_pallas_advec_march_single_blocked(
+        disc, a, dt, segment=segment, n_segments=unit_steps // segment,
+        interpret=interpret,
+    )
+    pipe = make_pallas_fwd_adj_estimate_grid_single_blocked(
+        disc, a, dt, segment=segment, n_segments=unit_steps // segment,
+        interpret=interpret,
+    )
+    unit_dt = unit_steps * dt
+
+    def run(u0, t0, lam_end):
+        u_final_box = []
+
+        def step_at(i, u):
+            return march(u, t0 + i * unit_dt)
+
+        def reverse_at(i, u_i, lam):
+            lam_u, eta_acc = lam
+            uf, lam0, eta = pipe(u_i, t0 + i * unit_dt, lam_u)
+            if i == n_units - 1:  # this unit's final state IS u(T)
+                u_final_box.append(uf)
+            return (lam0, eta_acc + eta)
+
+        lam_init = (lam_end, jnp.zeros((disc.k,), lam_end.dtype))
+        (lam0, eta), _stats = execute_revolve(
+            step_at, reverse_at, u0, lam_init, n_units, snaps, schedule
+        )
+        return u_final_box[0], lam0, eta
+
+    run.revolve_stats = {
+        "snaps": snaps,
+        "n_units": n_units,
+        "unit_steps": unit_steps,
+        "forward_units": plan_stats["forward_steps"],
+        "max_slots": plan_stats["max_slots"],
+        "repetitions": min_repetitions(n_units, snaps),
+    }
+    return run
 
 
 def checkpointed_advec_march(

@@ -48,6 +48,7 @@ from adjoint_ode_adaptivity_tpu.ops.mesh import Discretization1D
 __all__ = [
     "PallasAdvecConfig",
     "make_pallas_advec_march",
+    "make_pallas_advec_march_single_blocked",
     "make_pallas_advec_adjoint",
     "make_pallas_fwd_adj_estimate",
     "make_pallas_fwd_adj_estimate_grid",
@@ -1011,6 +1012,97 @@ def _fwd_traj_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref,
     @pl.when(i == n_seg - 1)
     def _():
         ufinal_out[:] = u_scr[:]
+
+
+def _fwd_grid_kernel_b(cfg, dr, lift, n_seg, blocked, t0_ref, u0_ref, *rest):
+    """Forward-ONLY march (no trajectory, no checkpoints): the advance
+    engine of the revolve-checkpointed pipeline (adjoint/revolve_vjp.py),
+    where the binomial schedule re-advances segments instead of storing
+    them — O(snaps) states total for marches whose stored trajectory
+    exceeds HBM."""
+    geom, (ufinal_out, u_scr) = _split_geom_refs(cfg, rest)
+    i = pl.program_id(0)
+    seg = cfg.steps_per_call
+    np_ = cfg.np_
+    first, last, sp1, sm1 = _layout_fns(cfg, blocked)
+    dt = cfg.dt
+
+    @pl.when(i == 0)
+    def _():
+        u_scr[:] = u0_ref[:]
+
+    t0 = t0_ref[0] + (i * seg) * dt
+
+    def body(n, u):
+        return _lsrk_step_b(cfg, dr, lift, first, last, u, t0 + n * dt, dt,
+                            sp1, sm1, geom)
+
+    rows = tuple(u_scr[ii] for ii in range(np_))
+    rows = jax.lax.fori_loop(0, seg, body, rows)
+    stacked = jnp.stack(rows, axis=0)
+    u_scr[:] = stacked
+
+    @pl.when(i == n_seg - 1)
+    def _():
+        ufinal_out[:] = stacked
+
+
+def make_pallas_advec_march_single_blocked(
+    disc: Discretization1D,
+    a: float,
+    dt: float,
+    segment: int = 8,
+    n_segments: int = 16,
+    interpret: bool = False,
+):
+    """Forward-only LSRK march in the blocked-single layout:
+    ``march(u0, t0) -> u_final`` over ``segment · n_segments`` steps with
+    ``u0``: (Np, K) and a TRACED start time ``t0`` (the revolve executor
+    advances from arbitrary positions). Same stage math as the fused
+    estimate pipelines (graded meshes via geom operands); K must be a
+    multiple of 8."""
+    if disc.k % 8:
+        raise ValueError(f"K={disc.k} must be a multiple of 8 (blocked layout)")
+    m = disc.k // 8
+    rx, fs, geom = _geom_or_uniform(disc, m)
+    cfg = PallasAdvecConfig(
+        np_=disc.np_, k=m, a=a, rx=rx, fscale=fs, dt=dt,
+        steps_per_call=segment, interpret=interpret, geom=geom,
+    )
+    dr_host = np.ascontiguousarray(disc.dr, dtype=np.float32)
+    lift_host = np.ascontiguousarray(disc.lift, dtype=np.float32)
+    np_ = disc.np_
+    if cfg.geom is None:
+        geom_arrays, geom_specs = (), []
+    else:
+        geom_arrays = tuple(jnp.asarray(g, jnp.float32) for g in cfg.geom)
+        geom_specs = [
+            pl.BlockSpec(cfg.geom[0].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3
+
+    def march(u0, t0):
+        kern = functools.partial(
+            _fwd_grid_kernel_b, cfg, dr_host, lift_host, n_segments, True
+        )
+        uf = pl.pallas_call(
+            kern,
+            grid=(n_segments,),
+            out_shape=jax.ShapeDtypeStruct((np_, 8, m), u0.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *geom_specs,
+            ],
+            out_specs=pl.BlockSpec((np_, 8, m), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((np_, 8, m), jnp.float32)],
+            interpret=interpret,
+        )(jnp.reshape(t0, (1,)), u0.reshape(np_, 8, m), *geom_arrays)
+        return uf.reshape(np_, disc.k)
+
+    return march
 
 
 def _adj_est_grid_kernel_b_stored(cfg, dr, lift, n_seg, blocked, t0_ref,

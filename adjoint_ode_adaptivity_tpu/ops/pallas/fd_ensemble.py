@@ -88,6 +88,23 @@ def _kernel(f, f_u, n_steps, rf, dts, u0_ref, err_out):
         """Width of the fine interval [j, j+1)."""
         return dts[j // rf] / rf
 
+    # f(u_j) and f_u(u_j) of the SAME node are emitted ADJACENTLY: the
+    # sweep's iteration j uses f_u(u_j) but f(u_j) only at iteration j+1,
+    # and separated sin/cos evals serialize on the VPU — measured
+    # (tools/microroof.py `sincos` stream): an adjacent sin+cos pair runs
+    # ~2.4× faster than two separated evals (ILP overlap of the two
+    # polynomial chains). The cache emits each node's pair once, at its
+    # first use (iteration j+1's residual), so iteration j's adjoint
+    # update reuses the cos that was co-issued with the residual's sin.
+    # Values are bit-identical — only the emission order changes.
+    _pair_cache: dict = {}
+
+    def f_pair(j):
+        if j not in _pair_cache:
+            u_j, t_j = u_fine(j), t_fine(j)
+            _pair_cache[j] = (f(u_j, t_j), f_u(u_j, t_j))
+        return _pair_cache[j]
+
     n_fine = n_steps * rf
     v = jnp.zeros_like(u)  # v_{n_fine} = k_{n_fine} = 0 (J sums u[:-1])
     blocks = [None] * n_steps
@@ -96,9 +113,9 @@ def _kernel(f, f_u, n_steps, rf, dts, u0_ref, err_out):
         u_jm1 = u_fine(j - 1)
         if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
             dtf = dt_fine(j)
-            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_fine(j)) * dtf) * v
+            v = 2.0 * u_j * dtf + (1.0 + f_pair(j)[1] * dtf) * v
         dtf_m = dt_fine(j - 1)
-        r = u_j - (u_jm1 + f(u_jm1, t_fine(j - 1)) * dtf_m)
+        r = u_j - (u_jm1 + f_pair(j - 1)[0] * dtf_m)
         err = r * v
         i = (j - 1) // rf  # block i covers fine nodes i·rf+1 .. (i+1)·rf
         blocks[i] = err if blocks[i] is None else blocks[i] + err
@@ -360,6 +377,16 @@ def _pm_kernel(f, f_u, n_steps, rf, convention, dt_ref, u0_ref, err_out,
     def dt_fine(j):
         return dts[j // rf] * (1.0 / rf)
 
+    # same sin/cos pair-adjacency as _kernel (see the comment there): each
+    # node's f/f_u evals are co-issued at first use — bit-identical values
+    _pair_cache: dict = {}
+
+    def f_pair(j):
+        if j not in _pair_cache:
+            u_j, t_j = u_fine(j), t_fine(j)
+            _pair_cache[j] = (f(u_j, t_j), f_u(u_j, t_j))
+        return _pair_cache[j]
+
     n_fine = n_steps * rf
     v = jnp.zeros_like(u)  # v_{n_fine} = k_{n_fine} = 0
     blocks = [None] * n_steps
@@ -368,9 +395,9 @@ def _pm_kernel(f, f_u, n_steps, rf, convention, dt_ref, u0_ref, err_out,
         u_jm1 = u_fine(j - 1)
         if j < n_fine:  # v_j = k_j + (1 + f_u dt_f) v_{j+1}
             dtf = dt_fine(j)
-            v = 2.0 * u_j * dtf + (1.0 + f_u(u_j, t_fine(j)) * dtf) * v
+            v = 2.0 * u_j * dtf + (1.0 + f_pair(j)[1] * dtf) * v
         dtf_m = dt_fine(j - 1)
-        r = u_j - (u_jm1 + f(u_jm1, t_fine(j - 1)) * dtf_m)
+        r = u_j - (u_jm1 + f_pair(j - 1)[0] * dtf_m)
         err = r * v
         i = (j - 1) // rf
         if convention == "strided":

@@ -166,8 +166,8 @@ def main():
     for name, op in (("sin", jnp.sin), ("cos", jnp.cos), ("exp", jnp.exp),
                      ("sincos", lambda v: jnp.sin(v) + jnp.cos(v))):
         best_rate = 0.0
-        for S in (2, 4):
-            t_op = chained(mk_stream(op, S), x_t, k_lo=4, k_hi=16)
+        for S in (2, 4, 8):
+            t_op = chained(mk_stream(op, S), x_t, k_lo=4, k_hi=32)
             best_rate = max(best_rate, S * R_t * 8 * L / t_op)
         out[f"{name}_giga_per_sec"] = best_rate / 1e9
         out[f"{name}_fma_equiv"] = fma_elem_rate / best_rate
@@ -226,7 +226,10 @@ def main():
 
             return g
 
-        dt_d = chained(mk_dense, xb, k_lo=4, k_hi=16)
+        # k_hi=64: at ~90 TF/s a call is ~0.4 ms, so the slope signal is
+        # ~20 ms — a k_hi=16 first attempt measured an impossible
+        # 397 TF/s (2× the MXU ceiling) out of pure dispatch jitter
+        dt_d = chained(mk_dense, xb, k_lo=8, k_hi=64)
         flops = 2 * S_c * B_tile * (128 * 512 + 512 * 128)
         out[f"dense_chain_b{B_tile}_tflops"] = flops / dt_d / 1e12
 
