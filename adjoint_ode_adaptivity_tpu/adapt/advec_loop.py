@@ -39,16 +39,14 @@ class _EstimateResult(NamedTuple):
     eta: jnp.ndarray
 
 
-def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
-    """One fwd+adjoint+estimate solve through the fused batched kernel
-    (f32): the single state is replicated over the 8 sublane slots — same
-    wall time as one state at full register height — and slot 0 is read
-    back. Works on the loop's non-uniform meshes (geom operands)."""
+def _build_pallas_pipeline(disc, a, dt, n_steps):
+    """The fused batched estimate pipeline for one (possibly non-uniform)
+    mesh: ``pipe(u0b, t0, lam_b) -> (uf, lam0, eta)`` on (Np, 8, K)
+    operands. Shared by :func:`_pallas_estimate` and by bench.py's
+    device-slope timing of the adaptive study — one source for the
+    segment/storage selection logic."""
     import jax
 
-    from adjoint_ode_adaptivity_tpu.adjoint.advec import (
-        terminal_integral_cotangent,
-    )
     from adjoint_ode_adaptivity_tpu.ops.pallas import (
         ensure_scoped_vmem,
         pick_chunk,
@@ -74,10 +72,22 @@ def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
     # refinement can grow Np·K past what any stored segment fits — fall
     # back to the recompute pipeline instead of aborting the adaptive loop
     store = _fits(seg)
-    pipe = make_pallas_fwd_adj_estimate_grid_batched(
+    return make_pallas_fwd_adj_estimate_grid_batched(
         disc, a, dt, segment=seg, n_segments=n_steps // seg, batch=8,
         store_trajectory=store, interpret=jax.default_backend() != "tpu",
     )
+
+
+def _pallas_estimate(disc, a, dt, n_steps, u0_fn) -> "_EstimateResult":
+    """One fwd+adjoint+estimate solve through the fused batched kernel
+    (f32): the single state is replicated over the 8 sublane slots — same
+    wall time as one state at full register height — and slot 0 is read
+    back. Works on the loop's non-uniform meshes (geom operands)."""
+    from adjoint_ode_adaptivity_tpu.adjoint.advec import (
+        terminal_integral_cotangent,
+    )
+
+    pipe = _build_pallas_pipeline(disc, a, dt, n_steps)
     u0 = jnp.asarray(u0_fn(disc.x), jnp.float32)
     lam = terminal_integral_cotangent(disc, jnp.float32)
     u0b = jnp.broadcast_to(u0[:, None, :], (disc.np_, 8, disc.k))
@@ -93,6 +103,11 @@ class AdvecAdaptResult(NamedTuple):
     j_value: float  # J = ∫u(T) dx on this mesh
     eta: np.ndarray  # per-element contributions
     est_total: float
+    # the CFL-derived march this iteration ran (lets bench.py rebuild and
+    # device-slope the exact per-iteration pipelines without re-deriving
+    # the loop's step policy); defaults keep old checkpoints restorable
+    n_steps: int = 0
+    dt: float = 0.0
 
 
 def run_adaptive_advec(
@@ -140,6 +155,8 @@ def run_adaptive_advec(
                     j_value=float(h["j_value"]),
                     eta=np.asarray(h["eta"]),
                     est_total=float(h["est_total"]),
+                    n_steps=int(h.get("n_steps", 0)),
+                    dt=float(h.get("dt", 0.0)),
                 )
                 for h in raw["history"]
             ]
@@ -168,6 +185,8 @@ def run_adaptive_advec(
             j_value=float(res.j_value),
             eta=eta,
             est_total=float(np.sum(eta)),
+            n_steps=n_steps,
+            dt=float(dt),
         )
         history.append(result)
         done = abs(result.est_total) < tol

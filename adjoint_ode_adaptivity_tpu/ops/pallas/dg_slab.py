@@ -128,8 +128,14 @@ def _kernel(ops_p, ops_a, f, f_u, g_u, k_el, newton_iters, times_ref, y0_ref,
                 for q in range(nq_p)
             ]
             t_q = [tl + float((1.0 + rq_p[q]) / 2.0) * h for q in range(nq_p)]
-            fq = [f(u_q[q], t_q[q]) for q in range(nq_p)]
-            dfq = [f_u(u_q[q], t_q[q]) for q in range(nq_p)]
+            # f/f_u of the SAME quadrature point emitted adjacently: the
+            # VPU runs co-issued sin+cos pairs ~1.7-3x faster than the
+            # separated all-sins-then-all-cos order (tools/microroof.py
+            # `sincos` row; values bit-identical, only emission order)
+            fdq = [(f(u_q[q], t_q[q]), f_u(u_q[q], t_q[q]))
+                   for q in range(nq_p)]
+            fq = [p[0] for p in fdq]
+            dfq = [p[1] for p in fdq]
             res = []
             for i in range(np_p):
                 acc = sum(float(a_p[i, j]) * rows[j] for j in range(np_p))
@@ -173,8 +179,11 @@ def _kernel(ops_p, ops_a, f, f_u, g_u, k_el, newton_iters, times_ref, y0_ref,
             for q in range(nq_a)
         ]
         t_q = [tl + float((1.0 + rq_a[q]) / 2.0) * h for q in range(nq_a)]
-        fq = [f(u_q[q], t_q[q]) for q in range(nq_a)]
-        dfq = [f_u(u_q[q], t_q[q]) for q in range(nq_a)]
+        # same pair-adjacent emission as the Newton body
+        fdq = [(f(u_q[q], t_q[q]), f_u(u_q[q], t_q[q]))
+               for q in range(nq_a)]
+        fq = [p[0] for p in fdq]
+        dfq = [p[1] for p in fdq]
         u_h = [
             sum(float(to_nodes[i, jj]) * u_el[jj] for jj in range(np_p))
             for i in range(np_a)

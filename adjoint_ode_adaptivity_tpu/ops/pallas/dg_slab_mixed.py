@@ -182,8 +182,12 @@ def _mixed_kernel(mops, interp, rad, adjoint_mode, f, f_u, g_u, k_el,
                 t_qs = [
                     tl + float((1.0 + rq[qq]) / 2.0) * h for qq in range(q)
                 ]
-                fq = [f(u_qs[qq], t_qs[qq]) for qq in range(q)]
-                dfq = [f_u(u_qs[qq], t_qs[qq]) for qq in range(q)]
+                # pair-adjacent f/f_u emission (see dg_slab.py):
+                # co-issued sin+cos pairs are ~1.7-3x cheaper on the VPU
+                fdq = [(f(u_qs[qq], t_qs[qq]), f_u(u_qs[qq], t_qs[qq]))
+                       for qq in range(q)]
+                fq = [pair[0] for pair in fdq]
+                dfq = [pair[1] for pair in fdq]
                 # hoisted once per iteration: f′·Φ tiles shared across all
                 # Jacobian rows (i) — entries factor as phiw[q][i]·dphi[q][j]
                 dphi = [
@@ -290,8 +294,11 @@ def _mixed_kernel(mops, interp, rad, adjoint_mode, f, f_u, g_u, k_el,
             for qq in range(q)
         ]
         t_q = [tl + float((1.0 + rq[qq]) / 2.0) * h for qq in range(q)]
-        fq = [f(u_q[qq], t_q[qq]) for qq in range(q)]
-        dfq = [f_u(u_q[qq], t_q[qq]) for qq in range(q)]
+        # pair-adjacent f/f_u emission (see dg_slab.py)
+        fdq = [(f(u_q[qq], t_q[qq]), f_u(u_q[qq], t_q[qq]))
+               for qq in range(q)]
+        fq = [pair[0] for pair in fdq]
+        dfq = [pair[1] for pair in fdq]
         u_h = [
             sum(
                 to_n_eff[i][j] * u_el[j]

@@ -230,6 +230,16 @@ def _vec_kernel(f_comps, jac_comps, d, n_steps, rf, dts, u0_ref, err_out):
     def dt_fine(j):
         return dts[j // rf] / rf
 
+    # f/jac of the same node emitted adjacently (see _kernel's comment —
+    # matters when the components' RHS carries transcendentals)
+    _pair_cache: dict = {}
+
+    def fj_pair(j):
+        if j not in _pair_cache:
+            u_j, t_j = u_fine(j), t_fine(j)
+            _pair_cache[j] = (f_comps(u_j, t_j), jac_comps(u_j, t_j))
+        return _pair_cache[j]
+
     n_fine = n_steps * rf
     v = tuple(jnp.zeros_like(us[0]) for _ in range(d))
     blocks = [None] * n_steps
@@ -240,7 +250,7 @@ def _vec_kernel(f_comps, jac_comps, d, n_steps, rf, dts, u0_ref, err_out):
             # v_j = k_j + (I + dt_f·J(u_j))ᵀ v_{j+1},  k_j = 2 u_j dt_f
             # (J = ∫|u|² dt on the fine grid, left rule)
             dtf = dt_fine(j)
-            jac = jac_comps(u_j, t_fine(j))
+            jac = fj_pair(j)[1]
             v_new = []
             for i in range(d):
                 acc = 2.0 * u_j[i] * dtf + v[i]
@@ -250,7 +260,7 @@ def _vec_kernel(f_comps, jac_comps, d, n_steps, rf, dts, u0_ref, err_out):
                 v_new.append(acc)
             v = tuple(v_new)
         dtf_m = dt_fine(j - 1)
-        fs_m = f_comps(u_jm1, t_fine(j - 1))
+        fs_m = fj_pair(j - 1)[0]
         err = None
         for i in range(d):
             r_i = u_j[i] - (u_jm1[i] + fs_m[i] * dtf_m)

@@ -40,19 +40,22 @@ __all__ = [
 
 # ---------------------------------------------------------------------------
 # measured chip ceilings (tools/microroof.py on the TPU v5e this repo
-# benches on; re-run microroof and update here if the chip changes)
-VPU_F32_TFLOPS = 4.27   # resident FMA streams (FMA = 2 FLOP)
+# benches on; re-run microroof and update here if the chip changes).
+# The VPU number wobbles 3.3-4.4 across sessions under tunnel/host
+# contention; the ceiling is the best observed (2026-08-20: 4.366).
+VPU_F32_TFLOPS = 4.37   # resident FMA streams (FMA = 2 FLOP)
 MXU_F32_TFLOPS = 190.0  # default-precision 4096^3 matmul
 HBM_GBPS = 652.0        # practical 1 GiB read+write stream
 
-# Measured cost of one transcendental evaluation in units of one FMA's
-# issue time on the same resident tiles (microroof `sin_fma_equiv` row:
-# time(sin chain)/time(fma chain) per op). A sin that costs S FMA slots
-# contributes S*2 FLOP-equivalents of VPU issue capacity.
-# PROVISIONAL until tools/microroof.py's transcendental sweep runs on the
-# hardware — roofline consumers must treat adjusted rows as estimates
-# while this note stands.
-SIN_FMA_EQUIV = 10.0
+# Measured transcendental throughput at multi-stream saturation
+# (tools/microroof.py, 2026-08-20): sin 38.6 G/s, cos 39.4 G/s, an
+# ADJACENT sin+cos pair of the same argument 65.4 G-pairs/s (the two
+# polynomial chains co-issue), exp 1.9 T/s (hardware unit — effectively
+# FMA-priced). In FMA-displacement units (peak 2.18e12 FMA/s):
+SIN_FMA_EQUIV = 56.5          # one separated sin (cos ≈ 55.5)
+SINCOS_PAIR_FMA_EQUIV = 33.4  # sin+cos of one argument, emitted adjacent
+# ops/pallas/fast_trig.py's shared-x² polynomial pair: ~13 FMAs analytic
+FAST_SINCOS_PAIR_FMA = 13.0
 
 # ---------------------------------------------------------------------------
 # canonical bench-row shapes (bench.py builds its problems from these)

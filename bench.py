@@ -470,6 +470,7 @@ def main():
         BENCH_CFG["fd_ensemble"]["n_steps"],
         BENCH_CFG["fd_ensemble"]["ref_factor"],
     )
+    ens_fast_rate = None
     ens_dt = 2.0 / ens_steps
     if on_tpu:
         from adjoint_ode_adaptivity_tpu.ops.pallas.fd_ensemble import (
@@ -497,6 +498,36 @@ def main():
         # slope clears the ~ms dispatch jitter
         ens_best, _ = chained_slope(_chain, u0s, k_hi=64)
         ens_kernel = "pallas-fused"
+
+        # fast-trig variant (round 5): the attribution run
+        # (tools/ensemble_attrib.py) measured 90% of this kernel's time in
+        # sin/cos issue (the affine-RHS twin runs at 99% of the VPU FMA
+        # roofline), so the remaining lever is the transcendental itself —
+        # ops/pallas/fast_trig's shared-x² polynomial pair (~13 FMAs vs
+        # Mosaic's ~57-per-eval libm path; |u| ≤ 4 domain proof in the
+        # module docstring, f32-roundoff-level accuracy, refinement argmax
+        # identical — tests/test_fast_trig.py)
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fast_trig import (
+            fast_cos,
+            fast_sin,
+        )
+
+        ens_run_fast = make_pallas_fd_ensemble(
+            lambda u, t: fast_sin(u), lambda u, t: fast_cos(u), ens_steps,
+            ref_factor, dt=ens_dt,
+        )
+
+        def _chain_fast(k_calls):
+            @jax.jit
+            def g(u):
+                for _ in range(k_calls):
+                    err = ens_run_fast(u)
+                    u = u + 1e-7 * err[0]
+                return u
+            return g
+
+        ens_fast_best, _ = chained_slope(_chain_fast, u0s, k_hi=64)
+        ens_fast_rate = n_ics / ens_fast_best
     else:
         from adjoint_ode_adaptivity_tpu.utils.benchmarks import ensemble_fd_pipeline
 
@@ -588,6 +619,39 @@ def main():
     # is >10 ms (the chained-slope stability rule; K=8 wobbled 3.5x)
     dg_elapsed, dg_t1 = chained_slope(mk_dg, dg_y0, k_hi=32)
     dg_rate = dg_b * dg_k * 2 / dg_elapsed  # fwd + adjoint solves per element
+
+    # fast-trig variant (round 5): ~74% of the slab kernel's issue budget
+    # is the Newton/adjoint quadrature sin/cos (utils/flops.py model +
+    # the measured pair ceiling) — swap in fast_trig's polynomial pair
+    # (|u| ≤ 4 holds: the slab states live in the same u' = sin u basin)
+    dg_fast_rate = None
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fast_trig import (
+            fast_cos as _fcos,
+            fast_sin as _fsin,
+        )
+
+        dg_run_fast = make_pallas_dg_estimate_ensemble(
+            dg_ops_p, dg_ops_a, lambda u, t: _fsin(u),
+            lambda u, t: _fcos(u), dg_k, newton_iters=5,
+        )
+
+        def mk_dg_fast(k_calls):
+            @jax.jit
+            def g(y):
+                for _ in range(k_calls):
+                    u, v, err = dg_run_fast(dg_times, y)
+                    y = (
+                        y
+                        + 1e-20 * u[:, -1, -1]
+                        + 1e-20 * v[:, 0, 0]
+                        + 1e-20 * jnp.sum(err, axis=1)
+                    )
+                return y
+            return g
+
+        dg_fast_elapsed, _ = chained_slope(mk_dg_fast, dg_y0, k_hi=32)
+        dg_fast_rate = dg_b * dg_k * 2 / dg_fast_elapsed
     dg_base = numpy_dg_pipeline_baseline(
         1, np.asarray(dg_times, np.float64), np.linspace(0.5, 2.0, 16)
     )
@@ -1322,6 +1386,173 @@ def main():
             else:
                 k1m_rate = rate_k
 
+    # ---- advection goal-oriented h-adaptive loop (VERDICT r4 #2: the one
+    # adaptive strand without a bench row). The MAIN.m argmax-bisection
+    # policy (matlab/MAIN.m:29-166) applied to the flagship PDE
+    # (utils/AdvecRHS1D.m): per iteration fwd+adjoint+estimate on the
+    # current (graded) mesh, bisect the worst element, CFL-recouple dt.
+    # Two scales: the reference's own K≈16 (MAIN.m uses 10-20 elements)
+    # and a production K=512. The study is host-looped by design (mesh/
+    # operator rebuild is host float64), so the honest device time is the
+    # SUM of per-iteration pipeline device-slopes over the exact meshes
+    # the study visited (AdvecAdaptResult records n_steps/dt); the
+    # dispatch-inclusive study wall is reported alongside. Baseline: the
+    # pinned NumPy fwd+adj+estimate rate (measured at K=10⁴, where the
+    # host pipeline is MOST efficient per DoF — conservative for these
+    # smaller K) over the identical DoF-step count.
+    advec_ad = {}
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.adapt.advec_loop import (
+            _build_pallas_pipeline,
+            run_adaptive_advec,
+        )
+
+        for tag, k0_a, maxit_a in (("ref", 16, 5), ("prod", 512, 5)):
+            t0_wall = time.perf_counter()
+            hist_a = run_adaptive_advec(
+                lambda x: np.sin(x), n_order=n_order, k0=k0_a, a=a,
+                final_time=0.25, cfl=0.375, maxit=maxit_a, tol=1e-30,
+                engine="pallas",
+            )
+            wall_a = time.perf_counter() - t0_wall
+            dev_total = 0.0
+            dof_steps_a = 0
+            for res_a in hist_a:
+                disc_a = startup_1d(
+                    n_order, 0.0, 2 * np.pi, len(res_a.vx) - 1, vx=res_a.vx
+                )
+                pipe_a = _build_pallas_pipeline(
+                    disc_a, a, res_a.dt, res_a.n_steps
+                )
+                u0_a = jnp.broadcast_to(
+                    jnp.asarray(np.sin(disc_a.x), jnp.float32)[:, None, :],
+                    (disc_a.np_, 8, disc_a.k),
+                )
+                lam_a = jnp.broadcast_to(
+                    terminal_integral_cotangent(disc_a, jnp.float32)[:, None, :],
+                    (disc_a.np_, 8, disc_a.k),
+                )
+
+                def mk_a(k_calls, pipe_a=pipe_a, lam_a=lam_a):
+                    @jax.jit
+                    def g(u):
+                        def body(u, _):
+                            uf, lam0, eta = pipe_a(u, jnp.float32(0.0), lam_a)
+                            return uf + 1e-20 * lam0 + 1e-20 * eta[None], None
+                        u, _ = jax.lax.scan(body, u, None, length=k_calls)
+                        return u
+                    return g
+
+                # tiny meshes: the per-call device time is µs-scale, so
+                # chain enough calls that the slope clears dispatch jitter
+                k_hi_a = 512 if k0_a <= 64 else 64
+                dev_a, _ = chained_slope(mk_a, u0_a, k_hi=k_hi_a)
+                dev_total += dev_a
+                dof_steps_a += (
+                    disc_a.np_ * disc_a.k * 2 * res_a.n_steps
+                )
+            base_a = dof_steps_a / pinned("advec_fd_dof_steps_per_sec")
+            advec_ad[f"advec_adaptive_{tag}_iterations"] = len(hist_a)
+            advec_ad[f"advec_adaptive_{tag}_final_k"] = len(hist_a[-1].vx) - 1
+            advec_ad[f"advec_adaptive_{tag}_est_first"] = float(
+                hist_a[0].est_total
+            )
+            advec_ad[f"advec_adaptive_{tag}_est_last"] = float(
+                hist_a[-1].est_total
+            )
+            advec_ad[f"advec_adaptive_{tag}_wall_s"] = round(wall_a, 4)
+            advec_ad[f"advec_adaptive_{tag}_device_s"] = round(dev_total, 6)
+            advec_ad[f"advec_adaptive_{tag}_baseline_est_s"] = round(base_a, 4)
+            advec_ad[f"advec_adaptive_{tag}_vs_baseline"] = base_a / dev_total
+        advec_ad["advec_adaptive_vs_baseline"] = advec_ad[
+            "advec_adaptive_prod_vs_baseline"
+        ]
+
+    # ---- revolve beyond-HBM demonstration (VERDICT r4 #3): the binomial
+    # checkpointing the north star names, at a size the stored pipeline
+    # CANNOT reach. K=10⁵ / n_steps=16384 needs a 19.7 GB stored
+    # trajectory (> the chip's 16 GB HBM); the revolve composition
+    # (adjoint/revolve_vjp.revolve_advec_estimate) runs it in
+    # snaps·state + one unit trajectory ≈ 0.2 GB. Also measured: the
+    # stored pipeline at its largest feasible n_steps=8192 (9.8 GB), for
+    # the throughput-cost-of-checkpointing comparison at equal K.
+    revolve_row = {}
+    if on_tpu:
+        from adjoint_ode_adaptivity_tpu.adjoint.revolve_vjp import (
+            revolve_advec_estimate,
+        )
+
+        k_r = 100_000
+        disc_r = startup_1d(2, 0.0, 2 * np.pi, k_r)
+        xmin_r = float(
+            np.min(np.abs(np.asarray(disc_r.x)[0, :] - np.asarray(disc_r.x)[1, :]))
+        )
+        dt_r = 0.5 * (0.75 / a) * xmin_r
+        u0_r = jnp.asarray(np.sin(disc_r.x), jnp.float32)
+        lam_r = terminal_integral_cotangent(disc_r, jnp.float32)
+
+        # stored ceiling: n_steps=8192 → 9.8 GB trajectory (largest
+        # power-of-two that fits beside workspace on 16 GB)
+        st_steps = 8192
+        pipe_st = make_pallas_fwd_adj_estimate_grid_single_blocked(
+            disc_r, a, dt_r, segment=8, n_segments=st_steps // 8
+        )
+        run_st = jax.jit(
+            lambda u: pipe_st(u, jnp.float32(0.0), lam_r)
+        )
+        outs = run_st(u0_r)
+        float(sum(jnp.sum(o) for o in outs))  # compile+fetch
+        best_st = np.inf
+        for _ in range(3):
+            t0_st = time.perf_counter()
+            float(sum(jnp.sum(o) for o in run_st(u0_r)))
+            best_st = min(best_st, time.perf_counter() - t0_st)
+        revolve_row["revolve_stored8k_dof_steps_per_sec"] = (
+            3 * k_r * 2 * st_steps / best_st
+        )
+        revolve_row["revolve_stored8k_traj_gb"] = round(
+            st_steps * 3 * k_r * 4 / 2**30, 2
+        )
+
+        # revolve at n_steps=16384 (stored trajectory would be 19.7 GB)
+        rv_steps, unit_r, snaps_r = 16384, 128, 16
+        rev_run = revolve_advec_estimate(
+            disc_r, a, dt_r, rv_steps, unit_steps=unit_r, snaps=snaps_r,
+            segment=8,
+        )
+        run_rv = jax.jit(
+            lambda u: rev_run(u, jnp.float32(0.0), lam_r)
+        )
+        outs = run_rv(u0_r)
+        float(sum(jnp.sum(o) for o in outs))
+        best_rv = np.inf
+        for _ in range(3):
+            t0_rv = time.perf_counter()
+            float(sum(jnp.sum(o) for o in run_rv(u0_r)))
+            best_rv = min(best_rv, time.perf_counter() - t0_rv)
+        st = rev_run.revolve_stats
+        revolve_row["revolve_dof_steps_per_sec"] = (
+            3 * k_r * 2 * rv_steps / best_rv
+        )
+        revolve_row["revolve_n_steps"] = rv_steps
+        revolve_row["revolve_traj_would_be_gb"] = round(
+            rv_steps * 3 * k_r * 4 / 2**30, 2
+        )
+        revolve_row["revolve_live_state_gb"] = round(
+            (st["snaps"] + unit_r) * 3 * k_r * 4 / 2**30, 3
+        )
+        revolve_row["revolve_snaps"] = st["snaps"]
+        revolve_row["revolve_forward_units"] = st["forward_units"]
+        revolve_row["revolve_recompute_factor"] = round(
+            st["forward_units"] / st["n_units"], 4
+        )
+        # measured cost factor vs the stored pipeline at equal K (per
+        # DoF-step), to compare against the planner's structural bound:
+        # work ≈ (5 + fwd_recompute_per_step) vs stored's 5 equivalents
+        revolve_row["revolve_vs_stored_per_step_cost"] = round(
+            (best_rv / rv_steps) / (best_st / st_steps), 4
+        )
+
     full = (
             {
                 "metric": "fwd+adjoint DoF-steps/sec (1D DG advection, K=10k, N=2)",
@@ -1350,6 +1581,7 @@ def main():
                 "ensemble_dof_steps_per_sec": ens_throughput,
                 "ensemble_n_ics": n_ics,
                 "ensemble_kernel": ens_kernel,
+                "ensemble_ics_per_sec_fastsin": ens_fast_rate,
                 "burgers_limited_dof_steps_per_sec": burgers_throughput,
                 "burgers_limited_single_state_dof_steps_per_sec": burgers_throughput_1,
                 "effectivity_rel_error_f64_n3": eff_rel_n3,
@@ -1357,6 +1589,7 @@ def main():
                 "effectivity_rel_error_f64_n7": eff_rel_n7,
                 "effectivity_abs_error_f64_n7": eff_abs_n7,
                 "dg_slab_solves_per_sec": dg_rate,
+                "dg_slab_solves_per_sec_fastsin": dg_fast_rate,
                 "dg_kernel": dg_kernel,
                 "dg_elapsed_s": round(dg_elapsed, 4),
                 "dg_batch": dg_b,
@@ -1494,6 +1727,9 @@ def main():
                 # vector-state (d=2) XLA fallback at ensemble scale
                 "vec2_ensemble_ics_per_sec": vec2_rate,
                 "vec2_ensemble_ics_per_sec_pallas": vec2_rate_pallas,
+                # advection h-adaptive study + revolve beyond-HBM rows
+                **advec_ad,
+                **revolve_row,
             }
     )
 
@@ -1525,13 +1761,14 @@ def main():
         "effectivity_rel_error_f64",
         "ensemble_dof_steps_per_sec", "dg_slab_solves_per_sec",
         "k1m_tiled_dof_steps_per_sec",
+        "advec_adaptive_vs_baseline", "revolve_dof_steps_per_sec",
     ]
     compact = {
         "metric": full["metric"],
         "value": _sig(full["value"], 6),
         "unit": "DoF-steps/s",
     }
-    compact.update({k: _sig(full[k]) for k in compact_keys})
+    compact.update({k: _sig(full.get(k)) for k in compact_keys})
     compact["detail"] = "BENCH_local.json"
     print(json.dumps(compact))
 

@@ -87,6 +87,19 @@ def main():
     t_sin = chained_slope(mk_runner(run_sin), u0s, k_hi=64)
     out["sin_ics_per_sec"] = n_ics / t_sin
 
+    # fast-trig variant: ops/pallas/fast_trig's shared-x² polynomial pair
+    # replaces the ~57-FMA libm sin/cos (legit on this bench problem: the
+    # u' = sin u flow keeps |u| ≤ π + ε < DOMAIN)
+    from adjoint_ode_adaptivity_tpu.ops.pallas.fast_trig import (
+        fast_cos,
+        fast_sin,
+    )
+
+    run_ft = make_pallas_fd_ensemble(
+        lambda u, t: fast_sin(u), lambda u, t: fast_cos(u), n_steps, rf, dt)
+    t_ft = chained_slope(mk_runner(run_ft), u0s, k_hi=64)
+    out["fastsin_ics_per_sec"] = n_ics / t_ft
+
     # affine 1-FMA RHS: the non-transcendental floor of the same pipeline
     run_aff = make_pallas_fd_ensemble(
         lambda u, t: u * -0.09 + 0.01, lambda u, t: u * -0.09,

@@ -178,10 +178,11 @@ def main():
     # steps. Time EXACTLY that chain (dependent steps, weights resident)
     # in one Pallas kernel at the kernel's tile sizes; the measured
     # TFLOP/s is the ceiling the 45%-of-MXU row should be judged against.
-    for B_tile in (128, 256):
-        # long enough that the chained slope is tens of ms (the first
-        # attempt at S_c=64 sat inside dispatch jitter and went negative)
-        S_c = 1024
+    # B=128/256 probe the narrow-tile penalty; B=2048 is the actual
+    # member-block height of ops/pallas/train_dense_fused.py — its row is
+    # THE shape-matched ceiling for that kernel's 45%-of-MXU figure
+    for B_tile, S_c, k_rng in ((128, 1024, (8, 64)), (256, 1024, (8, 64)),
+                               (2048, 128, (2, 10))):
         w1 = jnp.asarray(
             np.random.default_rng(3).standard_normal((128, 512)) * 0.03,
             jnp.float32)
@@ -189,7 +190,7 @@ def main():
             np.random.default_rng(4).standard_normal((512, 128)) * 0.03,
             jnp.float32)
 
-        def dense_chain_kernel(x_ref, w1_ref, w2_ref, o_ref):
+        def dense_chain_kernel(x_ref, w1_ref, w2_ref, o_ref, S_c=S_c):
             x = x_ref[:]
             w1_ = w1_ref[:]
             w2_ = w2_ref[:]
@@ -226,10 +227,10 @@ def main():
 
             return g
 
-        # k_hi=64: at ~90 TF/s a call is ~0.4 ms, so the slope signal is
-        # ~20 ms — a k_hi=16 first attempt measured an impossible
-        # 397 TF/s (2× the MXU ceiling) out of pure dispatch jitter
-        dt_d = chained(mk_dense, xb, k_lo=8, k_hi=64)
+        # per-tile (k_lo, k_hi) keep the slope signal at tens of ms — a
+        # k_hi=16 first attempt measured an impossible 397 TF/s (2× the
+        # MXU ceiling) out of pure dispatch jitter
+        dt_d = chained(mk_dense, xb, k_lo=k_rng[0], k_hi=k_rng[1])
         flops = 2 * S_c * B_tile * (128 * 512 + 512 * 128)
         out[f"dense_chain_b{B_tile}_tflops"] = flops / dt_d / 1e12
 

@@ -114,11 +114,13 @@ def main():
     bad = []
     for name, f, t, peak, unit, gbps in rows:
         pct = 100 * f / peak
-        # transcendental-adjusted: each trans op occupies SIN_FMA_EQUIV
-        # FMA slots = 2·SIN_FMA_EQUIV FLOP-equivalents of issue capacity
+        # transcendental-adjusted: the kernels emit sin/cos PAIR-adjacent
+        # (round 5), so each individual transcendental costs half an
+        # adjacent pair = SINCOS_PAIR_FMA_EQUIV/2 FMA slots
+        # = SINCOS_PAIR_FMA_EQUIV FLOP-equivalents of issue capacity
         adj = "—"
         if t:
-            adj_f = f + t * fm.SIN_FMA_EQUIV * 2
+            adj_f = f + t * fm.SINCOS_PAIR_FMA_EQUIV
             adj = f"{100 * adj_f / peak:.0f}%"
         hbm = ("—" if gbps is None
                else f"{gbps / 1e9:.0f} ({100 * gbps / HBM:.0f}%)")

@@ -172,6 +172,25 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("blocked_single_N2_K10k", e)
 
+    # 6b. revolve-composed beyond-HBM pipeline (round 5): forward-only
+    # blocked march advances + per-unit stored reverses through the
+    # binomial schedule; λ/η must match the monolithic oracle on HARDWARE
+    # (the composition chains traced-t0 kernels the interpret tests can't
+    # exercise against Mosaic)
+    try:
+        from adjoint_ode_adaptivity_tpu.adjoint.revolve_vjp import (
+            revolve_advec_estimate,
+        )
+
+        rev = revolve_advec_estimate(
+            disc, A, dt, n_steps, unit_steps=8, snaps=2, segment=4,
+            interpret=interp,
+        )
+        uf_r, lam0_r, eta_r = rev(u0, jnp.float32(0.0), lam)
+        check("revolve_estimate_N2_K10k", eta_r, ref.eta, 5e-3, 1e-7)
+    except Exception as e:  # noqa: BLE001
+        fail("revolve_estimate_N2_K10k", e)
+
     # 7/8. graded (3x) mesh: batched + blocked-single geom-operand paths
     vx = np.asarray(
         np.concatenate(
@@ -319,6 +338,23 @@ def main():
                   2e-4, 1e-6)
         except Exception as e:  # noqa: BLE001
             fail("fd_ensemble_102400", e)
+        # 15b. fast-trig variant (round 5): the polynomial sin/cos pair
+        # must track the libm oracle at f32-roundoff scale ON HARDWARE
+        try:
+            from adjoint_ode_adaptivity_tpu.ops.pallas.fast_trig import (
+                fast_cos,
+                fast_sin,
+            )
+
+            run_ft = make_pallas_fd_ensemble(
+                lambda u, t: fast_sin(u), lambda u, t: fast_cos(u), e_steps,
+                rf, dt=2.0 / e_steps, interpret=interp,
+            )
+            err_ft = run_ft(u0s)
+            check("fd_ensemble_fastsin_102400", jnp.mean(err_ft, axis=1),
+                  want_mean, 5e-4, 2e-6)
+        except Exception as e:  # noqa: BLE001
+            fail("fd_ensemble_fastsin_102400", e)
         try:
             dts = np.full(e_steps, 2.0 / e_steps)
             dts[::2] *= 1.5
@@ -725,6 +761,23 @@ def main():
         check("dg_slab_ensemble_B16384_K16", err_p, err_x, 1e-4, 3e-6)
     except Exception as e:  # noqa: BLE001
         fail("dg_slab_ensemble_B16384_K16", e)
+
+    # 17a-fast. fast-trig slab variant (round 5): polynomial sin/cos pair
+    # through the Newton/adjoint quadrature vs the libm XLA oracle
+    try:
+        from adjoint_ode_adaptivity_tpu.ops.pallas.fast_trig import (
+            fast_cos as _fc,
+            fast_sin as _fs,
+        )
+
+        dg_run_ft = make_pallas_dg_estimate_ensemble(
+            ops_p1, ops_a1, lambda u, t: _fs(u), lambda u, t: _fc(u), dg_k,
+            newton_iters=5, interpret=interp,
+        )
+        _, _, err_ft = dg_run_ft(dg_times, dg_y0)
+        check("dg_slab_fastsin_B16384_K16", err_ft, err_x, 5e-4, 1e-5)
+    except Exception as e:  # noqa: BLE001
+        fail("dg_slab_fastsin_B16384_K16", e)
 
     # 17b. the member-blocked grid of the same kernel (the 100k-IC scale
     # path): B=32,768 at block_members=8,192 -> 4 grid programs
