@@ -48,12 +48,15 @@ MXU_F32_TFLOPS = 190.0  # default-precision 4096^3 matmul
 HBM_GBPS = 652.0        # practical 1 GiB read+write stream
 
 # Measured transcendental throughput at multi-stream saturation
-# (tools/microroof.py, 2026-08-20): sin 38.6 G/s, cos 39.4 G/s, an
-# ADJACENT sin+cos pair of the same argument 65.4 G-pairs/s (the two
-# polynomial chains co-issue), exp 1.9 T/s (hardware unit — effectively
-# FMA-priced). In FMA-displacement units (peak 2.18e12 FMA/s):
-SIN_FMA_EQUIV = 56.5          # one separated sin (cos ≈ 55.5)
-SINCOS_PAIR_FMA_EQUIV = 33.4  # sin+cos of one argument, emitted adjacent
+# (tools/microroof.py, 2026-08-20, k_hi=32 chains): sin 38.5 G/s, cos
+# 36.8 G/s, an ADJACENT sin+cos pair of the same argument 36.9 G-pairs/s
+# — a pair costs about ONE separated eval (~2× cheaper than sequential
+# sin-then-cos; an earlier short-chain run reported 65 G-pairs/s, which
+# longer chains did not reproduce — the conservative number is published).
+# exp: 1.6-1.9 T/s (hardware unit — effectively FMA-priced). In
+# FMA-displacement units (peak 2.18e12 FMA/s):
+SIN_FMA_EQUIV = 56.0          # one separated sin/cos
+SINCOS_PAIR_FMA_EQUIV = 57.0  # sin+cos of one argument, emitted adjacent
 # ops/pallas/fast_trig.py's shared-x² polynomial pair: ~13 FMAs analytic
 FAST_SINCOS_PAIR_FMA = 13.0
 
