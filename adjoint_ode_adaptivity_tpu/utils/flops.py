@@ -39,13 +39,27 @@ __all__ = [
 ]
 
 # ---------------------------------------------------------------------------
-# measured chip ceilings (tools/microroof.py on the TPU v5e this repo
-# benches on; re-run microroof and update here if the chip changes).
-# The VPU number wobbles 3.3-4.4 across sessions under tunnel/host
-# contention; the ceiling is the best observed (2026-08-20: 4.366).
-VPU_F32_TFLOPS = 4.37   # resident FMA streams (FMA = 2 FLOP)
-MXU_F32_TFLOPS = 190.0  # default-precision 4096^3 matmul
+# measured chip ceilings (tools/microroof.py + tools/vpu_peak_probe.py on
+# the TPU v5e this repo benches on; re-run and update here if the chip
+# changes). The VPU number wobbles 3.3-4.4 across microroof sessions
+# under tunnel/host contention; the dedicated peak probe's best
+# (L=512, S=4 streams, 2026-08-20) is 4.93 — the published ceiling.
+#
+# CAVEAT for LINEAR pipelines: kernels whose math is affine in the state
+# (the d=2 harmonic-oscillator ensemble, the affine-RHS attribution twin)
+# can measure ABOVE this ceiling at the static-source FLOP count, because
+# the compiler folds compositions of affine ops that the count charges
+# separately (e.g. interp∘residual chains collapse to one FMA of
+# trajectory values). Their roofline rows are therefore upper-bound
+# estimates; the plausibility gates allow such rows a folding factor.
+VPU_F32_TFLOPS = 4.93   # FMA streams (FMA = 2 FLOP), peak-probe best
+MXU_F32_TFLOPS = 195.0  # default-precision 4096^3 matmul (best observed)
 HBM_GBPS = 652.0        # practical 1 GiB read+write stream
+# static-count inflation allowed for foldable (affine) pipelines before a
+# rate is called physically impossible: measured honest linear kernels
+# sit at 1.2-1.6× the ceiling on naive counts (vec2 clean run: 5.8e12
+# nominal = 1.18×)
+LINEAR_FOLD_ALLOWANCE = 1.7
 
 # Measured transcendental throughput at multi-stream saturation
 # (tools/microroof.py, 2026-08-20, k_hi=32 chains): sin 38.5 G/s, cos

@@ -1407,7 +1407,11 @@ def main():
             run_adaptive_advec,
         )
 
-        for tag, k0_a, maxit_a in (("ref", 16, 5), ("prod", 512, 5)):
+        # maxit=4 → 5 meshes per scale: each fresh mesh costs a ~2 min
+        # cold pipeline compile over the tunnel (validated end-to-end at
+        # maxit=2 before the full run); the persistent compile cache makes
+        # repeat runs cheap
+        for tag, k0_a, maxit_a in (("ref", 16, 4), ("prod", 512, 4)):
             t0_wall = time.perf_counter()
             hist_a = run_adaptive_advec(
                 lambda x: np.sin(x), n_order=n_order, k0=k0_a, a=a,

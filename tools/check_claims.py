@@ -43,8 +43,13 @@ CLAIMS = {
     "dof_steps_per_sec_single_state": (1.9e10, 2.6e10),
     # effectivity identity (north-star: ≤ 1e-10)
     "effectivity_rel_error_f64": (0.0, 1e-10),
-    # FD ensemble refinement signal, fused kernel
+    # FD ensemble refinement signal, fused kernel (libm sin/cos; measured
+    # 4.9-5.5e8 across sessions)
     "ensemble_ics_per_sec": (3.5e8, 1.3e9),
+    # fast-trig (polynomial pair) variant: measured 3.6e9 clean
+    "ensemble_ics_per_sec_fastsin": (2.0e9, 5.0e9),
+    # d=2 fused kernel: 2.2e9 (contended) - 3.1e9 (clean) measured
+    "vec2_ensemble_ics_per_sec_pallas": (1.6e9, 4.0e9),
     # DG slab ensemble, fused kernel (B=16,384)
     "dg_slab_solves_per_sec": (0.95e9, 1.5e9),
     # 100k-member slab ensemble retains the rate
@@ -64,19 +69,23 @@ CLAIMS = {
     "k1m_tiled_dof_steps_per_sec": (1.55e10, 2.0e10),
 }
 
-# rate key -> (flops-per-unit model, ceiling TFLOP/s): plausibility gates
+# rate key -> (flops-per-unit model, ceiling TFLOP/s, allowance):
+# plausibility gates. Allowance > 1.15 only for LINEAR pipelines, whose
+# static-source counts the compiler folds (utils/flops.py caveat).
 PLAUSIBILITY = {
     "ensemble_ics_per_sec": (
-        lambda: fm.fd_ensemble_flops_per_ic()[0], fm.VPU_F32_TFLOPS),
+        lambda: fm.fd_ensemble_flops_per_ic()[0], fm.VPU_F32_TFLOPS, 1.15),
     "vec2_ensemble_ics_per_sec_pallas": (
-        lambda: fm.fd_ensemble_vec_flops_per_ic()[0], fm.VPU_F32_TFLOPS),
+        lambda: fm.fd_ensemble_vec_flops_per_ic()[0], fm.VPU_F32_TFLOPS,
+        fm.LINEAR_FOLD_ALLOWANCE),
     "dg_slab_solves_per_sec": (
-        lambda: fm.dg_slab_flops_per_solve()[0], fm.VPU_F32_TFLOPS),
+        lambda: fm.dg_slab_flops_per_solve()[0], fm.VPU_F32_TFLOPS, 1.15),
     "train_epochs_per_sec_w500_b8192_pallas": (
-        lambda: fm.train_fused_flops_per_epoch()[0], fm.VPU_F32_TFLOPS),
+        lambda: fm.train_fused_flops_per_epoch()[0], fm.VPU_F32_TFLOPS,
+        1.15),
     "train_shared_epochs_per_sec_w100x500_b8192_s100_pallas": (
         lambda: fm.train_dense_matmul_flops_per_epoch(4.0)[0],
-        fm.MXU_F32_TFLOPS),
+        fm.MXU_F32_TFLOPS, 1.15),
 }
 
 
@@ -101,15 +110,15 @@ def check(path: str) -> list[str]:
                 f"{path}: {key} = {v:.4g} outside published band "
                 f"[{lo:.4g}, {hi:.4g}] — update BASELINE.md AND this "
                 "table together, or fix the regression")
-    for key, (model, ceil_tf) in PLAUSIBILITY.items():
+    for key, (model, ceil_tf, allow) in PLAUSIBILITY.items():
         v = b.get(key)
         if v is None:
             continue
         achieved = v * model()
-        if achieved > 1.15 * ceil_tf * 1e12:
+        if achieved > allow * ceil_tf * 1e12:
             errors.append(
                 f"{path}: {key} = {v:.4g} implies {achieved / 1e12:.1f} "
-                f"TFLOP/s > ceiling {ceil_tf} — timing artifact, "
+                f"TFLOP/s > {allow}x ceiling {ceil_tf} — timing artifact, "
                 "re-measure with a longer chain")
     return errors
 

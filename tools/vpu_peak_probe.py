@@ -48,7 +48,10 @@ def main():
     best_overall = 0.0
     for L in (512, 2048):
         for S in (4, 8, 16):
-            R = max(1024, (1 << 23) // (S * L))  # ~constant work per call
+            # R must stay LARGE regardless of S·L: a first version scaled
+            # R down for constant work and every call dropped under the
+            # dispatch jitter (rows of 0.9-120 TF/s nonsense)
+            R = 16384
 
             def fma_kernel(x_ref, o_ref, S=S, R=R):
                 x = x_ref[:]
@@ -88,7 +91,7 @@ def main():
     # unrolled independent-pair body: mimics big unrolled kernel bodies
     # (each iteration issues S independent FMAs with rotating operands,
     # no loop-carried serialization beyond one op per stream)
-    L, S, R = 2048, 8, 4096
+    L, S, R = 2048, 8, 16384
 
     def unroll_kernel(x_ref, o_ref):
         x = x_ref[:]
