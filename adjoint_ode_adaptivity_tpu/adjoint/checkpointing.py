@@ -143,12 +143,22 @@ def _plan_py(steps: int, snaps: int) -> list[tuple[str, int]]:
             t += 1
         while t > 1 and math.comb(s + t - 1, s) >= n:
             t -= 1
-        # split: left = η(s, t−1) (all slots, one sweep spent),
-        #        right = η(s−1, t−1) (slot pinned at the base)
-        m = max(1, min(n - 1, n - math.comb(s - 1 + t - 1, s - 1)))
+        # Griewank–Walther split along η(s,t) = η(s,t−1) + η(s−1,t):
+        # advance m, reverse the RIGHT n−m steps with s−1 free slots and
+        # the SAME t (they are traversed once now and recursed within),
+        # then restore and reverse the LEFT m steps with all s slots and
+        # t−1 (each left step just spent one of its traversals). Feasible
+        # iff n−m ≤ η(s−1, t) and m ≤ η(s, t−1); the greedy
+        # m = n − η(s−1, t) meets both. (A round-≤4 version recursed the
+        # right part with t−1 and advanced n − η(s−1, t−1): still a VALID
+        # schedule — slots/order verified — but Θ(n²/s) forwards instead
+        # of the binomial ~t·n bound; the K=10⁵ revolve bench measured
+        # the 4.4×-recompute smell that exposed it.)
+        m = max(1, min(n - 1, n - math.comb(s - 1 + t, s - 1)))
+        m = min(m, math.comb(s + t - 1, s))
         acts.append(("takeshot", slot0))
         acts.append(("advance", m))
-        rec(n - m, slot0 + 1, s - 1, t - 1)
+        rec(n - m, slot0 + 1, s - 1, t)
         acts.append(("restore", slot0))
         rec(m, slot0, s, t - 1)
 

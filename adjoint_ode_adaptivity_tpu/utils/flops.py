@@ -31,7 +31,9 @@ __all__ = [
     "HBM_GBPS",
     "SIN_FMA_EQUIV",
     "fd_ensemble_flops_per_ic",
+    "fd_ensemble_fastsin_flops_per_ic",
     "fd_ensemble_vec_flops_per_ic",
+    "dg_slab_fastsin_flops_per_solve",
     "advec_pipeline_flops_per_element_step",
     "dg_slab_flops_per_solve",
     "train_fused_flops_per_epoch",
@@ -137,6 +139,23 @@ def fd_ensemble_flops_per_ic(n_steps: int | None = None,
     # march) + cos at nodes 1..n_fine−1
     trans = n_fine + (n_fine - 1)
     return flops, trans
+
+
+def fd_ensemble_fastsin_flops_per_ic(n_steps: int | None = None,
+                                     ref_factor: int | None = None):
+    """(flops, 0) for the fast-trig d=1 kernel: the libm transcendentals
+    become real polynomial FLOPs (one shared-x² pair ≈
+    FAST_SINCOS_PAIR_FMA FMAs per fine node)."""
+    fl, tr = fd_ensemble_flops_per_ic(n_steps, ref_factor)
+    pairs = tr // 2 + 1
+    return fl + pairs * int(2 * FAST_SINCOS_PAIR_FMA), 0
+
+
+def dg_slab_fastsin_flops_per_solve():
+    """(flops, 0) for the fast-trig slab kernel (same pair accounting)."""
+    fl, tr = dg_slab_flops_per_solve()
+    pairs = tr // 2 + 1
+    return fl + pairs * int(2 * FAST_SINCOS_PAIR_FMA), 0
 
 
 def fd_ensemble_vec_flops_per_ic(n_steps: int | None = None,

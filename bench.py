@@ -518,15 +518,20 @@ def main():
         )
 
         def _chain_fast(k_calls):
+            # the fast kernel is ~30 µs/call — a 64-call unrolled chain
+            # sits inside dispatch jitter (the first full-bench run
+            # captured 4e6 ICs/s = the fallback single-call wall); scan
+            # 512 data-dependent calls so the slope signal is ~15 ms
             @jax.jit
             def g(u):
-                for _ in range(k_calls):
+                def body(u, _):
                     err = ens_run_fast(u)
-                    u = u + 1e-7 * err[0]
+                    return u + 1e-7 * jnp.sum(err), None
+                u, _ = jax.lax.scan(body, u, None, length=k_calls)
                 return u
             return g
 
-        ens_fast_best, _ = chained_slope(_chain_fast, u0s, k_hi=64)
+        ens_fast_best, _ = chained_slope(_chain_fast, u0s, k_hi=512)
         ens_fast_rate = n_ics / ens_fast_best
     else:
         from adjoint_ode_adaptivity_tpu.utils.benchmarks import ensemble_fd_pipeline
@@ -637,9 +642,10 @@ def main():
         )
 
         def mk_dg_fast(k_calls):
+            # ~0.1-0.2 ms/call: scan 256 calls for a >25 ms slope signal
             @jax.jit
             def g(y):
-                for _ in range(k_calls):
+                def body(y, _):
                     u, v, err = dg_run_fast(dg_times, y)
                     y = (
                         y
@@ -647,10 +653,12 @@ def main():
                         + 1e-20 * v[:, 0, 0]
                         + 1e-20 * jnp.sum(err, axis=1)
                     )
+                    return y, None
+                y, _ = jax.lax.scan(body, y, None, length=k_calls)
                 return y
             return g
 
-        dg_fast_elapsed, _ = chained_slope(mk_dg_fast, dg_y0, k_hi=32)
+        dg_fast_elapsed, _ = chained_slope(mk_dg_fast, dg_y0, k_hi=256)
         dg_fast_rate = dg_b * dg_k * 2 / dg_fast_elapsed
     dg_base = numpy_dg_pipeline_baseline(
         1, np.asarray(dg_times, np.float64), np.linspace(0.5, 2.0, 16)

@@ -73,12 +73,19 @@ void rec(Plan& p, int64_t n, int64_t slot0, int64_t s, int64_t t) {
   if (t < 1) t = 1;
   while (binom(s + t, s) < n) ++t;
   while (t > 1 && binom(s + t - 1, s) >= n) --t;
-  int64_t m = n - binom(s - 1 + t - 1, s - 1);
+  // Griewank-Walther split along eta(s,t) = eta(s,t-1) + eta(s-1,t):
+  // right part (n-m) gets s-1 slots at the SAME t, left part (m) keeps
+  // all s slots at t-1; greedy m = n - eta(s-1, t) satisfies both
+  // bounds. (The earlier version recursed right with t-1 and advanced
+  // n - eta(s-1, t-1) -- valid but Theta(n^2/s) forwards.)
+  int64_t m = n - binom(s - 1 + t, s - 1);
   if (m < 1) m = 1;
   if (m > n - 1) m = n - 1;
+  int64_t left_cap = binom(s + t - 1, s);
+  if (m > left_cap) m = left_cap;
   p.emit(TAKESHOT, slot0);
   p.emit(ADVANCE, m);
-  rec(p, n - m, slot0 + 1, s - 1, t - 1);
+  rec(p, n - m, slot0 + 1, s - 1, t);
   p.emit(RESTORE, slot0);
   rec(p, m, slot0, s, t - 1);
 }

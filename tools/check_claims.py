@@ -39,15 +39,18 @@ from adjoint_ode_adaptivity_tpu.utils import flops as fm
 CLAIMS = {
     # headline: fwd+adjoint DoF-steps/s, K=10k/N=2 batched stored pipeline
     "value": (2.4e10, 3.1e10),
-    # single-state blocked layout
-    "dof_steps_per_sec_single_state": (1.9e10, 2.6e10),
+    # single-state blocked layout (round-5 runs measured up to 2.85e10
+    # on a quiet chip — band widened upward, BASELINE.md round-5 note)
+    "dof_steps_per_sec_single_state": (1.9e10, 3.1e10),
     # effectivity identity (north-star: ≤ 1e-10)
     "effectivity_rel_error_f64": (0.0, 1e-10),
     # FD ensemble refinement signal, fused kernel (libm sin/cos; measured
     # 4.9-5.5e8 across sessions)
     "ensemble_ics_per_sec": (3.5e8, 1.3e9),
-    # fast-trig (polynomial pair) variant: measured 3.6e9 clean
-    "ensemble_ics_per_sec_fastsin": (2.0e9, 5.0e9),
+    # fast-trig (polynomial pair) variant: the ceiling-bound maximum at
+    # the ~2554-FLOP/IC model is ~2.2e9 (an early 3.6e9 attribution draw
+    # was a short-chain artifact, like the row this band replaced)
+    "ensemble_ics_per_sec_fastsin": (1.2e9, 2.6e9),
     # d=2 fused kernel: 2.2e9 (contended) - 3.1e9 (clean) measured
     "vec2_ensemble_ics_per_sec_pallas": (1.6e9, 4.0e9),
     # DG slab ensemble, fused kernel (B=16,384)
@@ -80,6 +83,12 @@ PLAUSIBILITY = {
         fm.LINEAR_FOLD_ALLOWANCE),
     "dg_slab_solves_per_sec": (
         lambda: fm.dg_slab_flops_per_solve()[0], fm.VPU_F32_TFLOPS, 1.15),
+    "ensemble_ics_per_sec_fastsin": (
+        lambda: fm.fd_ensemble_fastsin_flops_per_ic()[0],
+        fm.VPU_F32_TFLOPS, 1.15),
+    "dg_slab_solves_per_sec_fastsin": (
+        lambda: fm.dg_slab_fastsin_flops_per_solve()[0],
+        fm.VPU_F32_TFLOPS, 1.15),
     "train_epochs_per_sec_w500_b8192_pallas": (
         lambda: fm.train_fused_flops_per_epoch()[0], fm.VPU_F32_TFLOPS,
         1.15),

@@ -71,9 +71,10 @@ def main():
         def mk(k):
             @jax.jit
             def g(u):
-                for _ in range(k):
+                def body(u, _):
                     err = run(u)
-                    u = u + 1e-7 * jnp.sum(err)
+                    return u + 1e-7 * jnp.sum(err), None
+                u, _ = jax.lax.scan(body, u, None, length=k)
                 return u
             return g
         return mk
@@ -97,14 +98,16 @@ def main():
 
     run_ft = make_pallas_fd_ensemble(
         lambda u, t: fast_sin(u), lambda u, t: fast_cos(u), n_steps, rf, dt)
-    t_ft = chained_slope(mk_runner(run_ft), u0s, k_hi=64)
+    # ~30 µs/call — needs a long scan chain (a k_hi=64 draw once read
+    # 3.6e9, above the ceiling-bound ~2.2e9; that was jitter)
+    t_ft = chained_slope(mk_runner(run_ft), u0s, k_hi=512)
     out["fastsin_ics_per_sec"] = n_ics / t_ft
 
     # affine 1-FMA RHS: the non-transcendental floor of the same pipeline
     run_aff = make_pallas_fd_ensemble(
         lambda u, t: u * -0.09 + 0.01, lambda u, t: u * -0.09,
         n_steps, rf, dt)
-    t_aff = chained_slope(mk_runner(run_aff), u0s, k_hi=64)
+    t_aff = chained_slope(mk_runner(run_aff), u0s, k_hi=512)
     out["affine_ics_per_sec"] = n_ics / t_aff
 
     # decomposition: per-IC transcendental time and the implied pair rate
