@@ -88,8 +88,11 @@ BENCH_CFG = {
     "fd_ensemble_vec2": dict(n_ics=102_400, n_steps=16, ref_factor=4, d=2),
     # resident advection fwd+adj+estimate pipeline (headline row)
     "advec_pipeline": dict(k_elems=10_000, n_order=2, batch=8),
-    # DG-in-time slab ensemble (Np=2, 5 fixed Newton iterations, Q=8)
-    "dg_slab": dict(np_=2, newton_iters=5, n_quad=8),
+    # DG-in-time slab ensemble: forward order n_p=1 (Np=2), adjoint order
+    # n_a=2 (Np=3), 5 fixed Newton iterations; quadrature counts follow
+    # march/dg_time.dg_time_operators' default n_gq = 3n+6 → (3n+7)-point
+    # Gauss rules (nq_p=10, nq_a=13)
+    "dg_slab": dict(np_=2, np_a=3, newton_iters=5, nq_p=10, nq_a=13),
     # fused per-step training epoch (ResBlockSimple)
     "train_fused": dict(width=500, n_steps=10, batch=8192),
     # shared-net Dense training (ResNetBlock [100, 500])
@@ -199,19 +202,53 @@ def advec_pipeline_flops_per_element_step(n_order: int | None = None):
 
 
 # ---------------------------------------------------------------------------
-# DG-in-time slab ensemble (ops/pallas/dg_slab.py): per counted
-# slab-solve (bench counts 2·B·K coarse+fine solves per launch, adjoint +
-# AWR riding along): 5 Newton × (residual 2·Np² + quadrature interp
-# 2·Q·Np·3 + Jacobian 2·Q·Np² + Cramer ~14), adjoint ≈ one extra
-# Newton-like solve + AWR ≈ 250. Newton residual/Jacobian evaluate
-# sin/cos at the Q quadrature points per iteration (u' = sin u).
+# DG-in-time slab ensemble (ops/pallas/dg_slab.py). The bench rate key
+# credits 2 solves per (member, element) — one forward Newton solve + one
+# adjoint linear solve — so this model counts ONE ELEMENT's full kernel
+# work (5 Newton iterations + the adjoint solve + AWR) and divides by 2.
+# (The previous revision charged the whole per-element work to EACH
+# credited solve and used Q=8 instead of the operators' real 10/13-point
+# rules — a ~2× overcount that made the measured rates look >115% of the
+# ceiling; caught by tools/check_claims.py's plausibility gate in round 5.)
+#
+# Static count of _kernel's unrolled body (mul/add = 1, FMA = 2, div = 1;
+# coefficient products like phi·wq·phi are compile-time scalars):
+#
+# forward Newton, per iteration (np_p=2, nq_p=10):
+#   u_q interp       nq_p·(np_p mul + (np_p−1) add)            = 30
+#   f/f_u pairs      nq_p sin+cos PAIRS (adjacent emission)    → 10 pairs
+#   residual         np_p·(np_p+1 + nq_p+(nq_p−1) + 2) + 1     = 49
+#   Jacobian         np_p²·(nq_p + (nq_p−1) + 2)               = 84
+#   2×2 Cramer+update det 3 + numerators 6 + 2 div + 2 sub     = 13
+# adjoint, per element (np_a=3, nq_a=13):
+#   u_q interp       nq_a·(np_p mul + 1 add)                   = 39
+#   f/f_u pairs      nq_a pairs                                → 13 pairs
+#   u_h interp       np_a·(np_p mul + 1 add)                   = 9
+#   A matrix         np_a²·(nq_a + (nq_a−1) + 2)               = 243
+#   rhs (g_u = 2u)   np_a·(np_a+2+1) + np_a g_u + 1            = 22
+#   3×3 Cramer       ≈ 60
+#   AWR              np_a·(np_a+2 + nq_a+(nq_a−1)+2 + 1 + 2)   = 105
 def dg_slab_flops_per_solve():
     cfg = BENCH_CFG["dg_slab"]
-    np_, it, q = cfg["np_"], cfg["newton_iters"], cfg["n_quad"]
-    per_newton = 2 * np_ * np_ + 2 * q * np_ * 3 + 2 * q * np_ * np_ + 14
-    flops = it * per_newton + 250
-    trans = it * 2 * q + q  # sin+cos per Newton iter + adjoint's cos
-    return flops, trans
+    np_p, np_a = cfg["np_"], cfg["np_a"]
+    it, nq_p, nq_a = cfg["newton_iters"], cfg["nq_p"], cfg["nq_a"]
+    per_newton = (
+        nq_p * (np_p + np_p - 1)
+        + np_p * (np_p + 1 + 2 * nq_p - 1 + 2) + 1
+        + np_p * np_p * (2 * nq_p - 1 + 2)
+        + 13
+    )
+    adjoint = (
+        nq_a * (np_p + 1)
+        + np_a * (np_p + 1)
+        + np_a * np_a * (2 * nq_a - 1 + 2)
+        + np_a * (np_a + 3) + np_a + 1
+        + 60
+        + np_a * (np_a + 2 + 2 * nq_a - 1 + 2 + 3)
+    )
+    flops_per_element = it * per_newton + adjoint
+    trans_per_element = it * 2 * nq_p + 2 * nq_a  # sin AND cos per point
+    return flops_per_element / 2.0, trans_per_element / 2.0
 
 
 # ---------------------------------------------------------------------------

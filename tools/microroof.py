@@ -181,8 +181,13 @@ def main():
     # B=128/256 probe the narrow-tile penalty; B=2048 is the actual
     # member-block height of ops/pallas/train_dense_fused.py — its row is
     # THE shape-matched ceiling for that kernel's 45%-of-MXU figure
+    # B=2048 keeps S_c=128 (the (2048,512) activation tiles bound VMEM)
+    # but needs a LONG call chain: at ~180 TF/s one call is ~0.4 ms, and
+    # an early (2, 10) range measured 543 TF/s — 2.8× the MXU ceiling —
+    # out of pure dispatch jitter (the same failure mode check_claims.py
+    # gates bench rows against)
     for B_tile, S_c, k_rng in ((128, 1024, (8, 64)), (256, 1024, (8, 64)),
-                               (2048, 128, (2, 10))):
+                               (2048, 128, (16, 80))):
         w1 = jnp.asarray(
             np.random.default_rng(3).standard_normal((128, 512)) * 0.03,
             jnp.float32)

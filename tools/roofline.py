@@ -120,6 +120,13 @@ def main():
         rows.append(("FD ensemble fast-trig (102k ICs)",
                      ff * fl_fast, 0.0, VPU, "VPU", None))
 
+    # ---- fast-trig DG slab variant (round 5)
+    dgf = b.get("dg_slab_solves_per_sec_fastsin")
+    if dgf:
+        fl_f, _ = fm.dg_slab_fastsin_flops_per_solve()
+        rows.append(("DG slab fast-trig (B=16k, K=16)",
+                     dgf * fl_f, 0.0, VPU, "VPU", None))
+
     print("| Kernel family | achieved TFLOP/s | ceiling | % of ceiling "
           "| issue-adjusted % | HBM GB/s (of "
           f"{fm.HBM_GBPS:.0f} measured / 819 spec) |")
