@@ -43,9 +43,14 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # measured chip ceilings (tools/microroof.py + tools/vpu_peak_probe.py on
 # the TPU v5e this repo benches on; re-run and update here if the chip
-# changes). The VPU number wobbles 3.3-4.4 across microroof sessions
-# under tunnel/host contention; the dedicated peak probe's best
-# (L=512, S=4 streams, 2026-08-20) is 4.93 — the published ceiling.
+# changes). The VPU FMA probe WOBBLES HARD across sessions under
+# tunnel/host contention — observed 3.2-5.9 TF/s (peak-probe sweep best
+# 4.93; microroof's plain multi-stream kernel measured 5.855 on
+# 2026-08-20 session c while the same session's peak-probe run sat at
+# 4.0). A ceiling is by definition the MAX any probe achieved, so 5.86
+# is published; % -of-ceiling rows computed against it are conservative
+# (a contended-session kernel rate divided by the best-session ceiling).
+# Architectural peak is ~7.7 (8×128 lanes × 4 ALUs × 2 × ~0.94 GHz).
 #
 # CAVEAT for LINEAR pipelines: kernels whose math is affine in the state
 # (the d=2 harmonic-oscillator ensemble, the affine-RHS attribution twin)
@@ -54,7 +59,7 @@ __all__ = [
 # separately (e.g. interp∘residual chains collapse to one FMA of
 # trajectory values). Their roofline rows are therefore upper-bound
 # estimates; the plausibility gates allow such rows a folding factor.
-VPU_F32_TFLOPS = 4.93   # FMA streams (FMA = 2 FLOP), peak-probe best
+VPU_F32_TFLOPS = 5.86   # FMA streams (FMA = 2 FLOP), best observed
 MXU_F32_TFLOPS = 195.0  # default-precision 4096^3 matmul (best observed)
 HBM_GBPS = 652.0        # practical 1 GiB read+write stream
 # static-count inflation allowed for foldable (affine) pipelines before a
@@ -64,15 +69,22 @@ HBM_GBPS = 652.0        # practical 1 GiB read+write stream
 LINEAR_FOLD_ALLOWANCE = 1.7
 
 # Measured transcendental throughput at multi-stream saturation
-# (tools/microroof.py, 2026-08-20, k_hi=32 chains): sin 38.5 G/s, cos
-# 36.8 G/s, an ADJACENT sin+cos pair of the same argument 36.9 G-pairs/s
-# — a pair costs about ONE separated eval (~2× cheaper than sequential
-# sin-then-cos; an earlier short-chain run reported 65 G-pairs/s, which
-# longer chains did not reproduce — the conservative number is published).
-# exp: 1.6-1.9 T/s (hardware unit — effectively FMA-priced). In
-# FMA-displacement units (peak 2.18e12 FMA/s):
-SIN_FMA_EQUIV = 56.0          # one separated sin/cos
-SINCOS_PAIR_FMA_EQUIV = 57.0  # sin+cos of one argument, emitted adjacent
+# (tools/microroof.py, 2026-08-20, k_hi=32 chains — STABLE across
+# sessions unlike the FMA probe: 37-40 G/s every run): sin 37-40 G/s,
+# cos 37-43 G/s, an ADJACENT sin+cos pair of the same argument
+# 36.7-37.4 G-pairs/s — a pair costs about ONE separated eval (~2×
+# cheaper than sequential sin-then-cos; an earlier short-chain run
+# reported 65 G-pairs/s, which longer chains did not reproduce).
+# exp is hardware-priced (one run measured 1.6-1.9 T/s). In
+# FMA-displacement units consistent with the published FMA ceiling
+# (VPU_F32_TFLOPS/2 = 2.93e12 FMA/s over 37 G-evals/s ≈ 79): NOTE the
+# production kernels SUSTAIN 38-43 G-pairs/s — 104-118% of the
+# standalone pair-stream microbench, which is therefore a LOWER BOUND
+# on the chip's pair-issue rate; issue-adjusted roofline rows computed
+# from these constants can legitimately read slightly above 100%.
+SIN_FMA_EQUIV = 76.0          # one separated sin/cos (2.93e12 / 38.5e9)
+SINCOS_PAIR_FMA_EQUIV = 79.0  # sin+cos of one argument, emitted adjacent
+SINCOS_PAIR_STREAM_GPS = 37.0  # best pure-pair stream rate (G-pairs/s)
 # ops/pallas/fast_trig.py's shared-x² polynomial pair: ~13 FMAs analytic
 FAST_SINCOS_PAIR_FMA = 13.0
 
