@@ -118,7 +118,7 @@ def make_shared_train_step_fused(
     interpret: bool = False,
     mesh=None,
     mesh_axis: str = "data",
-    block_members: int = 2048,
+    block_members: int = 8192,
     mxu_dtype=jnp.float32,
 ):
     """:func:`make_shared_train_step` (shared-params ResNetBlock Dense

@@ -1216,7 +1216,7 @@ def main():
         for s_steps in (10, 100):
             s_dt = jnp.full((s_steps,), 1.0 / s_steps, jnp.float32)
             s_step_p = make_shared_train_step_fused(
-                s_tx, s_dt, (100, 500), block_members=4096
+                s_tx, s_dt, (100, 500), block_members=8192
             )
 
             mk_shared_p = mk_epoch_timer(
