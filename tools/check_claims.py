@@ -55,6 +55,9 @@ CLAIMS = {
     "vec2_ensemble_ics_per_sec_pallas": (1.6e9, 4.0e9),
     # DG slab ensemble, fused kernel (B=16,384)
     "dg_slab_solves_per_sec": (0.95e9, 1.5e9),
+    # fast-trig slab variant: ceiling-bound max at the corrected
+    # 1511-FLOP/solve count is ~3.9e9 (5.86 TF/s FMA ceiling)
+    "dg_slab_solves_per_sec_fastsin": (2.2e9, 4.0e9),
     # 100k-member slab ensemble retains the rate
     "dg_slab_100k_solves_per_sec": (0.95e9, 1.5e9),
     # ensemble-mean DG adaptive study, fused dispatch, vs pinned baseline
