@@ -62,12 +62,23 @@ def _pick_lanes(b: int, cap: int = 8192) -> int:
     return next(d for d in range(cap, 127, -128) if b % d == 0)
 
 
-def pack_params(params: Any, n_steps: int, features: int) -> jnp.ndarray:
-    """Flax ResBlockSimple stacked params → one (3, S·C, 8, 1) f32 array
-    (order: bias, weights1, weights2), C = ceil(F/8), zero-padded. Pure
-    XLA reshapes — runs per epoch between adam updates at negligible cost.
-    """
+def _chunk_count(features: int, unroll: int) -> int:
+    """Neuron chunks C = ceil(F/8), rounded up to a multiple of the
+    chunk-loop unroll factor. The padding chunks carry zero parameters —
+    exactly inert through relu in both passes and exactly-zero in the
+    gradient buffers (same contract as the partial-chunk zero padding)."""
     c = -(-features // 8)
+    return -(-c // unroll) * unroll
+
+
+def pack_params(params: Any, n_steps: int, features: int,
+                unroll: int = 1) -> jnp.ndarray:
+    """Flax ResBlockSimple stacked params → one (3, S·C, 8, 1) f32 array
+    (order: bias, weights1, weights2), C = _chunk_count(F, unroll),
+    zero-padded. Pure XLA reshapes — runs per epoch between adam updates
+    at negligible cost.
+    """
+    c = _chunk_count(features, unroll)
     pad = c * 8 - features
 
     def one(x):  # (S, F) -> (S*C, 8, 1)
@@ -80,10 +91,11 @@ def pack_params(params: Any, n_steps: int, features: int) -> jnp.ndarray:
     return jnp.stack([one(b), one(w1), one(w2)])
 
 
-def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int) -> dict:
+def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int,
+                 unroll: int = 1) -> dict:
     """(3, S·C, 8, 1) gradient accumulators → the flax param-dict pytree
     (bias/weights1 as (S, F, 1), weights2 as (S, 1, F))."""
-    c = -(-features // 8)
+    c = _chunk_count(features, unroll)
     flat = packed.reshape(3, n_steps, c * 8)[:, :, :features]
     return {
         "bias": flat[0][:, :, None],
@@ -92,7 +104,7 @@ def unpack_grads(packed: jnp.ndarray, n_steps: int, features: int) -> dict:
     }
 
 
-def _epoch_kernel(n_steps, c, b_total, masked, mixed, *refs):
+def _epoch_kernel(n_steps, c, unroll, b_total, masked, mixed, *refs):
     """One member-block program: forward march (trajectory to scratch),
     loss contribution, reverse sweep accumulating packed grads.
     ``masked`` (static): a per-step active-neuron count rides as an extra
@@ -140,19 +152,26 @@ def _epoch_kernel(n_steps, c, b_total, masked, mixed, *refs):
 
     def fwd_step(n, u):
         # (8, L) partial accumulator: ONE sublane reduction per step
-        # instead of one per chunk
+        # instead of one per chunk. The chunk loop runs GROUPS of
+        # ``unroll`` statically-offset chunks per fori iteration: Mosaic
+        # keeps small-trip-count loop carries in vector registers but
+        # spills the (8, L) carry to VMEM past ~24 iterations — measured
+        # cliff 228 → 603 ns/chunk-iteration between C=24 and C=32 at
+        # L=8192; grouping divides that spill cost by ``unroll``.
         def chunk(cc, acc8):
-            col = n * c + cc
-            b_col = p_ref[0, col]  # (8, 1)
-            w1_col = p_ref[1, col]
-            w2_col = p_ref[2, col]
-            if masked:
-                w2_col = w2_col * neuron_mask(n, cc)
-            s = w1_col * (u - b_col)  # (8, LANES) outer product
-            return acc8 + w2_col * jnp.maximum(s, 0.0)
+            for uu in range(unroll):
+                col = n * c + cc * unroll + uu
+                b_col = p_ref[0, col]  # (8, 1)
+                w1_col = p_ref[1, col]
+                w2_col = p_ref[2, col]
+                if masked:
+                    w2_col = w2_col * neuron_mask(n, cc * unroll + uu)
+                s = w1_col * (u - b_col)  # (8, LANES) outer product
+                acc8 = acc8 + w2_col * jnp.maximum(s, 0.0)
+            return acc8
 
         acc8 = jax.lax.fori_loop(
-            0, c, chunk, jnp.zeros((8, u.shape[1]), u.dtype)
+            0, c // unroll, chunk, jnp.zeros((8, u.shape[1]), u.dtype)
         )
         u_next = u + dt_ref[n] * jnp.sum(acc8, axis=0, keepdims=True)
         traj[n + 1] = u_next
@@ -179,31 +198,34 @@ def _epoch_kernel(n_steps, c, b_total, masked, mixed, *refs):
         gdt = g * dt_n  # (1, LANES)
 
         def chunk(cc, du8):
-            col = n * c + cc
-            b_col = p_ref[0, col]
-            w1_col = p_ref[1, col]
-            w2_col = p_ref[2, col]
-            nm = neuron_mask(n, cc) if masked else None
-            s = w1_col * (u_n - b_col)
-            mask = (s > 0.0).astype(s.dtype)
-            a = s * mask  # == relu(s)
-            w2_eff = w2_col * nm if masked else w2_col
-            ds = gdt * (w2_eff * mask)  # (8, LANES): dL/ds_i per member
-            # w1/b are lane-constant per chunk, so the gw1/gb reductions
-            # reuse Σds: gw1 = Σ(ds·u) − b·Σds, gb = −w1·Σds; the neuron
-            # mask rides ds (and gates gw2 directly), so inactive slots
-            # get exactly zero in all three
-            s_ds = jnp.sum(ds, axis=1, keepdims=True)
-            g_w2 = jnp.sum(gdt * a, axis=1, keepdims=True)
-            gp_ref[2, col] += g_w2 * nm if masked else g_w2
-            gp_ref[1, col] += (
-                jnp.sum(ds * u_n, axis=1, keepdims=True) - b_col * s_ds
-            )
-            gp_ref[0, col] += -w1_col * s_ds
-            return du8 + ds * w1_col
+            for uu in range(unroll):  # grouped like the forward loop
+                col = n * c + cc * unroll + uu
+                b_col = p_ref[0, col]
+                w1_col = p_ref[1, col]
+                w2_col = p_ref[2, col]
+                nm = neuron_mask(n, cc * unroll + uu) if masked else None
+                s = w1_col * (u_n - b_col)
+                mask = (s > 0.0).astype(s.dtype)
+                a = s * mask  # == relu(s)
+                w2_eff = w2_col * nm if masked else w2_col
+                ds = gdt * (w2_eff * mask)  # (8, LANES): dL/ds per member
+                # w1/b are lane-constant per chunk, so the gw1/gb
+                # reductions reuse Σds: gw1 = Σ(ds·u) − b·Σds,
+                # gb = −w1·Σds; the neuron mask rides ds (and gates gw2
+                # directly), so inactive slots get exactly zero in all
+                # three
+                s_ds = jnp.sum(ds, axis=1, keepdims=True)
+                g_w2 = jnp.sum(gdt * a, axis=1, keepdims=True)
+                gp_ref[2, col] += g_w2 * nm if masked else g_w2
+                gp_ref[1, col] += (
+                    jnp.sum(ds * u_n, axis=1, keepdims=True) - b_col * s_ds
+                )
+                gp_ref[0, col] += -w1_col * s_ds
+                du8 = du8 + ds * w1_col
+            return du8
 
         du8 = jax.lax.fori_loop(
-            0, c, chunk, jnp.zeros((8, g.shape[1]), g.dtype)
+            0, c // unroll, chunk, jnp.zeros((8, g.shape[1]), g.dtype)
         )
         g_n = g + jnp.sum(du8, axis=0, keepdims=True)
         if mixed:
@@ -230,11 +252,20 @@ def make_pallas_resblock_epoch_grad(
     max_lanes: int = 8192,
     masked: bool = False,
     mixed: bool = False,
+    unroll: int | None = None,
 ):
     """Returns ``run(params, dt, u0s, trues, weights=None,
     n_active=None, ramp_weight=None) -> (loss, grads)`` — value_and_grad
     of the epoch loss for a per-step ResBlockSimple net, as ONE kernel
     launch.
+
+    ``unroll``: chunk-loop group size (the chunk count pads up to a
+    multiple of it with exactly-inert zero neurons). Default: 8 when the
+    chunk count exceeds 24, else 1 — Mosaic keeps small-trip-count loop
+    carries in vector registers but spills the (8, L) accumulator to
+    VMEM past ~24 iterations (measured cliff: 228 → 603 ns per chunk
+    iteration between C=24 and C=32 at L=8192, tools round-5
+    attribution); grouping divides the spill cost by the group size.
 
     ``params``: the stacked flax pytree ({'bias': (S, F, 1), 'weights1':
     (S, F, 1), 'weights2': (S, 1, F)}). ``u0s``/``trues``: (B,) member
@@ -255,7 +286,9 @@ def make_pallas_resblock_epoch_grad(
     Gradients match ``jax.grad`` of the XLA loss (relu'(0) = 0
     convention included) at f32 roundoff — tests/test_pallas_train.py.
     """
-    c = -(-features // 8)
+    if unroll is None:
+        unroll = 8 if -(-features // 8) > 24 else 1
+    c = _chunk_count(features, unroll)
 
     def run(params, dt, u0s, trues, weights=None, n_active=None,
             ramp_weight=None):
@@ -275,10 +308,10 @@ def make_pallas_resblock_epoch_grad(
             raise ValueError("masked=True requires n_active (S,)")
         if mixed and ramp_weight is None:
             raise ValueError("mixed=True requires ramp_weight (scalar)")
-        packed = pack_params(params, n_steps, features)
+        packed = pack_params(params, n_steps, features, unroll)
         dt = jnp.asarray(dt, jnp.float32)
         kern = functools.partial(
-            _epoch_kernel, n_steps, c,
+            _epoch_kernel, n_steps, c, unroll,
             b_live if b_live_arr is None else 1.0, masked, mixed,
         )
         member_spec = pl.BlockSpec((1, lanes), lambda i: (0, i),
@@ -343,7 +376,7 @@ def make_pallas_resblock_epoch_grad(
             interpret=interpret,
         )(*operands)
         loss = jnp.sum(loss_rows)
-        grads = unpack_grads(gp, n_steps, features)
+        grads = unpack_grads(gp, n_steps, features, unroll)
         if b_live_arr is not None:
             loss = loss / b_live_arr
             grads = jax.tree_util.tree_map(

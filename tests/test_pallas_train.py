@@ -114,6 +114,53 @@ class TestFusedEpochGrad:
         for k in ("bias", "weights1", "weights2"):
             np.testing.assert_array_equal(back[k], params[k])
 
+    def test_grouped_unroll_matches_xla(self):
+        # unroll=8 forces the grouped chunk loop at F=37 (C pads 5 → 8:
+        # three whole padding chunks of zero neurons must stay exactly
+        # inert in both passes) — the production path for F > ~200
+        net, params, dt, u0s, trues = _setup(seed=13)
+        want_loss, want_grads = _xla_value_and_grad(
+            net, params, dt, u0s, trues
+        )
+        run = make_pallas_resblock_epoch_grad(S, F, interpret=True,
+                                              unroll=8)
+        loss, grads = run(params, dt, u0s, trues)
+        np.testing.assert_allclose(loss, want_loss, rtol=2e-6)
+        for k in ("bias", "weights1", "weights2"):
+            np.testing.assert_allclose(
+                grads[k], want_grads[k], rtol=2e-5, atol=1e-7, err_msg=k
+            )
+
+    def test_grouped_unroll_masked_mixed_match_unroll1(self):
+        # the masked and mixed variants produce bit-comparable results
+        # under the grouped loop (same math, different emission order)
+        net, params, dt, u0s, trues = _setup(seed=17)
+        n_active = jnp.asarray(
+            np.random.default_rng(17).integers(1, F + 1, S), jnp.float32
+        )
+        for kwargs, extra in (
+            (dict(masked=True), dict(n_active=n_active)),
+            (dict(mixed=True), dict(ramp_weight=jnp.float32(0.7))),
+        ):
+            if kwargs.get("mixed"):
+                tt = jnp.tile(trues[None], (S + 1, 1))
+                args = (params, dt, u0s, tt)
+            else:
+                args = (params, dt, u0s, trues)
+            r1 = make_pallas_resblock_epoch_grad(
+                S, F, interpret=True, unroll=1, **kwargs
+            )
+            r8 = make_pallas_resblock_epoch_grad(
+                S, F, interpret=True, unroll=8, **kwargs
+            )
+            l1, g1 = r1(*args, **extra)
+            l8, g8 = r8(*args, **extra)
+            np.testing.assert_allclose(l8, l1, rtol=1e-6)
+            for k in ("bias", "weights1", "weights2"):
+                np.testing.assert_allclose(
+                    g8[k], g1[k], rtol=1e-6, atol=1e-9, err_msg=k
+                )
+
     def test_b_not_multiple_of_lanes_raises(self):
         _, params, dt, u0s, trues = _setup()
         run = make_pallas_resblock_epoch_grad(S, F, interpret=True)
