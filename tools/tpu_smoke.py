@@ -1041,7 +1041,20 @@ def _finish(t_start, interp):
 
 
 if __name__ == "__main__":
-    if not _tpu_reachable():
+    import time as _time
+
+    # the tunnel drops intermittently and recovers within minutes —
+    # retry twice before declaring hardware validation impossible
+    _alive = False
+    for _attempt in range(3):
+        if _tpu_reachable():
+            _alive = True
+            break
+        if _attempt < 2:
+            print('{"warning": "TPU probe failed - retrying in 120 s"}',
+                  file=sys.stderr)
+            _time.sleep(120.0)
+    if not _alive:
         print(json.dumps({
             "metric": "tpu kernel smoke gate",
             "value": 0,
