@@ -1333,20 +1333,24 @@ def main():
         def mk_vec_pl(k_calls):
             @jax.jit
             def g(u0s):
-                for _ in range(k_calls):
+                def body(u0s, _):
                     err = jnp.mean(run_vec_pl(u0s), axis=1)
                     # every step row stays live (not just [0]) and feeds
                     # the next call — XLA cannot shortcut the chain
-                    u0s = u0s + 1e-7 * jnp.sum(err)
+                    return u0s + 1e-7 * jnp.sum(err), None
+
+                u0s, _ = jax.lax.scan(body, u0s, None, length=k_calls)
                 return u0s
             return g
 
         try:
-            # the kernel is a few hundred µs/call: k_hi=16 left the slope
-            # inside the tunnel's ms-level dispatch jitter and BENCH_r04
-            # captured a physically impossible 2.0e10 ICs/s (≈10× the VPU
-            # roofline) — chain 128 calls so the signal is tens of ms
-            vec_pl_best, _ = chained_slope(mk_vec_pl, v_u0s, k_hi=128)
+            # the kernel is ~40 µs/call: k_hi=16 left the slope inside
+            # the tunnel's ms-level dispatch jitter and BENCH_r04
+            # captured a physically impossible 2.0e10 ICs/s (≈10× the
+            # VPU roofline); a 128-call chain still wobbled to 6.4e9 in
+            # one round-5 session (caught by check_claims' plausibility
+            # gate) — scan 1024 calls so the measured section is ~40 ms
+            vec_pl_best, _ = chained_slope(mk_vec_pl, v_u0s, k_hi=1024)
             vec2_rate_pallas = v_n_ics / vec_pl_best
         except Exception:  # noqa: BLE001
             vec2_rate_pallas = None
